@@ -1,0 +1,55 @@
+"""Benchmark harness: runs the headline query corpus at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from de_gcp_lakehouse_iceberg_spark.plans import QUERIES
+    from de_gcp_lakehouse_iceberg_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    timings: dict[str, float] = {}
+    # Warm the JVM/codegen once with the cheapest query so per-query times
+    # reflect execution, not first-call JIT + session setup.
+    QUERIES["q01_global_count"](spark, sf_dir).collect()
+
+    total = 0.0
+    for name in sorted(QUERIES):
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        n = df.count() if name.startswith("_") else len(df.collect())
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "query_corpus_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
