@@ -1,0 +1,200 @@
+"""Row-level DML over LakeTable — copy-on-write, file-targeted.
+
+Reference surface: MERGE (PRD.md:769-779, D3), UPDATE (PRD.md:790-797 /
+1089-1106, D4), DELETE (PRD.md:782-787, D5), change-history scan with
+_CHANGE_TYPE/_CHANGE_TIMESTAMP pseudo-columns (PRD.md:956-972, S6).
+
+Execution model (scale-first): a mutation never rewrites the table —
+it plans with Spark which *files* contain affected rows (via the
+`_metadata.file_path` hidden column, pushed predicates prune most files
+at the parquet scan), rewrites only those files, and commits the swap
+as one snapshot. At 100 TB with daily partitions, a date-scoped DELETE
+touches only that day's files; everything else is metadata.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .table import LakeTable, Snapshot
+
+_FILE = "__file_path"
+
+
+def _as_col(pred: Column | str) -> Column:
+    return F.expr(pred) if isinstance(pred, str) else pred
+
+
+def _with_file(df: DataFrame) -> DataFrame:
+    return df.withColumn(_FILE, F.col("_metadata.file_path"))
+
+
+def _rel_paths(table: LakeTable, abs_paths: list[str]) -> list[str]:
+    out = []
+    for p in abs_paths:
+        if p.startswith("file:"):
+            p = p[len("file:") :]
+            while p.startswith("//"):
+                p = p[1:]
+        out.append(os.path.relpath(p, table.root))
+    return out
+
+
+def _affected_files(table: LakeTable, df_with_file: DataFrame, pred: Column) -> list[str]:
+    """Which live files contain at least one matching row? Distinct over
+    the pruned scan — rows never leave the executors, only file names do."""
+    rows = (
+        df_with_file.filter(pred).select(_FILE).distinct().collect()
+    )
+    return _rel_paths(table, [r[0] for r in rows])
+
+
+def delete(table: LakeTable, predicate: Column | str) -> Snapshot:
+    """DELETE FROM t WHERE pred (D5)."""
+    pred = _as_col(predicate)
+    df = _with_file(table.scan())
+    affected = _affected_files(table, df, pred)
+    if not affected:
+        return table.snapshot()
+    snap = table.snapshot()
+    survivors = (
+        table._read_files(snap, affected)
+        .filter(~pred | pred.isNull())
+    )
+    return table.replace_files(affected, survivors, operation="delete")
+
+
+def update(
+    table: LakeTable, assignments: dict[str, Column | str], predicate: Column | str
+) -> Snapshot:
+    """UPDATE t SET col=expr WHERE pred (D4). Assignments are column
+    expressions evaluated per-row (CASE recodes, anonymization, etc.)."""
+    pred = _as_col(predicate)
+    df = _with_file(table.scan())
+    affected = _affected_files(table, df, pred)
+    if not affected:
+        return table.snapshot()
+    snap = table.snapshot()
+    rewritten = table._read_files(snap, affected)
+    for name, expr in assignments.items():
+        new_val = _as_col(expr) if isinstance(expr, str) else expr
+        rewritten = rewritten.withColumn(
+            name, F.when(pred, new_val).otherwise(F.col(name))
+        )
+    return table.replace_files(affected, rewritten, operation="update")
+
+
+def merge(
+    table: LakeTable,
+    source: DataFrame,
+    on: list[str],
+    when_matched_update: dict[str, Column | str] | None = None,
+    when_not_matched_insert: bool = True,
+) -> Snapshot:
+    """MERGE INTO target USING source ON keys (D3, PRD.md:769-779).
+
+    Matched rows get the update assignments (expressions may reference
+    source columns via `source.<col>` after the join); unmatched source
+    rows are appended. One atomic snapshot commit for both halves.
+    """
+    snap = table.snapshot()
+    target = _with_file(table.scan())
+    src = source.alias("source")
+
+    # files holding matched rows — semi join keeps only file names moving
+    matched_files = _rel_paths(
+        table,
+        [
+            r[0]
+            for r in target.alias("t")
+            .join(src, on=on, how="left_semi")
+            .select(_FILE)
+            .distinct()
+            .collect()
+        ],
+    )
+
+    rewritten: DataFrame | None = None
+    if matched_files:
+        tgt_cols = [c for c in table.scan().columns]
+        base = table._read_files(snap, matched_files).alias("t")
+        joined = base.join(src, on=on, how="left")
+        matched = F.col(f"source.{on[0]}").isNotNull()
+        proj = []
+        for c in tgt_cols:
+            if when_matched_update and c in when_matched_update:
+                expr = when_matched_update[c]
+                new_val = F.expr(expr) if isinstance(expr, str) else expr
+                proj.append(
+                    F.when(matched, new_val).otherwise(F.col(f"t.{c}")).alias(c)
+                )
+            else:
+                proj.append(F.col(f"t.{c}").alias(c))
+        rewritten = joined.select(*proj)
+
+    inserts: DataFrame | None = None
+    if when_not_matched_insert:
+        tgt_cols = table.scan().columns
+        inserts = (
+            src.join(table.scan().select(*on), on=on, how="left_anti")
+            .select(*[F.col(c) for c in tgt_cols])
+        )
+
+    if rewritten is not None and inserts is not None:
+        add_df = rewritten.unionByName(inserts)
+    else:
+        add_df = rewritten if rewritten is not None else inserts
+
+    if add_df is None and not matched_files:
+        return table.snapshot()
+    return table.replace_files(
+        matched_files, add_df, operation="merge", summary={"merge_on": on}
+    )
+
+
+def changelog(table: LakeTable, from_version: int, to_version: int) -> DataFrame:
+    """Row-level change feed between snapshots (S6): per intermediate
+    commit, reads only the files that entered/left the snapshot (manifest
+    set-diff — no full-table scan) and net-diffs them with exceptAll.
+    Emits _change_type ('INSERT'/'DELETE'), _change_version,
+    _change_timestamp — the Spark shape of BigQuery's _CHANGE_TYPE /
+    _CHANGE_TIMESTAMP pseudo-columns (PRD.md:956-972)."""
+    out: DataFrame | None = None
+    for v in range(from_version + 1, to_version + 1):
+        prev = table.snapshot(v - 1)
+        cur = table.snapshot(v)
+        pf = {f.path for f in prev.files}
+        cf = {f.path for f in cur.files}
+        removed = sorted(pf - cf)
+        added = sorted(cf - pf)
+        if not removed and not added:
+            continue
+        add_df = table._read_files(cur, added) if added else None
+        rem_df = table._read_files(prev, removed) if removed else None
+        if add_df is not None and rem_df is not None:
+            inserts = add_df.exceptAll(rem_df)
+            deletes = rem_df.exceptAll(add_df)
+        elif add_df is not None:
+            inserts, deletes = add_df, None
+        else:
+            inserts, deletes = None, rem_df
+
+        def _tag(df: DataFrame, kind: str) -> DataFrame:
+            return df.select(
+                "*",
+                F.lit(kind).alias("_change_type"),
+                F.lit(v).alias("_change_version"),
+                F.lit(cur.timestamp_ms).alias("_change_timestamp"),
+            )
+
+        for piece, kind in ((inserts, "INSERT"), (deletes, "DELETE")):
+            if piece is None:
+                continue
+            tagged = _tag(piece, kind)
+            out = tagged if out is None else out.unionByName(tagged)
+    if out is None:
+        raise ValueError("no changes between requested versions")
+    return out

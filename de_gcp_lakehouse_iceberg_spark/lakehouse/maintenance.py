@@ -1,0 +1,239 @@
+"""Table maintenance services — the Spark re-expression of the
+reference's Iceberg maintenance module
+(src/maintenance/iceberg_maintenance.py:28-408, M1-M10 in SURVEY.md §2.11).
+
+Policy defaults mirror the reference:
+- compaction target 128 MB (iceberg_maintenance.py:28), last-N-days scope
+- snapshot retention 7 days (iceberg_maintenance.py:73)
+- sort rewrite over recent partitions with per-table sort columns
+  (iceberg_maintenance.py:95-127)
+- orphan cleanup > 3 days with dry_run (iceberg_maintenance.py:129-152)
+- partition health: flag > 5 GB to split, < 10k rows & < 0.1 GB to
+  compact (iceberg_maintenance.py:250-267)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import functions as F
+
+from .table import LakeTable, Snapshot
+
+MB = 1024 * 1024
+GB = 1024 * MB
+
+DEFAULT_TARGET_FILE_SIZE = 128 * MB  # iceberg_maintenance.py:28
+DEFAULT_RETENTION_DAYS = 7  # iceberg_maintenance.py:73
+DEFAULT_ORPHAN_AGE_DAYS = 3  # iceberg_maintenance.py:134-142
+PARTITION_SPLIT_BYTES = 5 * GB  # iceberg_maintenance.py:252
+PARTITION_COMPACT_ROWS = 10_000  # iceberg_maintenance.py:259
+PARTITION_COMPACT_BYTES = int(0.1 * GB)  # iceberg_maintenance.py:260
+
+
+@dataclass
+class MaintenanceReport:
+    table: str
+    started_ms: int
+    actions: list[dict[str, Any]] = field(default_factory=list)
+
+    def add(self, action: str, **detail: Any) -> None:
+        self.actions.append({"action": action, **detail})
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {"table": self.table, "started_ms": self.started_ms, "actions": self.actions}
+        )
+
+
+def compact(
+    table: LakeTable,
+    target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
+    partition_filter=None,
+) -> dict[str, Any]:
+    """M1: bin-pack small files up to the target size. Reads only the
+    small files (manifest-selected), repartitions by the table's
+    partition columns so each output task writes one file per partition,
+    single atomic commit. Before/after file counts reported exactly like
+    iceberg_maintenance.py:50-66."""
+    snap = table.snapshot()
+    before_files = len(snap.files)
+    candidates = [
+        f
+        for f in snap.files
+        if f.bytes < target_file_size
+        and (partition_filter is None or partition_filter(f.partition))
+    ]
+    # group by partition; only partitions with 2+ small files benefit
+    by_part: dict[str, list] = {}
+    for f in candidates:
+        by_part.setdefault(json.dumps(f.partition, sort_keys=True), []).append(f)
+    to_rewrite = [f for group in by_part.values() if len(group) > 1 for f in group]
+    if not to_rewrite:
+        return {
+            "status": "skipped",
+            "reason": "no partitions with multiple small files",
+            "files_before": before_files,
+            "files_after": before_files,
+        }
+    total_bytes = sum(f.bytes for f in to_rewrite)
+    df = table._read_files(snap, [f.path for f in to_rewrite])
+    pcols = [c for c in table.partition_by if c in df.columns]
+    n_out = max(1, math.ceil(total_bytes / target_file_size))
+    df = df.repartition(n_out, *pcols) if pcols else df.coalesce(n_out)
+    new_snap = table.replace_files(
+        [f.path for f in to_rewrite], df, operation="compact"
+    )
+    return {
+        "status": "success",
+        "files_before": before_files,
+        "files_after": len(new_snap.files),
+        "rewritten_files": len(to_rewrite),
+        "rewritten_bytes": total_bytes,
+    }
+
+
+def rewrite_sorted(
+    table: LakeTable, sort_columns: list[str], partition_filter=None
+) -> dict[str, Any]:
+    """M3: sort-order rewrite (Z-order-style clustering,
+    iceberg_maintenance.py:95-127). Rewrites the selected files with
+    rows sorted by the given columns inside each partition, which gives
+    parquet row-group min/max stats real pruning power on those columns."""
+    snap = table.snapshot()
+    targets = [
+        f
+        for f in snap.files
+        if partition_filter is None or partition_filter(f.partition)
+    ]
+    if not targets:
+        return {"status": "skipped", "reason": "no matching partitions"}
+    df = table._read_files(snap, [f.path for f in targets])
+    pcols = [c for c in table.partition_by if c in df.columns]
+    if pcols:
+        df = df.repartition(*[F.col(c) for c in pcols])
+    df = df.sortWithinPartitions(*sort_columns)
+    new_snap = table.replace_files(
+        [f.path for f in targets], df, operation="rewrite_sorted",
+        summary={"sort_columns": sort_columns},
+    )
+    return {
+        "status": "success",
+        "rewritten_files": len(targets),
+        "files_after": len(new_snap.files),
+        "sort_columns": sort_columns,
+    }
+
+
+def expire_snapshots(
+    table: LakeTable, retention_days: float = DEFAULT_RETENTION_DAYS
+) -> dict[str, Any]:
+    """M2 (iceberg_maintenance.py:73-93)."""
+    cutoff = int(time.time() * 1000) - int(retention_days * 86400_000)
+    res = table.expire_snapshots(older_than_ms=cutoff, keep_last=1)
+    return {"status": "success", "retention_days": retention_days, **res}
+
+
+def cleanup_orphans(
+    table: LakeTable,
+    older_than_days: float = DEFAULT_ORPHAN_AGE_DAYS,
+    dry_run: bool = False,
+) -> dict[str, Any]:
+    """M4 (iceberg_maintenance.py:129-152)."""
+    cutoff = int(time.time() * 1000) - int(older_than_days * 86400_000)
+    orphans = table.remove_orphans(older_than_ms=cutoff, dry_run=dry_run)
+    return {"status": "success", "dry_run": dry_run, "orphans": orphans}
+
+
+def analyze_partitions(table: LakeTable) -> list[dict[str, Any]]:
+    """M6: health thresholds from iceberg_maintenance.py:250-267."""
+    recs = []
+    for row in table.partitions_df().collect():
+        if row.size_bytes > PARTITION_SPLIT_BYTES:
+            recs.append(
+                {
+                    "partition": row.partition,
+                    "recommendation": "consider_sub_partitioning",
+                    "size_bytes": row.size_bytes,
+                }
+            )
+        elif (
+            row.row_count < PARTITION_COMPACT_ROWS
+            and row.size_bytes < PARTITION_COMPACT_BYTES
+            and row.file_count > 1
+        ):
+            recs.append(
+                {
+                    "partition": row.partition,
+                    "recommendation": "compact",
+                    "row_count": row.row_count,
+                    "file_count": row.file_count,
+                }
+            )
+    return recs
+
+
+def collect_statistics(table: LakeTable, columns: list[str] | None = None) -> dict:
+    """M5: ANALYZE TABLE analog — table-level row/size plus per-column
+    min/max/null-count/approx-NDV in ONE aggregate pass (no per-column
+    jobs). Feeds the same policy decisions the reference drives from
+    ANALYZE TABLE + __TABLES__ (iceberg_maintenance.py:204-224,291-332)."""
+    snap = table.snapshot()
+    df = table.scan()
+    cols = columns or [c for c, t in df.dtypes if not t.startswith(("array", "map", "struct", "binary"))]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.approx_count_distinct(c).alias(f"{c}__ndv"),
+        ]
+    row = df.agg(*aggs).collect()[0].asDict() if aggs else {}
+    col_stats = {
+        c: {
+            "min": row.get(f"{c}__min"),
+            "max": row.get(f"{c}__max"),
+            "null_count": row.get(f"{c}__nulls"),
+            "approx_ndv": row.get(f"{c}__ndv"),
+        }
+        for c in cols
+    }
+    return {
+        "row_count": snap.total_rows,
+        "size_bytes": snap.total_bytes,
+        "file_count": len(snap.files),
+        "snapshot_count": len(table.snapshots()),
+        "columns": col_stats,
+    }
+
+
+def run_full_maintenance(
+    table: LakeTable,
+    name: str = "table",
+    sort_columns: list[str] | None = None,
+    target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
+    retention_days: float = DEFAULT_RETENTION_DAYS,
+    orphan_age_days: float = DEFAULT_ORPHAN_AGE_DAYS,
+) -> MaintenanceReport:
+    """M9: stats → compact → (optional sort) → expire → orphans,
+    mirroring run_full_maintenance (iceberg_maintenance.py:334-387)."""
+    report = MaintenanceReport(table=name, started_ms=int(time.time() * 1000))
+    report.add("statistics", **{
+        k: v for k, v in collect_statistics(table, columns=[]).items()
+        if k != "columns"
+    })
+    report.add("compaction", **compact(table, target_file_size))
+    if sort_columns:
+        report.add("sort_rewrite", **rewrite_sorted(table, sort_columns))
+    report.add("expire_snapshots", **expire_snapshots(table, retention_days))
+    orphan = cleanup_orphans(table, orphan_age_days)
+    report.add(
+        "orphan_cleanup", status=orphan["status"], removed=len(orphan["orphans"])
+    )
+    report.add("partition_health", recommendations=analyze_partitions(table))
+    return report

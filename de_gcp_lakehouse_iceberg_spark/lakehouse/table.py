@@ -1,0 +1,461 @@
+"""Snapshot-versioned parquet tables — the Iceberg capability surface
+re-expressed for a Spark-only deployment.
+
+The reference stores facts in BigQuery-managed Iceberg tables (ACID
+appends `main.py:297-303`, time travel `verify_loaded_data.sql:108-110`,
+changelog `PRD.md:956-972`, maintenance procedures
+`src/maintenance/iceberg_maintenance.py`). No Iceberg runtime jar is
+available here, so this module provides the same table semantics with
+a deliberately thin metadata layer:
+
+- data files: immutable parquet written by Spark (partition-dir layout,
+  snappy), all heavy lifting stays in DataFrames/Catalyst;
+- metadata: one JSON manifest per snapshot listing member files plus
+  per-file row counts/bytes/partition values — the driver-side work is
+  O(#files), never O(rows);
+- commits: write-new-files → write-manifest → atomically swap a pointer
+  file (os.replace). Single-writer local semantics; on a shared object
+  store this swap is exactly the role of Iceberg's catalog pointer.
+
+Scale posture: a snapshot read hands Spark an explicit file list with
+`basePath`, so partition columns survive and Catalyst still does column
+pruning + row-group predicate pushdown per file. Partition pruning
+happens one level earlier: `scan(partition_filter=...)` selects files
+by manifest partition values before Spark ever plans the job, mirroring
+Iceberg manifest pruning (PRD.md:3499-3510 asserts <1 MB scanned for a
+single-day query — same mechanism).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST_DIR = "_manifests"
+DATA_DIR = "data"
+POINTER = "_current"
+
+
+@dataclass
+class FileEntry:
+    path: str  # relative to table root
+    rows: int
+    bytes: int
+    partition: dict[str, str] = field(default_factory=dict)
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "path": self.path,
+            "rows": self.rows,
+            "bytes": self.bytes,
+            "partition": self.partition,
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "FileEntry":
+        return FileEntry(d["path"], d["rows"], d["bytes"], d.get("partition", {}))
+
+
+@dataclass
+class Snapshot:
+    version: int
+    timestamp_ms: int
+    operation: str
+    files: list[FileEntry]
+    schema_json: str
+    summary: dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def total_rows(self) -> int:
+        return sum(f.rows for f in self.files)
+
+    @property
+    def total_bytes(self) -> int:
+        return sum(f.bytes for f in self.files)
+
+
+class LakeTable:
+    """A snapshot-versioned parquet table rooted at a directory."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+
+    # ------------------------------------------------------------------
+    # lifecycle
+    # ------------------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        partition_by: list[str] | None = None,
+        schema_json: str | None = None,
+    ) -> "LakeTable":
+        """Create an empty table (DDL D1). `partition_by` names columns
+        that must exist in appended DataFrames (generated/derived columns
+        like `pickup_date` are materialized by the caller — mirrors the
+        reference's PARTITION BY DATE(pickup_datetime), PRD.md:273)."""
+        root = os.path.abspath(root)
+        os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=False)
+        os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
+        t = cls(spark, root)
+        props = {"partition_by": partition_by or []}
+        with open(os.path.join(root, "_properties.json"), "w") as f:
+            json.dump(props, f)
+        t._commit_snapshot(
+            operation="create", files=[], schema_json=schema_json or "", base=None
+        )
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "LakeTable":
+        t = cls(spark, root)
+        if t.current_version() is None:
+            raise FileNotFoundError(f"no lakehouse table at {root}")
+        return t
+
+    @property
+    def partition_by(self) -> list[str]:
+        try:
+            with open(os.path.join(self.root, "_properties.json")) as f:
+                return json.load(f).get("partition_by", [])
+        except FileNotFoundError:
+            return []
+
+    # ------------------------------------------------------------------
+    # snapshot bookkeeping
+    # ------------------------------------------------------------------
+    def current_version(self) -> int | None:
+        try:
+            with open(os.path.join(self.root, POINTER)) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                raise FileNotFoundError("table has no snapshots")
+        p = os.path.join(self.root, MANIFEST_DIR, f"v{version:08d}.json")
+        with open(p) as f:
+            d = json.load(f)
+        return Snapshot(
+            version=d["version"],
+            timestamp_ms=d["timestamp_ms"],
+            operation=d["operation"],
+            files=[FileEntry.from_json(x) for x in d["files"]],
+            schema_json=d.get("schema_json", ""),
+            summary=d.get("summary", {}),
+        )
+
+    def snapshots(self) -> list[Snapshot]:
+        mdir = os.path.join(self.root, MANIFEST_DIR)
+        out = []
+        for fn in sorted(os.listdir(mdir)):
+            if fn.startswith("v") and fn.endswith(".json"):
+                out.append(self.snapshot(int(fn[1:-5])))
+        return out
+
+    def snapshot_as_of(self, timestamp_ms: int) -> Snapshot:
+        """Time travel: latest snapshot committed at or before ts
+        (FOR SYSTEM_TIME AS OF, verify_loaded_data.sql:108-110)."""
+        best = None
+        for s in self.snapshots():
+            if s.timestamp_ms <= timestamp_ms and (
+                best is None or s.version > best.version
+            ):
+                best = s
+        if best is None:
+            raise ValueError(f"no snapshot at or before {timestamp_ms}")
+        return best
+
+    def _commit_snapshot(
+        self,
+        operation: str,
+        files: list[FileEntry],
+        schema_json: str,
+        base: int | None,
+        summary: dict[str, Any] | None = None,
+    ) -> Snapshot:
+        cur = self.current_version()
+        if base is not None and cur != base:
+            raise RuntimeError(
+                f"concurrent modification: expected base v{base}, found v{cur}"
+            )
+        version = 0 if cur is None else cur + 1
+        snap = {
+            "version": version,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": operation,
+            "files": [f.to_json() for f in files],
+            "schema_json": schema_json,
+            "summary": summary or {},
+        }
+        mpath = os.path.join(self.root, MANIFEST_DIR, f"v{version:08d}.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        os.replace(tmp, mpath)
+        # atomic pointer swap — the "catalog commit"
+        ptmp = os.path.join(self.root, POINTER + ".tmp")
+        with open(ptmp, "w") as f:
+            f.write(str(version))
+        os.replace(ptmp, os.path.join(self.root, POINTER))
+        return self.snapshot(version)
+
+    # ------------------------------------------------------------------
+    # write paths
+    # ------------------------------------------------------------------
+    def _write_files(self, df: DataFrame, subdir: str | None = None) -> list[FileEntry]:
+        """Write a DataFrame as immutable parquet files under data/ and
+        return their manifest entries. Uses a unique staging prefix so
+        files from aborted writes are never visible (they become orphans
+        for `remove_orphans`)."""
+        stage = subdir or uuid.uuid4().hex[:12]
+        out_dir = os.path.join(self.root, DATA_DIR, stage)
+        pcols = [c for c in self.partition_by if c in df.columns]
+        # Partition layout uses shadow `_p_<col>` copies so the real column
+        # stays inside the data files; reads then skip Spark partition
+        # inference entirely (recursiveFileLookup) — staging dirs would
+        # otherwise make directory structures "conflict".
+        writer_df = df
+        for c in pcols:
+            writer_df = writer_df.withColumn(f"_p_{c}", writer_df[c].cast("string"))
+        writer = writer_df.write.mode("error")
+        if pcols:
+            writer = writer.partitionBy(*[f"_p_{c}" for c in pcols])
+        writer.parquet(out_dir)
+        return self._scan_written(out_dir)
+
+    def _scan_written(self, out_dir: str) -> list[FileEntry]:
+        import pyarrow.parquet as pq
+
+        entries: list[FileEntry] = []
+        for dirpath, _dirnames, filenames in os.walk(out_dir):
+            for fn in filenames:
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.root)
+                # partition values from dir components k=v
+                part: dict[str, str] = {}
+                for comp in os.path.relpath(dirpath, out_dir).split(os.sep):
+                    if "=" in comp:
+                        k, v = comp.split("=", 1)
+                        part[k.removeprefix("_p_")] = v
+                meta = pq.ParquetFile(full).metadata
+                entries.append(
+                    FileEntry(
+                        path=rel,
+                        rows=meta.num_rows,
+                        bytes=os.path.getsize(full),
+                        partition=part,
+                    )
+                )
+        return sorted(entries, key=lambda e: e.path)
+
+    def append(self, df: DataFrame, operation: str = "append") -> Snapshot:
+        """ACID append (S10/S11: WriteToBigQuery WRITE_APPEND →
+        snapshot-isolated file append)."""
+        base = self.current_version()
+        prev = self.snapshot(base)
+        new_files = self._write_files(df)
+        return self._commit_snapshot(
+            operation=operation,
+            files=prev.files + new_files,
+            schema_json=df.schema.json(),
+            base=base,
+            summary={"added_files": len(new_files),
+                     "added_rows": sum(f.rows for f in new_files)},
+        )
+
+    def overwrite(self, df: DataFrame) -> Snapshot:
+        """Full-table replace (INSERT OVERWRITE / CTAS refresh, D8/D9)."""
+        base = self.current_version()
+        new_files = self._write_files(df)
+        return self._commit_snapshot(
+            operation="overwrite",
+            files=new_files,
+            schema_json=df.schema.json(),
+            base=base,
+        )
+
+    def replace_files(
+        self,
+        remove: list[str],
+        add_df: DataFrame | None,
+        operation: str,
+        summary: dict[str, Any] | None = None,
+    ) -> Snapshot:
+        """Copy-on-write commit primitive: drop `remove` (relative paths)
+        from the live file set, add files written from `add_df`. Used by
+        DML (delete/update/merge) and maintenance (compaction/sort)."""
+        base = self.current_version()
+        prev = self.snapshot(base)
+        removed = set(remove)
+        kept = [f for f in prev.files if f.path not in removed]
+        new_files = self._write_files(add_df) if add_df is not None else []
+        return self._commit_snapshot(
+            operation=operation,
+            files=kept + new_files,
+            schema_json=add_df.schema.json() if add_df is not None else prev.schema_json,
+            base=base,
+            summary=dict(
+                summary or {},
+                removed_files=len(removed),
+                added_files=len(new_files),
+            ),
+        )
+
+    # ------------------------------------------------------------------
+    # read paths
+    # ------------------------------------------------------------------
+    def scan(
+        self,
+        version: int | None = None,
+        as_of_ms: int | None = None,
+        partition_filter: Callable[[dict[str, str]], bool] | None = None,
+    ) -> DataFrame:
+        """Snapshot-isolated read, optionally time-traveled (S5) and
+        manifest-partition-pruned (§4: partition pruning before Spark
+        plans the scan)."""
+        if as_of_ms is not None:
+            snap = self.snapshot_as_of(as_of_ms)
+        else:
+            snap = self.snapshot(version)
+        files = snap.files
+        if partition_filter is not None:
+            files = [f for f in files if partition_filter(f.partition)]
+        return self._read_files(snap, [f.path for f in files])
+
+    def _read_files(self, snap: Snapshot, rel_paths: list[str]) -> DataFrame:
+        from pyspark.sql.types import StructType
+
+        reader = self.spark.read
+        if snap.schema_json:
+            # pinned schema → additive evolution: old files lacking newly
+            # added columns read them as NULL (PRD.md:3421-3473 semantics)
+            reader = reader.schema(StructType.fromJson(json.loads(snap.schema_json)))
+        if not rel_paths:
+            if snap.schema_json:
+                return self.spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(snap.schema_json))
+                )
+            raise ValueError("empty table with no recorded schema")
+        paths = [os.path.join(self.root, p) for p in rel_paths]
+        return reader.option("recursiveFileLookup", "true").parquet(*paths)
+
+    def files_df(self) -> DataFrame:
+        """Metadata table analog of Iceberg `t.files` (S7/S8)."""
+        snap = self.snapshot()
+        rows = [
+            (f.path, f.rows, f.bytes, json.dumps(f.partition)) for f in snap.files
+        ]
+        return self.spark.createDataFrame(
+            rows, "file_path string, row_count long, size_bytes long, partition string"
+        )
+
+    def snapshots_df(self) -> DataFrame:
+        rows = [
+            (
+                s.version,
+                s.timestamp_ms,
+                s.operation,
+                len(s.files),
+                s.total_rows,
+                s.total_bytes,
+            )
+            for s in self.snapshots()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "version long, timestamp_ms long, operation string, "
+            "file_count long, total_rows long, total_bytes long",
+        )
+
+    def partitions_df(self) -> DataFrame:
+        """Iceberg `t.partitions` analog — per-partition row/byte/file
+        counts for maintenance policy decisions (M6)."""
+        snap = self.snapshot()
+        agg: dict[str, list[int]] = {}
+        for f in snap.files:
+            key = json.dumps(f.partition, sort_keys=True)
+            cur = agg.setdefault(key, [0, 0, 0])
+            cur[0] += f.rows
+            cur[1] += f.bytes
+            cur[2] += 1
+        rows = [(k, v[0], v[1], v[2]) for k, v in sorted(agg.items())]
+        return self.spark.createDataFrame(
+            rows, "partition string, row_count long, size_bytes long, file_count long"
+        )
+
+    # ------------------------------------------------------------------
+    # destructive metadata ops (used by maintenance)
+    # ------------------------------------------------------------------
+    def expire_snapshots(
+        self, older_than_ms: int | None = None, keep_last: int = 1
+    ) -> dict[str, int]:
+        """M2: drop old manifests and delete data files no retained
+        snapshot references (iceberg_maintenance.py:73-93)."""
+        snaps = self.snapshots()
+        cur = self.current_version()
+        retained: list[Snapshot] = []
+        for s in snaps:
+            if s.version == cur or s.version > cur - keep_last:
+                retained.append(s)
+            elif older_than_ms is None or s.timestamp_ms >= older_than_ms:
+                retained.append(s)
+        retained_versions = {s.version for s in retained}
+        live_files = {f.path for s in retained for f in s.files}
+        removed_manifests = 0
+        removed_files = 0
+        for s in snaps:
+            if s.version in retained_versions:
+                continue
+            for f in s.files:
+                if f.path not in live_files:
+                    full = os.path.join(self.root, f.path)
+                    if os.path.exists(full):
+                        os.remove(full)
+                        removed_files += 1
+                    live_files.add(f.path)  # only count once
+            os.remove(
+                os.path.join(self.root, MANIFEST_DIR, f"v{s.version:08d}.json")
+            )
+            removed_manifests += 1
+        return {
+            "expired_snapshots": removed_manifests,
+            "deleted_files": removed_files,
+        }
+
+    def remove_orphans(self, older_than_ms: int, dry_run: bool = False) -> list[str]:
+        """M4: delete data files referenced by NO snapshot and older than
+        the cutoff (iceberg_maintenance.py:129-152, incl. dry_run)."""
+        referenced = {f.path for s in self.snapshots() for f in s.files}
+        orphans: list[str] = []
+        data_root = os.path.join(self.root, DATA_DIR)
+        for dirpath, _d, filenames in os.walk(data_root):
+            for fn in filenames:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.root)
+                if rel in referenced:
+                    continue
+                if os.path.getmtime(full) * 1000 <= older_than_ms:
+                    orphans.append(rel)
+                    if not dry_run:
+                        os.remove(full)
+        if not dry_run:
+            # clean now-empty staging dirs
+            for dirpath, dirnames, filenames in os.walk(data_root, topdown=False):
+                if not dirnames and not filenames and dirpath != data_root:
+                    shutil.rmtree(dirpath, ignore_errors=True)
+        return sorted(orphans)

@@ -1,0 +1,185 @@
+"""Lakehouse table layer: ACID append, time travel, COW DML, changelog,
+compaction, snapshot expiry, orphan cleanup — mirrors the reference's
+maintenance/DML test tier (tests/test_iceberg_maintenance.py) but against
+a real local warehouse instead of mocks."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from de_gcp_lakehouse_iceberg_spark.lakehouse import LakeTable
+from de_gcp_lakehouse_iceberg_spark.lakehouse import dml, maintenance
+
+
+@pytest.fixture()
+def warehouse(tmp_path):
+    return str(tmp_path / "wh")
+
+
+def _orders_df(spark, n=100):
+    return spark.range(n).select(
+        F.col("id").alias("order_id"),
+        (F.col("id") % 7).alias("bucket"),
+        (F.col("id") * 1.5 + 10).alias("amount"),
+        F.date_add(F.lit("2025-01-01").cast("date"), (F.col("id") % 5).cast("int"))
+        .cast("string")
+        .alias("order_date"),
+    )
+
+
+def test_create_append_scan(spark, warehouse):
+    t = LakeTable.create(spark, warehouse, partition_by=["order_date"])
+    df = _orders_df(spark)
+    t.append(df)
+    assert t.scan().count() == 100
+    t.append(df.filter(F.col("order_id") < 10))
+    assert t.scan().count() == 110
+    # partition dirs materialized + partition column readable
+    assert t.scan().select("order_date").distinct().count() == 5
+
+
+def test_time_travel_versions(spark, warehouse):
+    t = LakeTable.create(spark, warehouse)
+    t.append(_orders_df(spark, 50))
+    v1 = t.current_version()
+    ts_after_v1 = int(time.time() * 1000)
+    time.sleep(0.01)
+    t.append(_orders_df(spark, 30))
+    assert t.scan().count() == 80
+    assert t.scan(version=v1).count() == 50
+    assert t.scan(as_of_ms=ts_after_v1).count() == 50  # S5 FOR SYSTEM_TIME AS OF
+
+
+def test_partition_pruned_scan(spark, warehouse):
+    t = LakeTable.create(spark, warehouse, partition_by=["order_date"])
+    t.append(_orders_df(spark))
+    pruned = t.scan(partition_filter=lambda p: p.get("order_date") == "2025-01-01")
+    assert pruned.count() == 20
+    # only 1 of 5 partitions' files are handed to Spark
+    assert len(pruned.inputFiles()) < len(t.scan().inputFiles())
+
+
+def test_delete(spark, warehouse):
+    t = LakeTable.create(spark, warehouse, partition_by=["order_date"])
+    t.append(_orders_df(spark))
+    dml.delete(t, "bucket = 3")
+    assert t.scan().filter("bucket = 3").count() == 0
+    assert t.scan().count() == 100 - 14  # ids 3,10,17,...,94 → 14 of 100
+    # previous snapshot untouched (time travel across DML)
+    assert t.scan(version=t.current_version() - 1).count() == 100
+
+
+def test_update(spark, warehouse):
+    t = LakeTable.create(spark, warehouse)
+    t.append(_orders_df(spark))
+    dml.update(t, {"amount": F.lit(0.0)}, "bucket = 1")
+    got = t.scan().filter("bucket = 1").select(F.sum("amount")).collect()[0][0]
+    assert got == 0.0
+    untouched = t.scan().filter("bucket != 1").filter("amount = 0").count()
+    assert untouched == 0
+
+
+def test_merge_update_and_insert(spark, warehouse):
+    t = LakeTable.create(spark, warehouse)
+    t.append(_orders_df(spark, 20))
+    source = spark.createDataFrame(
+        [(5, 999.0), (19, 888.0), (100, 123.0)], "order_id long, new_amount double"
+    ).select(
+        "order_id",
+        (F.col("order_id") % 7).alias("bucket"),
+        F.col("new_amount").alias("amount"),
+        F.lit("2025-02-01").alias("order_date"),
+    )
+    dml.merge(
+        t,
+        source,
+        on=["order_id"],
+        when_matched_update={"amount": F.col("source.amount")},
+        when_not_matched_insert=True,
+    )
+    out = {r.order_id: r.amount for r in t.scan().collect()}
+    assert out[5] == 999.0 and out[19] == 888.0  # matched → updated
+    assert out[100] == 123.0  # not matched → inserted
+    assert len(out) == 21
+    assert out[6] == 6 * 1.5 + 10  # untouched row preserved
+
+
+def test_changelog(spark, warehouse):
+    t = LakeTable.create(spark, warehouse)
+    t.append(_orders_df(spark, 10))
+    v_base = t.current_version()
+    t.append(_orders_df(spark, 5).withColumn("order_id", F.col("order_id") + 1000))
+    dml.delete(t, "order_id = 2")
+    ch = dml.changelog(t, v_base, t.current_version())
+    by_type = {r["_change_type"]: r["cnt"] for r in
+               ch.groupBy("_change_type").agg(F.count("*").alias("cnt")).collect()}
+    assert by_type["INSERT"] == 5
+    assert by_type["DELETE"] == 1
+
+
+def test_compaction_reduces_files_preserves_rows(spark, warehouse):
+    t = LakeTable.create(spark, warehouse)
+    for i in range(6):  # many small appends → many small files
+        t.append(_orders_df(spark, 10).withColumn("order_id", F.col("order_id") + i * 10))
+    before = len(t.snapshot().files)
+    res = maintenance.compact(t)
+    assert res["status"] == "success"
+    assert len(t.snapshot().files) < before
+    assert t.scan().count() == 60  # B12 semantics: counts unchanged
+
+
+def test_sort_rewrite(spark, warehouse):
+    t = LakeTable.create(spark, warehouse)
+    t.append(_orders_df(spark, 200))
+    res = maintenance.rewrite_sorted(t, ["bucket", "order_id"])
+    assert res["status"] == "success"
+    assert t.scan().count() == 200
+
+
+def test_expire_snapshots_and_orphans(spark, warehouse):
+    t = LakeTable.create(spark, warehouse)
+    t.append(_orders_df(spark, 10))
+    t.overwrite(_orders_df(spark, 5))
+    assert len(t.snapshots()) == 3
+    res = t.expire_snapshots(older_than_ms=int(time.time() * 1000) + 1000, keep_last=1)
+    assert res["expired_snapshots"] == 2
+    assert res["deleted_files"] > 0  # overwritten files physically removed
+    assert t.scan().count() == 5
+    # orphan cleanup on a fresh write dir finds nothing young
+    orphans = t.remove_orphans(older_than_ms=0, dry_run=True)
+    assert orphans == []
+
+
+def test_statistics_and_partition_health(spark, warehouse):
+    t = LakeTable.create(spark, warehouse)
+    for i in range(3):
+        t.append(_orders_df(spark, 10))
+    stats = maintenance.collect_statistics(t, columns=["amount", "bucket"])
+    assert stats["row_count"] == 30
+    assert stats["columns"]["bucket"]["min"] == 0
+    assert stats["columns"]["bucket"]["max"] == 6
+    assert stats["columns"]["amount"]["null_count"] == 0
+    recs = maintenance.analyze_partitions(t)
+    assert any(r["recommendation"] == "compact" for r in recs)
+
+
+def test_full_maintenance_cycle(spark, warehouse):
+    t = LakeTable.create(spark, warehouse)
+    for i in range(4):
+        t.append(_orders_df(spark, 25))
+    report = maintenance.run_full_maintenance(
+        t, name="orders", sort_columns=["bucket"], retention_days=0
+    )
+    actions = [a["action"] for a in report.actions]
+    assert actions == [
+        "statistics",
+        "compaction",
+        "sort_rewrite",
+        "expire_snapshots",
+        "orphan_cleanup",
+        "partition_health",
+    ]
+    assert t.scan().count() == 100
