@@ -1,0 +1,29 @@
+from . import text
+from .text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    lang_scores,
+    predict_lang,
+    quality_score,
+    shingles,
+    stopword_hits,
+    token_count,
+    tokens,
+    unique_token_ratio,
+)
+
+__all__ = [
+    "text",
+    "LANG_MARKERS",
+    "STOPWORDS",
+    "fingerprint",
+    "lang_scores",
+    "predict_lang",
+    "quality_score",
+    "shingles",
+    "stopword_hits",
+    "token_count",
+    "tokens",
+    "unique_token_ratio",
+]

@@ -1,3 +1,4 @@
 from .queries import ORACLE_SQL, QUERIES, register
+from . import text_queries  # noqa: F401  (registers q30-q33)
 
 __all__ = ["QUERIES", "ORACLE_SQL", "register"]
