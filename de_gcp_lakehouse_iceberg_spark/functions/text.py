@@ -126,8 +126,9 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     """
     t = tokens(text)
     k = F.size(t)
-    grams = F.transform(
-        F.sequence(F.lit(0), k - n),
+    # greatest(k-n, 0) keeps sequence() well-formed for short docs, where
+    # the single clamped slice degenerates to the full text.
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
     )
-    return F.when(k >= n, grams).otherwise(F.array(F.concat_ws(" ", t)))

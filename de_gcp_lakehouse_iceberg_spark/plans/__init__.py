@@ -1,4 +1,5 @@
 from .queries import ORACLE_SQL, QUERIES, register
 from . import text_queries  # noqa: F401  (registers q30-q33)
+from . import dedup_queries  # noqa: F401  (registers q34-q37)
 
 __all__ = ["QUERIES", "ORACLE_SQL", "register"]

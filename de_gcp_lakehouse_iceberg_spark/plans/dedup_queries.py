@@ -1,0 +1,170 @@
+"""Deduplication query corpus — exact, n-gram Jaccard, SimHash,
+MinHash+LSH over the `documents` table (SURVEY.md §7.1 step 10).
+
+Oracle strategy mirrors text_queries.py: SQL generated from the same
+constants as the Spark plans. The MinHash+LSH entry has NO SQL oracle
+(xxhash64 is Spark-native; DuckDB cannot reproduce it) — the driver
+records the weaker rows-only check, and tests/test_dedup.py closes the
+gap by asserting the LSH pair set equals the exact-Jaccard pair set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    SIMHASH_BASE,
+    SIMHASH_BITS,
+    SIMHASH_MOD,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ..tables import table
+from .queries import _r, register
+
+
+# --------------------------------------------------------------------------
+# q34 — exact deduplication via hash-groupBy on content (the cheap pass).
+# --------------------------------------------------------------------------
+@register(
+    "q34_exact_dedup",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS doc_count,
+           CAST(count(DISTINCT text) AS BIGINT) AS distinct_texts,
+           CAST(count(*) - count(DISTINCT text) AS BIGINT) AS dups_removed
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q34_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.countDistinct("text").alias("distinct_texts"),
+            (F.count("*") - F.countDistinct("text")).alias("dups_removed"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# q35 — exact n-gram (3-shingle) Jaccard near-dup pairs, J ≥ 0.5.
+# Jaccard is a single division of exact integers → bit-identical doubles.
+# --------------------------------------------------------------------------
+_SHINGLE_SQL = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, greatest(len(t) - 2, 1)),
+               i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')
+             )) AS shingles
+      FROM toks),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY doc_id)
+"""
+
+
+@register(
+    "q35_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS common
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b)
+    SELECT p.doc_a, p.doc_b,
+           floor(CAST(p.common AS DOUBLE) / (sa.n + sb.n - p.common)
+                 * 1000000 + 0.5) / 1000000 AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE CAST(p.common AS DOUBLE) / (sa.n + sb.n - p.common) >= 0.5
+    ORDER BY p.doc_a, p.doc_b
+    """,
+)
+def q35_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    return pairs.select(
+        "doc_a", "doc_b", _r(F.col("jaccard"), 6).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------
+# q36 — SimHash signatures: per-language signature cardinality + number
+# of identical-signature (candidate-dup) pairs Σ c·(c−1)/2.
+# --------------------------------------------------------------------------
+def _simhash_sql() -> str:
+    keys = f"""list_transform(string_split(text, ' '),
+        w -> list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(w, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * {SIMHASH_BASE} + x) % {SIMHASH_MOD}))"""
+    bit_terms = " + ".join(
+        f"""(CASE WHEN list_sum(list_transform(ks,
+               k -> CASE WHEN (k & {1 << i}) <> 0 THEN 1 ELSE -1 END)) > 0
+             THEN {1 << i} ELSE 0 END)"""
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+    keyed AS (SELECT lang, doc_id, {keys} AS ks FROM documents),
+    sigs AS (SELECT lang, doc_id, CAST({bit_terms} AS BIGINT) AS sig FROM keyed)
+    """
+
+
+@register(
+    "q36_simhash",
+    oracle=f"""
+    WITH {_simhash_sql()},
+    groups AS (
+      SELECT lang, sig, CAST(count(*) AS BIGINT) AS c
+      FROM sigs GROUP BY lang, sig)
+    SELECT lang,
+           CAST(sum(c) AS BIGINT) AS doc_count,
+           CAST(count(*) AS BIGINT) AS distinct_sigs,
+           CAST(sum(c * (c - 1) / 2) AS BIGINT) AS colliding_pairs
+    FROM groups
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    groups = (
+        docs.select("lang", simhash("text").alias("sig"))
+        .groupBy("lang", "sig")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        groups.groupBy("lang")
+        .agg(
+            F.sum("c").alias("doc_count"),
+            F.count("*").alias("distinct_sigs"),
+            F.sum(F.col("c") * (F.col("c") - 1) / 2)
+            .cast("long")
+            .alias("colliding_pairs"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# q37 — MinHash+LSH near-dup pairs (scale path). Rows-only driver check;
+# tests/test_dedup.py asserts equality with the exact q35 pair set.
+# --------------------------------------------------------------------------
+@register("q37_minhash_lsh")
+def q37_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=64, bands=32, threshold=0.5)
+    return pairs.select(
+        "doc_a", "doc_b", _r(F.col("jaccard"), 6).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")

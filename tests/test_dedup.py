@@ -1,0 +1,88 @@
+"""Dedup operator semantics: exact dedup winner selection, Jaccard
+correctness, SimHash determinism, and the LSH-vs-exact recall gap that
+the driver's rows-only check can't see."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from de_gcp_lakehouse_iceberg_spark.operators import dedup
+from de_gcp_lakehouse_iceberg_spark.tables import table
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(1, "aa"), (5, "aa"), (3, "aa"), (2, "bb")], "id long, text string"
+    )
+    out = dedup.exact_dedup(df, ["text"], "id")
+    got = {r.text: r.id for r in out.collect()}
+    assert got == {"aa": 1, "bb": 2}
+
+
+def test_jaccard_pairs_exact_values(spark):
+    # doc 1/2 share 2 of their 3-shingle union; doc 3 is disjoint
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),  # shingles: {a b c, b c d}
+            (2, "a b c d e"),  # shingles: {a b c, b c d, c d e}
+            (3, "x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.ngram_jaccard_pairs(df, threshold=0.1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert abs(r.jaccard - 2 / 3) < 1e-12
+
+
+def test_short_doc_shingles(spark):
+    # doc shorter than n tokens → one full-text shingle, Jaccard defined
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "c")], "doc_id long, text string"
+    )
+    rows = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_simhash_deterministic_and_identical_for_same_text(spark):
+    df = spark.createDataFrame(
+        [(1, "spark row hash"), (2, "spark row hash"), (3, "totally different words here")],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.sig for r in
+            df.select("doc_id", dedup.simhash("text").alias("sig")).collect()}
+    assert sigs[1] == sigs[2]
+    assert 0 <= sigs[1] < 2**16
+    # stable across invocations (pure function of text)
+    sigs2 = {r.doc_id: r.sig for r in
+             df.select("doc_id", dedup.simhash("text").alias("sig")).collect()}
+    assert sigs == sigs2
+
+
+def test_lsh_pairs_equal_exact_pairs(spark, sf_dir_medium):
+    docs = table(spark, sf_dir_medium, "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, num_hashes=64, bands=32, threshold=0.5
+        ).collect()
+    }
+    assert exact  # the corpus plants near-dup pairs — guard against vacuity
+    assert lsh == exact
+
+
+def test_max_df_cap_drops_ubiquitous_shingles(spark):
+    # shingle "a b c" appears in 3 docs; cap at 2 removes it everywhere
+    df = spark.createDataFrame(
+        [(1, "a b c x"), (2, "a b c y"), (3, "a b c z")],
+        "doc_id long, text string",
+    )
+    uncapped = dedup.doc_shingles(df)
+    capped = dedup.doc_shingles(df, max_df=2)
+    assert uncapped.filter(F.col("shingle") == "a b c").count() == 3
+    assert capped.filter(F.col("shingle") == "a b c").count() == 0
