@@ -1,3 +1,3 @@
-from . import dedup
+from . import dedup, similarity
 
-__all__ = ["dedup"]
+__all__ = ["dedup", "similarity"]

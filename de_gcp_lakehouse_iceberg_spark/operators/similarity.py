@@ -1,0 +1,260 @@
+"""Similarity search over embedding columns (`array<float>`) —
+brute-force cosine top-k baseline plus a random-hyperplane-LSH bucketed
+variant as the scale path (SURVEY.md §7.1 step 10).
+
+Numeric determinism: cosine is computed with a fixed operation order —
+sequential fold for the dot product and squared norms, then
+``dot / (norm_a · norm_b)`` — which the DuckDB oracle mirrors exactly
+(list_sum folds the same way), giving bit-identical doubles, so rank
+orders agree across engines without tolerance hacks.
+
+Scale posture:
+- **brute force**: score is a narrow per-pair projection; the only
+  shuffle is the per-query top-k. Broadcast the (small) query set; the
+  corpus never moves. At 100 TB corpus you batch the query set and keep
+  AQE on for the rank shuffle. This is the exact baseline an ANN path
+  must be measured against.
+- **LSH ANN**: H deterministic hyperplanes → H sign bits → bucket key.
+  Candidates = corpus rows sharing the query's bucket (multi-probe:
+  also buckets at Hamming distance 1). Scoring cost drops by the bucket
+  fan-out factor; the bucket join is an equi-join (hash-partitioned, no
+  cross product). Recall is tunable via H and probes; verified against
+  brute force in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _fold_sum(arr: Column) -> Column:
+    """Sequential double fold — fixed order, cross-engine reproducible."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot(a: Column, b: Column) -> Column:
+    return _fold_sum(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(_fold_sum(F.transform(a, lambda x: x.cast("double") * x.cast("double"))))
+
+
+def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    return dot(a, b) / (norm_a * norm_b)
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Precompute the L2 norm once per row (narrow projection)."""
+    return df.withColumn("_norm", norm(F.col(vec_col)))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: for each query row, the k most-similar corpus
+    rows (self excluded), rank ties broken by neighbor id.
+
+    Output: (query_id, neighbor_id, cosine, rank).
+    """
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_norm").alias("_qn"),
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("_norm").alias("_cn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def nearest_pairs_blocked(
+    corpus: DataFrame,
+    block_col: str,
+    top_n: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup detection, blocked: score all pairs *within a
+    block* (e.g. a cluster/label/shard key) and keep the global top-N
+    most similar. Blocking turns the quadratic all-pairs into per-block
+    quadratics — the standard way to make embedding near-dup tractable;
+    the block key at 100 TB comes from a coarse clustering or LSH bucket.
+    """
+    n = with_norm(corpus, vec_col)
+    a = n.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_norm").alias("_na"),
+    )
+    b = n.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_norm").alias("_nb"),
+    )
+    pairs = (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("_blk").alias(block_col),
+            "id_a",
+            "id_b",
+            cosine(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")).alias(
+                "cosine"
+            ),
+        )
+    )
+    return (
+        pairs.orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
+        .limit(top_n)
+    )
+
+
+def hyperplanes(dim: int, num_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes (seeded numpy)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim)).tolist()
+
+
+def _bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket key: bit h = 1 iff vec · plane_h > 0."""
+    key = F.lit(0).cast("long")
+    for h, plane in enumerate(planes):
+        proj = _fold_sum(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(v)) for v in plane]),
+                lambda x, p: x.cast("double") * p,
+            )
+        )
+        key = key + F.when(proj > 0, F.lit(2**h)).otherwise(F.lit(0))
+    return key
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via multi-table random-hyperplane LSH.
+
+    ``num_tables`` independent hash tables of ``num_planes`` sign bits
+    each (the classic L-tables construction): a corpus row lands in one
+    bucket per table (L narrow projections, no shuffle); a query probes
+    its bucket in every table — plus, with ``multiprobe``, each bucket
+    at Hamming distance 1. A neighbor is a candidate if it collides in
+    ANY table, so candidate recall is 1−(1−p^H)^L; with H=4, L=8 that's
+    ≈0.67 even for middling cosine ≈0.3 neighbors, ≈1 for close ones.
+    Candidates are deduped BEFORE exact cosine scoring, so each
+    surviving pair is scored exactly once. Same output schema as
+    brute_force_topk; scores are exact — only the candidate set is
+    approximate.
+    """
+    tables = [
+        hyperplanes(dim, num_planes, seed + t) for t in range(num_tables)
+    ]
+    c = with_norm(corpus, vec_col)
+    cb = c.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("_norm").alias("_cn"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        _bucket(F.col(vec_col), planes).alias("b"),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("neighbor_id", "_cv", "_cn", "tb.t", "tb.b")
+    qn = with_norm(queries, vec_col)
+    probe_structs = []
+    for t, planes in enumerate(tables):
+        base = _bucket(F.col(vec_col), planes)
+        probe_structs.append(F.struct(F.lit(t).alias("t"), base.alias("b")))
+        if multiprobe:
+            probe_structs.extend(
+                F.struct(
+                    F.lit(t).alias("t"),
+                    base.bitwiseXOR(F.lit(1 << h)).alias("b"),
+                )
+                for h in range(num_planes)
+            )
+    q = qn.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_norm").alias("_qn"),
+        F.explode(F.array(*probe_structs)).alias("tb"),
+    ).select("query_id", "_qv", "_qn", "tb.t", "tb.b")
+    # candidate ids deduped across tables/probes BEFORE scoring
+    cand = (
+        cb.select("neighbor_id", "t", "b")
+        .join(F.broadcast(q.select("query_id", "t", "b")), ["t", "b"])
+        .select("query_id", "neighbor_id")
+        .distinct()
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    qv = qn.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_norm").alias("_qn"),
+    )
+    cv = c.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("_norm").alias("_cn"),
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

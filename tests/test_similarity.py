@@ -1,0 +1,87 @@
+"""Similarity-search semantics: exact cosine math, top-k determinism,
+and the LSH-vs-brute-force recall the driver's rows-only check can't see."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from de_gcp_lakehouse_iceberg_spark.operators import similarity
+from de_gcp_lakehouse_iceberg_spark.tables import table
+
+
+def _vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),   # identical to 0 → cosine 1
+        (2, [0.0, 1.0, 0.0]),   # orthogonal to 0
+        (3, [1.0, 1.0, 0.0]),   # 45° from 0
+        (4, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_values_exact(spark):
+    df = _vecs(spark)
+    out = similarity.brute_force_topk(df, df.filter("vec_id = 0"), k=4)
+    got = {r.neighbor_id: r.cosine for r in out.collect()}
+    assert got[1] == 1.0
+    assert got[2] == 0.0
+    assert abs(got[3] - 1 / math.sqrt(2)) < 1e-15
+    assert got[4] == -1.0
+
+
+def test_topk_rank_order_and_tiebreak(spark):
+    df = _vecs(spark)
+    out = similarity.brute_force_topk(df, df.filter("vec_id = 0"), k=4).collect()
+    order = [(r.rank, r.neighbor_id) for r in sorted(out, key=lambda r: r.rank)]
+    # cosine desc: 1.0 (id1), 0.707 (id3), 0.0 (id2), -1.0 (id4)
+    assert order == [(1, 1), (2, 3), (3, 2), (4, 4)]
+
+
+def test_self_excluded(spark):
+    df = _vecs(spark)
+    out = similarity.brute_force_topk(df, df, k=10)
+    assert out.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+
+
+def test_nearest_pairs_blocked_finds_identical_pair(spark):
+    df = spark.createDataFrame(
+        [
+            (0, 0, [1.0, 2.0]),
+            (1, 0, [1.0, 2.0]),   # same block, identical
+            (2, 1, [1.0, 2.0]),   # different block — never paired with 0/1
+            (3, 0, [-2.0, 1.0]),
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    rows = similarity.nearest_pairs_blocked(df, "label", top_n=3).collect()
+    assert (rows[0].id_a, rows[0].id_b) == (0, 1)
+    assert abs(rows[0].cosine - 1.0) < 1e-12  # norm(v)² vs dot(v,v) rounding
+    assert all({r.id_a, r.id_b} != {1, 2} for r in rows)
+
+
+def test_lsh_recall_against_brute_force(spark, sf_dir_medium):
+    emb = table(spark, sf_dir_medium, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, queries, k=10)
+    approx = similarity.lsh_ann_topk(emb, queries, k=10)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # deterministic (seeded planes, fixed data): pin a healthy floor
+    assert recall >= 0.5, f"LSH recall@10 degraded to {recall:.2f}"
+
+
+def test_lsh_cosines_are_exact_for_returned_pairs(spark, sf_dir_medium):
+    """LSH approximates the CANDIDATE SET, never the scores: any pair it
+    returns must carry the exact cosine the brute-force path computes."""
+    emb = table(spark, sf_dir_medium, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.brute_force_topk(emb, queries, k=5000).collect()
+    }
+    for r in similarity.lsh_ann_topk(emb, queries, k=10).collect():
+        assert exact[(r.query_id, r.neighbor_id)] == r.cosine
