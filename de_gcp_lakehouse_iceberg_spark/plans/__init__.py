@@ -2,5 +2,6 @@ from .queries import ORACLE_SQL, QUERIES, register
 from . import text_queries  # noqa: F401  (registers q30-q33)
 from . import dedup_queries  # noqa: F401  (registers q34-q37)
 from . import similarity_queries  # noqa: F401  (registers q38-q40)
+from . import dml_queries  # noqa: F401  (registers q19-q21)
 
 __all__ = ["QUERIES", "ORACLE_SQL", "register"]
