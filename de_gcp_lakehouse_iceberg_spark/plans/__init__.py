@@ -3,5 +3,6 @@ from . import text_queries  # noqa: F401  (registers q30-q33)
 from . import dedup_queries  # noqa: F401  (registers q34-q37)
 from . import similarity_queries  # noqa: F401  (registers q38-q40)
 from . import dml_queries  # noqa: F401  (registers q19-q21)
+from . import streaming_queries  # noqa: F401  (registers q25)
 
 __all__ = ["QUERIES", "ORACLE_SQL", "register"]

@@ -778,7 +778,7 @@ def q18_validation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY window_start, event_type
-    HAVING count(*) >= 5
+    HAVING count(*) >= 2
     ORDER BY window_start, event_type
     """,
 )
@@ -790,7 +790,7 @@ def q22_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("event_count"),
             _dsum("value").alias("total_value"),
         )
-        .filter(F.col("event_count") >= 5)
+        .filter(F.col("event_count") >= 2)
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",

@@ -1,0 +1,13 @@
+from .pipeline import (
+    read_events_stream,
+    replay_windowed_aggregate,
+    stream_append_to_laketable,
+    windowed_aggregate,
+)
+
+__all__ = [
+    "read_events_stream",
+    "replay_windowed_aggregate",
+    "stream_append_to_laketable",
+    "windowed_aggregate",
+]

@@ -1,0 +1,147 @@
+"""Structured Streaming pipeline — the Spark re-expression of the
+reference's streaming path (main.py:333-398: ReadFromPubSub →
+WindowInto(FixedWindows(60)) → GroupByKey → windowed_trip_stats).
+
+Semantics upgrades over the reference, per SURVEY.md §7.3:
+- event-time windows with a watermark (the reference has none, T5) —
+  required for state cleanup in append mode and the correct late-data
+  story at scale;
+- exactly-once sink commits via foreachBatch → LakeTable's atomic
+  snapshot append (the reference's WRITE_APPEND is at-least-once, T7).
+
+Parity is defined as SURVEY.md Q22: a bounded replay of the stream must
+equal the batch `groupBy(window(...))` over the same rows — which the
+driver checks against the same DuckDB oracle as the batch query.
+
+Scale posture: the stateful windowed aggregation shuffles on
+(window, key); watermark bounds state size; `availableNow` replays
+backlogs in controlled batches. Pub/Sub becomes any Spark streaming
+source (Kafka/file/rate) — the pipeline is source-agnostic past
+`read_events_stream`.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructType
+
+from ..lakehouse import LakeTable
+
+EVENTS_FILE_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded read of the events table (file source stands in for
+    Pub/Sub — S3 in SURVEY.md §2.1). ts arrives as TIMESTAMP(NANOS)
+    parquet; read as long and convert in integer space (tables.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = StructType(
+        [
+            f if f.name != "ts" else type(f)("ts", LongType(), f.nullable)
+            for f in raw_schema.fields
+        ]
+    )
+    # the file source requires a directory: scan sf_dir, glob-filtered to
+    # the events file only
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_aggregate(
+    events: DataFrame,
+    window: str = "60 seconds",
+    watermark: str = "10 minutes",
+    min_count: int = 2,
+) -> DataFrame:
+    """Fixed tumbling windows keyed by event_type (T1/T2): count + exact
+    decimal value sum per window. Identical expression tree for batch
+    and streaming inputs — the Q22 equivalence is by construction."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    agg = (
+        src.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("event_count"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .filter(F.col("event_count") >= min_count)
+    )
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "event_count",
+        "total_value",
+    )
+
+
+def replay_windowed_aggregate(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "60 seconds",
+    min_count: int = 2,
+) -> DataFrame:
+    """Bounded replay: stream the events table end-to-end with
+    Trigger.AvailableNow into an in-memory sink and return the final
+    windowed aggregate (complete mode — every window, matching the
+    batch result exactly; append mode would hold back windows the
+    watermark hasn't passed at stream end)."""
+    sink = f"windowed_replay_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed_aggregate(
+            read_events_stream(spark, sf_dir), window=window, min_count=min_count
+        )
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("window_start", "event_type")
+
+
+def stream_append_to_laketable(
+    spark: SparkSession,
+    source: DataFrame,
+    table: LakeTable,
+    poll_timeout_s: float = 120.0,
+) -> int:
+    """Continuous append of a bounded stream into a LakeTable via
+    foreachBatch (S11: the streaming Iceberg append). Each micro-batch
+    is one atomic snapshot commit — exactly-once for a bounded replay.
+    Returns the number of micro-batches committed."""
+    batches = {"n": 0}
+
+    def _commit(df: DataFrame, batch_id: int) -> None:
+        if df.isEmpty():
+            return
+        table.append(df, operation=f"stream_batch_{batch_id}")
+        batches["n"] += 1
+
+    q = (
+        source.writeStream.foreachBatch(_commit)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{table.root}/_checkpoints/{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    deadline = time.time() + poll_timeout_s
+    while q.isActive and time.time() < deadline:
+        q.awaitTermination(1.0)
+    q.awaitTermination()
+    return batches["n"]

@@ -1,0 +1,86 @@
+"""Streaming semantics: stream/batch window equivalence (SURVEY.md Q22),
+exactly-once LakeTable appends from foreachBatch, and late-data handling
+under a watermark."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from de_gcp_lakehouse_iceberg_spark.lakehouse import LakeTable
+from de_gcp_lakehouse_iceberg_spark.streaming import (
+    read_events_stream,
+    replay_windowed_aggregate,
+    stream_append_to_laketable,
+    windowed_aggregate,
+)
+from de_gcp_lakehouse_iceberg_spark.tables import table
+
+
+def test_stream_equals_batch_windows(spark, sf_dir):
+    # min_count=1: sf0.001 is too sparse for the default 5-event floor
+    streamed = replay_windowed_aggregate(spark, sf_dir, min_count=1).collect()
+    batch = (
+        windowed_aggregate(table(spark, sf_dir, "events"), min_count=1)
+        .orderBy("window_start", "event_type")
+        .collect()
+    )
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+    assert len(streamed) > 0
+
+
+def test_stream_append_exactly_once(spark, sf_dir, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "events_sink"))
+    src = read_events_stream(spark, sf_dir)
+    n_batches = stream_append_to_laketable(spark, src, t)
+    assert n_batches >= 1
+    expected = table(spark, sf_dir, "events").count()
+    assert t.scan().count() == expected
+    # each micro-batch is one snapshot commit on top of the create
+    assert len(t.snapshots()) == 1 + n_batches
+
+
+def test_windowed_aggregate_watermark_drops_late_rows(spark, tmp_path):
+    """Rows later than the watermark relative to the max seen event time
+    must be excluded from closed windows (append semantics). Replayed
+    through a real stream in TWO micro-batches: the second batch's
+    late row targets a window the watermark has already closed."""
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1, 12, 0, 0)
+    on_time = [(1, base.replace(minute=0, second=30), "a", 1.0)] * 6
+    advance = [(2, base.replace(minute=30), "a", 1.0)] * 6  # pushes watermark
+    late = [(3, base.replace(minute=0, second=40), "a", 1.0)] * 6  # too late
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    d = tmp_path / "late_src"
+    d.mkdir()
+    spark.createDataFrame(on_time + advance, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(d))
+    agg = windowed_aggregate(stream, window="60 seconds", watermark="5 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # second batch arrives after watermark passed 12:25 → late row dropped
+    spark.createDataFrame(late, schema).coalesce(1).write.mode("append").parquet(
+        str(d)
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {
+        (r.window_start, r.event_count)
+        for r in spark.table("late_test").collect()
+    }
+    # the 12:00 window must contain only the 6 on-time rows — the late
+    # batch (which would have made it 12) never lands
+    assert (base.replace(second=0), 6) in rows
+    assert (base.replace(second=0), 12) not in rows
