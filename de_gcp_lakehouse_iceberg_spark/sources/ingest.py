@@ -1,0 +1,201 @@
+"""Batch ingest pipeline — the Spark re-expression of the reference's
+ParseTaxiRecord → tagged valid/invalid → WriteToBigQuery flow
+(main.py:21-330), as pure Column expressions over one scan.
+
+Where the reference runs per-row Python in Beam DoFns, this declares a
+single classification expression: the FIRST failing rule tags the row
+(same precedence as the sequential returns in main.py:52-131):
+
+1. missing_field           — required field null (main.py:52-62, P2)
+2. invalid_timestamp_format— unparseable ISO-8601 (main.py:69-93, P4)
+3. invalid_timestamp_order — pickup ≥ dropoff (main.py:78-86, P5)
+4. validation_failed       — distance/total ≤ 0 (main.py:122-131, P8)
+
+One scan → one narrow projection → two filtered outputs; no shuffle
+until the aggregate. At 100 TB the validation costs a single codegen'd
+pass over the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lakehouse import LakeTable
+from .taxi_schema import TRIP_INPUT
+
+MONEY_COLS = [
+    "fare_amount",
+    "extra",
+    "mta_tax",
+    "tip_amount",
+    "tolls_amount",
+    "total_amount",
+]
+COORD_COLS = [
+    "pickup_longitude",
+    "pickup_latitude",
+    "dropoff_longitude",
+    "dropoff_latitude",
+]
+REQUIRED = ["pickup_datetime", "dropoff_datetime", "trip_distance", "total_amount"]
+
+
+def read_jsonl(spark: SparkSession, path_glob: str) -> DataFrame:
+    """S1: newline-delimited JSON scan with a pinned schema — no
+    inference in production paths (SURVEY.md §1.4)."""
+    return spark.read.schema(TRIP_INPUT).json(path_glob)
+
+
+def _parse_ts(col: str):
+    """ISO-8601 with optional 'Z' → TimestampType (main.py:71-76's
+    fromisoformat + Z→+00:00 normalization). try_to_timestamp returns
+    NULL on garbage instead of failing the job."""
+    normalized = F.regexp_replace(F.col(col), "Z$", "+00:00")
+    return F.coalesce(
+        F.try_to_timestamp(normalized, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        F.try_to_timestamp(normalized, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
+        F.try_to_timestamp(F.col(col)),
+    )
+
+
+def classify_trips(raw: DataFrame, mode: str = "batch") -> DataFrame:
+    """Add `_error_type` (null ⇒ valid) + typed/normalized columns."""
+    df = raw.withColumn("_pickup_ts", _parse_ts("pickup_datetime")).withColumn(
+        "_dropoff_ts", _parse_ts("dropoff_datetime")
+    )
+    missing = F.lit(False)
+    for c in REQUIRED:
+        missing = missing | F.col(c).isNull()
+    bad_format = (
+        F.col("pickup_datetime").isNotNull() & F.col("_pickup_ts").isNull()
+    ) | (F.col("dropoff_datetime").isNotNull() & F.col("_dropoff_ts").isNull())
+    bad_order = F.col("_pickup_ts") >= F.col("_dropoff_ts")
+    bad_values = (F.col("trip_distance").cast("double") <= 0) | (
+        F.col("total_amount").cast("double") <= 0
+    )
+    error_type = (
+        F.when(missing, "missing_field")
+        .when(bad_format, "invalid_timestamp_format")
+        .when(bad_order, "invalid_timestamp_order")
+        .when(bad_values, "validation_failed")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return df.withColumn("_error_type", error_type).withColumn(
+        "_mode", F.lit(mode)
+    )
+
+
+def valid_trips(classified: DataFrame) -> DataFrame:
+    """The valid branch, normalized to the taxi_trips shape: money 2dp,
+    coords 9dp as DECIMAL(38,9) (main.py:97-113), synthesized trip_id
+    (main.py:64-67), event_timestamp dropped (main.py:115-117),
+    created_at stamped (main.py:119-120)."""
+    df = classified.filter(F.col("_error_type").isNull())
+    prefix = F.concat(F.col("_mode"), F.lit("_"))
+    df = df.withColumn(
+        "trip_id",
+        F.coalesce(F.col("trip_id"), F.concat(prefix, F.uuid())),
+    )
+    for c in MONEY_COLS:
+        df = df.withColumn(c, F.round(F.col(c).cast("double"), 2).cast("decimal(38,9)"))
+    for c in COORD_COLS:
+        df = df.withColumn(c, F.round(F.col(c).cast("double"), 9).cast("decimal(38,9)"))
+    df = df.withColumn("trip_distance", F.round(F.col("trip_distance").cast("double"), 2).cast("decimal(38,9)"))
+    return df.select(
+        "trip_id",
+        "vendor_id",
+        F.col("_pickup_ts").alias("pickup_datetime"),
+        F.col("_dropoff_ts").alias("dropoff_datetime"),
+        "passenger_count",
+        "trip_distance",
+        *COORD_COLS,
+        "payment_type",
+        *MONEY_COLS,
+        "pickup_location_id",
+        "dropoff_location_id",
+        F.current_timestamp().alias("created_at"),
+    )
+
+
+def invalid_trips(classified: DataFrame) -> DataFrame:
+    """The dead-letter branch with the reference's error envelope
+    (streaming_taxi_processor.py:200-208 / S12)."""
+    return classified.filter(F.col("_error_type").isNotNull()).select(
+        F.concat(F.lit("rejected: "), F.col("_error_type")).alias("error"),
+        F.to_json(
+            F.struct(*[c for c in classified.columns if not c.startswith("_")])
+        ).alias("record"),
+        F.col("_error_type").alias("error_type"),
+        F.concat(F.col("_mode"), F.lit("_taxi_processor")).alias(
+            "pipeline_name"
+        ),
+        F.current_timestamp().alias("created_at"),
+    )
+
+
+def hourly_stats(valid: DataFrame) -> DataFrame:
+    """A2/Q11: per (pickup hour, location) — trip_count, 2dp averages of
+    fare/distance/duration, 2dp revenue sum (main.py:149-265, replacing
+    Beam's GroupByKey+reduce with one hash aggregate)."""
+    duration_min = (
+        F.unix_timestamp("dropoff_datetime") - F.unix_timestamp("pickup_datetime")
+    ) / 60.0
+    return (
+        valid.withColumn("_duration_min", duration_min)
+        .groupBy(
+            F.date_trunc("hour", "pickup_datetime").alias("stat_hour"),
+            "pickup_location_id",
+        )
+        .agg(
+            F.count("*").alias("trip_count"),
+            F.round(F.avg(F.col("fare_amount").cast("double")), 2)
+            .cast("decimal(38,9)")
+            .alias("avg_fare_amount"),
+            F.round(F.avg(F.col("trip_distance").cast("double")), 2)
+            .cast("decimal(38,9)")
+            .alias("avg_trip_distance"),
+            F.round(F.avg("_duration_min"), 2)
+            .cast("decimal(38,9)")
+            .alias("avg_trip_duration_minutes"),
+            F.round(F.sum(F.col("total_amount").cast("double")), 2)
+            .cast("decimal(38,9)")
+            .alias("total_revenue"),
+        )
+        .withColumn("created_at", F.current_timestamp())
+    )
+
+
+def run_batch_pipeline(
+    spark: SparkSession, input_glob: str, warehouse: str, mode: str = "batch"
+) -> dict:
+    """End-to-end batch ingest (run_batch_processor, main.py:268-330):
+    read → classify → fan out to taxi_trips + hourly_trip_stats +
+    processing_errors, each an atomic lakehouse commit."""
+    import os
+
+    classified = classify_trips(read_jsonl(spark, input_glob), mode=mode).cache()
+    valid = valid_trips(classified)
+    invalid = invalid_trips(classified)
+
+    trips_t = LakeTable.create(
+        spark, os.path.join(warehouse, "taxi_trips"), partition_by=["pickup_date"]
+    )
+    trips_with_date = valid.withColumn(
+        "pickup_date", F.to_date("pickup_datetime").cast("string")
+    )
+    trips_t.append(trips_with_date)
+
+    stats_t = LakeTable.create(spark, os.path.join(warehouse, "hourly_trip_stats"))
+    stats_t.append(hourly_stats(valid))
+
+    errors_t = LakeTable.create(spark, os.path.join(warehouse, "processing_errors"))
+    errors_t.append(invalid)
+
+    counts = {
+        "valid": trips_t.scan().count(),
+        "invalid": errors_t.scan().count(),
+        "stats_rows": stats_t.scan().count(),
+    }
+    classified.unpersist()
+    return counts
