@@ -1,3 +1,3 @@
-from . import dedup, similarity
+from . import dedup, multimodal, similarity
 
-__all__ = ["dedup", "similarity"]
+__all__ = ["dedup", "multimodal", "similarity"]

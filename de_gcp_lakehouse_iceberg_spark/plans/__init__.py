@@ -4,5 +4,6 @@ from . import dedup_queries  # noqa: F401  (registers q34-q37)
 from . import similarity_queries  # noqa: F401  (registers q38-q40)
 from . import dml_queries  # noqa: F401  (registers q19-q21)
 from . import streaming_queries  # noqa: F401  (registers q25)
+from . import multimodal_queries  # noqa: F401  (registers q41-q42)
 
 __all__ = ["QUERIES", "ORACLE_SQL", "register"]
