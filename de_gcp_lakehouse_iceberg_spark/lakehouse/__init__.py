@@ -1,3 +1,12 @@
+from . import dml, evolution, maintenance
 from .table import LakeTable, Snapshot
+from .views import Warehouse
 
-__all__ = ["LakeTable", "Snapshot"]
+__all__ = [
+    "LakeTable",
+    "Snapshot",
+    "Warehouse",
+    "dml",
+    "evolution",
+    "maintenance",
+]

@@ -1,0 +1,140 @@
+"""Schema evolution for LakeTable — the additive ALTER TABLE surface of
+the reference (PRD.md:1044-1079 D6: ADD COLUMN with defaults; audit log
+per sql/create_iceberg_tables.sql:108-123; old-rows-NULL semantics per
+PRD.md:3421-3473).
+
+Mechanism: a schema change is a metadata-only snapshot commit — the new
+schema_json references the SAME data files. Reads pin the snapshot's
+schema, so files written before the change surface the new column as
+NULL (or the recorded default via `apply_defaults`), exactly the
+Iceberg behavior. No data rewrite at any scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from .table import LakeTable, Snapshot
+
+EVOLUTION_LOG = "_evolution_log.jsonl"
+DEFAULTS_FILE = "_column_defaults.json"
+
+
+def _log(table: LakeTable, entry: dict[str, Any]) -> None:
+    with open(os.path.join(table.root, EVOLUTION_LOG), "a") as f:
+        f.write(json.dumps({**entry, "applied_at_ms": int(time.time() * 1000)}) + "\n")
+
+
+def _defaults(table: LakeTable) -> dict[str, Any]:
+    try:
+        with open(os.path.join(table.root, DEFAULTS_FILE)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def add_column(
+    table: LakeTable, name: str, dtype: str, default: Any = None
+) -> Snapshot:
+    """D6: ALTER TABLE ADD COLUMN [DEFAULT]. Metadata-only commit; rows
+    in pre-existing files read NULL (or `default` via apply_defaults)."""
+    snap = table.snapshot()
+    if not snap.schema_json:
+        raise ValueError("table has no recorded schema to evolve")
+    schema = StructType.fromJson(json.loads(snap.schema_json))
+    if name in schema.fieldNames():
+        raise ValueError(f"column {name!r} already exists")
+    new_schema = schema.add(name, dtype, True)
+    out = table._commit_snapshot(
+        operation="add_column",
+        files=snap.files,
+        schema_json=new_schema.json(),
+        base=snap.version,
+        summary={"column": name, "type": dtype},
+    )
+    if default is not None:
+        d = _defaults(table)
+        d[name] = default
+        with open(os.path.join(table.root, DEFAULTS_FILE), "w") as f:
+            json.dump(d, f)
+    _log(
+        table,
+        {
+            "change_type": "ADD_COLUMN",
+            "column_name": name,
+            "old_type": None,
+            "new_type": dtype,
+            "default": default,
+        },
+    )
+    return out
+
+
+def drop_column(table: LakeTable, name: str) -> Snapshot:
+    """Projection-style drop: the column disappears from the pinned read
+    schema; data files are untouched (SELECT * EXCEPT semantics, P11)."""
+    snap = table.snapshot()
+    schema = StructType.fromJson(json.loads(snap.schema_json))
+    if name not in schema.fieldNames():
+        raise ValueError(f"no column {name!r}")
+    new_schema = StructType([f for f in schema.fields if f.name != name])
+    out = table._commit_snapshot(
+        operation="drop_column",
+        files=snap.files,
+        schema_json=new_schema.json(),
+        base=snap.version,
+        summary={"column": name},
+    )
+    _log(
+        table,
+        {
+            "change_type": "DROP_COLUMN",
+            "column_name": name,
+            "old_type": next(
+                (f.dataType.simpleString() for f in schema.fields if f.name == name),
+                None,
+            ),
+            "new_type": None,
+        },
+    )
+    return out
+
+
+def apply_defaults(table: LakeTable, df: DataFrame) -> DataFrame:
+    """Fill recorded column defaults over NULLs from pre-evolution files
+    (the read-side half of ADD COLUMN DEFAULT)."""
+    for name, default in _defaults(table).items():
+        if name in df.columns:
+            df = df.withColumn(name, F.coalesce(F.col(name), F.lit(default)))
+    return df
+
+
+def evolution_log_df(table: LakeTable):
+    """The schema_evolution_log audit table
+    (sql/create_iceberg_tables.sql:108-123)."""
+    path = os.path.join(table.root, EVOLUTION_LOG)
+    rows = []
+    if os.path.exists(path):
+        with open(path) as f:
+            rows = [json.loads(line) for line in f if line.strip()]
+    return table.spark.createDataFrame(
+        [
+            (
+                r["change_type"],
+                r["column_name"],
+                r.get("old_type"),
+                r.get("new_type"),
+                r["applied_at_ms"],
+            )
+            for r in rows
+        ],
+        "change_type string, column_name string, old_type string, "
+        "new_type string, applied_at_ms long",
+    )

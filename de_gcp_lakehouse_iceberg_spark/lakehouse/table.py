@@ -263,16 +263,50 @@ class LakeTable:
                 )
         return sorted(entries, key=lambda e: e.path)
 
+    def _align_to_schema(self, df: DataFrame, schema_json: str) -> DataFrame:
+        """Write-side schema enforcement: appended rows are cast to the
+        table schema (missing nullable columns become NULL; unknown
+        columns are an error). Prevents type drift across files — the
+        read path pins ONE schema for every file in a snapshot."""
+        import json as _json
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(_json.loads(schema_json))
+        known = set(schema.fieldNames())
+        extra = [c for c in df.columns if c not in known]
+        if extra:
+            raise ValueError(
+                f"columns {extra} not in table schema — evolve the schema "
+                "first (lakehouse.evolution.add_column)"
+            )
+        cols = []
+        for f in schema.fields:
+            if f.name in df.columns:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            elif f.nullable:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            else:
+                raise ValueError(f"required column {f.name!r} missing")
+        return df.select(*cols)
+
     def append(self, df: DataFrame, operation: str = "append") -> Snapshot:
         """ACID append (S10/S11: WriteToBigQuery WRITE_APPEND →
-        snapshot-isolated file append)."""
+        snapshot-isolated file append). The first append defines the
+        table schema; later appends are aligned/cast to it."""
         base = self.current_version()
         prev = self.snapshot(base)
+        if prev.schema_json:
+            df = self._align_to_schema(df, prev.schema_json)
+            schema_json = prev.schema_json
+        else:
+            schema_json = df.schema.json()
         new_files = self._write_files(df)
         return self._commit_snapshot(
             operation=operation,
             files=prev.files + new_files,
-            schema_json=df.schema.json(),
+            schema_json=schema_json,
             base=base,
             summary={"added_files": len(new_files),
                      "added_rows": sum(f.rows for f in new_files)},
@@ -303,11 +337,14 @@ class LakeTable:
         prev = self.snapshot(base)
         removed = set(remove)
         kept = [f for f in prev.files if f.path not in removed]
+        if add_df is not None and prev.schema_json:
+            add_df = self._align_to_schema(add_df, prev.schema_json)
         new_files = self._write_files(add_df) if add_df is not None else []
         return self._commit_snapshot(
             operation=operation,
             files=kept + new_files,
-            schema_json=add_df.schema.json() if add_df is not None else prev.schema_json,
+            schema_json=prev.schema_json
+            or (add_df.schema.json() if add_df is not None else ""),
             base=base,
             summary=dict(
                 summary or {},
@@ -448,6 +485,12 @@ class LakeTable:
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, self.root)
                 if rel in referenced:
+                    continue
+                if not fn.endswith(".parquet"):
+                    # writer sidecars (.crc checksums, _SUCCESS markers):
+                    # never data, silently removed on real runs
+                    if not dry_run and os.path.getmtime(full) * 1000 <= older_than_ms:
+                        os.remove(full)
                     continue
                 if os.path.getmtime(full) * 1000 <= older_than_ms:
                     orphans.append(rel)

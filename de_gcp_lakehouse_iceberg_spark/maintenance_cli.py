@@ -1,0 +1,157 @@
+"""Maintenance CLI — the Spark engine's counterpart of the reference's
+maintenance entry point (src/maintenance/iceberg_maintenance.py:411-449:
+argparse → action dispatch → JSON report; schedules at :390-408).
+
+    python -m de_gcp_lakehouse_iceberg_spark.maintenance_cli \
+        --warehouse /path/to/wh --action full --table taxi_trips
+
+Actions (M1-M10 in SURVEY.md §2.11):
+  compact    — bin-pack small files (M1)
+  expire     — expire old snapshots (M2)
+  optimize   — sort-order rewrite (M3)
+  cleanup    — orphan file removal, honors --dry-run (M4)
+  stats      — table + column statistics (M5/M7)
+  health     — partition health recommendations (M6)
+  mv-refresh — refresh stale materialized views (D8)
+  full       — stats → compact → sort → expire → orphans → health (M9)
+  schedule   — long-running loop: hourly compact, daily 02:00 full,
+               weekly Sun 01:00 optimize (M10), MV staleness sweep
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _spark():
+    from .session import get_spark
+
+    return get_spark("maintenance")
+
+
+def _table(spark, warehouse: str, name: str):
+    from .lakehouse import LakeTable
+
+    import os
+
+    return LakeTable.load(spark, os.path.join(warehouse, name))
+
+
+def run_action(args: argparse.Namespace) -> dict:
+    from .lakehouse import Warehouse, maintenance
+
+    spark = _spark()
+    if args.action == "mv-refresh":
+        wh = Warehouse(spark, args.warehouse)
+        stale = wh.stale_materialized_views()
+        for name in stale:
+            wh.refresh_materialized_view(name)
+        return {"action": "mv-refresh", "refreshed": stale}
+
+    t = _table(spark, args.warehouse, args.table)
+    if args.action == "compact":
+        return maintenance.compact(t, target_file_size=args.target_file_size_mb * 1024 * 1024)
+    if args.action == "expire":
+        return maintenance.expire_snapshots(t, retention_days=args.retention_days)
+    if args.action == "optimize":
+        sort_cols = args.sort_columns.split(",") if args.sort_columns else []
+        if not sort_cols:
+            return {"status": "skipped", "reason": "no --sort-columns given"}
+        return maintenance.rewrite_sorted(t, sort_cols)
+    if args.action == "cleanup":
+        return maintenance.cleanup_orphans(
+            t, older_than_days=args.orphan_age_days, dry_run=args.dry_run
+        )
+    if args.action == "stats":
+        return maintenance.collect_statistics(t)
+    if args.action == "health":
+        return {"recommendations": maintenance.analyze_partitions(t)}
+    if args.action == "full":
+        report = maintenance.run_full_maintenance(
+            t,
+            name=args.table,
+            sort_columns=args.sort_columns.split(",") if args.sort_columns else None,
+            retention_days=args.retention_days,
+            orphan_age_days=args.orphan_age_days,
+        )
+        return json.loads(report.to_json())
+    raise ValueError(f"unknown action {args.action!r}")
+
+
+def run_schedule(args: argparse.Namespace, iterations: int | None = None) -> None:
+    """M10 cadence (iceberg_maintenance.py:390-408): hourly compaction,
+    daily 02:00 full run, weekly Sunday 01:00 optimize; MV staleness
+    checked every tick. `iterations` bounds the loop for tests."""
+    import datetime as dt
+
+    last_hourly = 0.0
+    n = 0
+    while iterations is None or n < iterations:
+        now = time.time()
+        local = dt.datetime.fromtimestamp(now)
+        if now - last_hourly >= 3600:
+            _print_result(run_action(_clone(args, action="compact")))
+            last_hourly = now
+        if local.hour == 2 and local.minute < 1:
+            _print_result(run_action(_clone(args, action="full")))
+        if local.weekday() == 6 and local.hour == 1 and local.minute < 1:
+            _print_result(run_action(_clone(args, action="optimize")))
+        _print_result(run_action(_clone(args, action="mv-refresh")))
+        n += 1
+        if iterations is None or n < iterations:
+            time.sleep(args.schedule_interval_s)
+
+
+def _clone(args: argparse.Namespace, **over) -> argparse.Namespace:
+    d = dict(vars(args))
+    d.update(over)
+    return argparse.Namespace(**d)
+
+
+def _print_result(result: dict) -> None:
+    print(json.dumps(result, indent=2, default=str))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Lakehouse table maintenance")
+    p.add_argument("--warehouse", required=True, help="warehouse root directory")
+    p.add_argument(
+        "--action",
+        choices=[
+            "compact",
+            "expire",
+            "optimize",
+            "cleanup",
+            "stats",
+            "health",
+            "mv-refresh",
+            "full",
+            "schedule",
+        ],
+        default="full",
+    )
+    p.add_argument("--table", default="taxi_trips")
+    p.add_argument("--retention-days", type=float, default=7.0)
+    p.add_argument("--orphan-age-days", type=float, default=3.0)
+    p.add_argument("--target-file-size-mb", type=int, default=128)
+    p.add_argument("--sort-columns", default="")
+    p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--schedule-interval-s", type=float, default=60.0)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.action == "schedule":
+        print("Starting maintenance scheduler...", file=sys.stderr)
+        run_schedule(args)
+    else:
+        _print_result(run_action(args))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

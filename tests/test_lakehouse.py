@@ -41,6 +41,29 @@ def test_create_append_scan(spark, warehouse):
     assert t.scan().select("order_date").distinct().count() == 5
 
 
+def test_append_schema_alignment(spark, warehouse):
+    """Appends cast to the table schema (no type drift across files);
+    unknown columns are rejected until the schema is evolved."""
+    import pytest as _pytest
+    from pyspark.sql.functions import lit
+
+    t = LakeTable.create(spark, warehouse)
+    t.append(_orders_df(spark, 10))
+    # int-typed bucket and missing column are aligned, not drifted
+    t.append(
+        spark.range(5).select(
+            (F.col("id") + 100).alias("order_id"),
+            F.lit(1).cast("int").alias("bucket"),
+            (F.col("id") * 1.0).alias("amount"),
+        )
+    )
+    assert dict(t.scan().dtypes)["bucket"] == "bigint"
+    assert t.scan().filter("order_date IS NULL").count() == 5
+    assert t.scan().count() == 15
+    with _pytest.raises(ValueError, match="not in table schema"):
+        t.append(_orders_df(spark, 3).withColumn("surprise", lit(1)))
+
+
 def test_time_travel_versions(spark, warehouse):
     t = LakeTable.create(spark, warehouse)
     t.append(_orders_df(spark, 50))
