@@ -1,4 +1,4 @@
-from . import text
+from . import bigquery_shim, text
 from .text import (
     LANG_MARKERS,
     STOPWORDS,
@@ -14,6 +14,7 @@ from .text import (
 )
 
 __all__ = [
+    "bigquery_shim",
     "text",
     "LANG_MARKERS",
     "STOPWORDS",

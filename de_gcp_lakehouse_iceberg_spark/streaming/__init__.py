@@ -1,3 +1,4 @@
+from . import taxi
 from .pipeline import (
     read_events_stream,
     replay_windowed_aggregate,
@@ -6,6 +7,7 @@ from .pipeline import (
 )
 
 __all__ = [
+    "taxi",
     "read_events_stream",
     "replay_windowed_aggregate",
     "stream_append_to_laketable",
