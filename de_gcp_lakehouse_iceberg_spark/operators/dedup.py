@@ -133,18 +133,28 @@ def simhash(text_col: Column | str, bits: int = SIMHASH_BITS) -> Column:
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     keys = F.transform(F.split(c, " "), _char_poly_key)
-
-    def _bit_vote(mask: int):
-        def merge(acc: Column, k: Column) -> Column:
-            return acc + F.when(k.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
-
-        return merge
-
-    sig = F.lit(0).cast("long")
-    for i in range(bits):
-        bit_sum = F.aggregate(keys, F.lit(0).cast("long"), _bit_vote(1 << i))
-        sig = sig + F.when(bit_sum > 0, F.lit(2**i)).otherwise(F.lit(0))
-    return sig
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    # ONE pass over the tokens: the accumulator is the per-bit vote
+    # vector, updated with a vectorized zip against the mask array
+    # (16 separate folds would rescan the token array 16×).
+    votes = F.aggregate(
+        keys,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, k: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(k.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    # combine: bit i set iff votes[i] > 0
+    return F.aggregate(
+        F.zip_with(
+            votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash_pairs(

@@ -24,6 +24,8 @@ Scale posture:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -145,7 +147,11 @@ def hyperplanes(dim: int, num_planes: int, seed: int = 7) -> list[list[float]]:
 
 
 def _bucket(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket key: bit h = 1 iff vec · plane_h > 0."""
+    """Sign-bit bucket key: bit h = 1 iff vec · plane_h > 0.
+
+    Column-expression form (used in tests/small paths). Spark evaluates
+    higher-order lambdas interpreted, so the hot path uses
+    `_all_buckets_udf` (one numpy matmul per Arrow batch) instead."""
     key = F.lit(0).cast("long")
     for h, plane in enumerate(planes):
         proj = _fold_sum(
@@ -157,6 +163,30 @@ def _bucket(vec_col: Column, planes: list[list[float]]) -> Column:
         )
         key = key + F.when(proj > 0, F.lit(2**h)).otherwise(F.lit(0))
     return key
+
+
+def _all_buckets_udf(tables: list[list[list[float]]]):
+    """Pandas UDF: embedding → array of per-table bucket keys, computed
+    as ONE (batch × dim) @ (dim × H·L) matmul + sign-bit packing. Arrow
+    batches keep this vectorized end-to-end — the 100 TB-friendly form
+    of the 32-projection fold."""
+    from pyspark.sql.functions import pandas_udf
+
+    num_tables = len(tables)
+    num_planes = len(tables[0])
+    # (dim, L*H) plane matrix, fixed at plan time
+    mat = np.concatenate([np.asarray(t).T for t in tables], axis=1)
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        v = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        proj = v @ mat  # (n, L*H)
+        bits = (proj > 0).reshape(len(v), num_tables, num_planes)
+        keys = (bits * weights).sum(axis=2)  # (n, L)
+        return pd.Series(list(keys))
+
+    return buckets
 
 
 def lsh_ann_topk(
@@ -189,49 +219,42 @@ def lsh_ann_topk(
         hyperplanes(dim, num_planes, seed + t) for t in range(num_tables)
     ]
     c = with_norm(corpus, vec_col)
-    cb = c.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        F.col("_norm").alias("_cn"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        _bucket(F.col(vec_col), planes).alias("b"),
-                    )
-                    for t, planes in enumerate(tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("neighbor_id", "_cv", "_cn", "tb.t", "tb.b")
-    qn = with_norm(queries, vec_col)
-    probe_structs = []
-    for t, planes in enumerate(tables):
-        base = _bucket(F.col(vec_col), planes)
-        probe_structs.append(F.struct(F.lit(t).alias("t"), base.alias("b")))
-        if multiprobe:
-            probe_structs.extend(
-                F.struct(
-                    F.lit(t).alias("t"),
-                    base.bitwiseXOR(F.lit(1 << h)).alias("b"),
-                )
-                for h in range(num_planes)
-            )
-    q = qn.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        F.col("_norm").alias("_qn"),
-        F.explode(F.array(*probe_structs)).alias("tb"),
-    ).select("query_id", "_qv", "_qn", "tb.t", "tb.b")
+    buckets_udf = _all_buckets_udf(tables)
+    # (neighbor_id, table, bucket) ONLY through the explode + bucket
+    # join: the 64-dim payload must not be duplicated x num_tables;
+    # vectors are joined back after candidate dedup. Bucket keys come
+    # from one vectorized matmul per Arrow batch.
+    cb = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.posexplode(buckets_udf(F.col(vec_col))).alias("t", "b"),
+        )
+    )
+    # query probes: own bucket per table (+ all Hamming-1 buckets with
+    # multiprobe), built from the same bucket array
+    probe = F.array(
+        F.col("_b"),
+        *(
+            [F.col("_b").bitwiseXOR(F.lit(1 << h)) for h in range(num_planes)]
+            if multiprobe
+            else []
+        ),
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.posexplode(buckets_udf(F.col(vec_col))).alias("t", "_b"),
+        )
+        .select("query_id", "t", F.explode(probe).alias("b"))
+    )
     # candidate ids deduped across tables/probes BEFORE scoring
     cand = (
-        cb.select("neighbor_id", "t", "b")
-        .join(F.broadcast(q.select("query_id", "t", "b")), ["t", "b"])
+        cb.join(F.broadcast(q), ["t", "b"])
         .select("query_id", "neighbor_id")
         .distinct()
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
+    qn = with_norm(queries, vec_col)
     qv = qn.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
