@@ -47,6 +47,80 @@ def read_jsonl(spark: SparkSession, path_glob: str) -> DataFrame:
     return spark.read.schema(TRIP_INPUT).json(path_glob)
 
 
+# NYC-taxi CSV positional layout (S2, PRD.md:338-358): 18 columns, the
+# trip coordinates split around two unused columns (7, 8).
+_CSV_POSITIONS = [
+    ("vendor_id", 0, "long"),
+    ("pickup_datetime", 1, None),
+    ("dropoff_datetime", 2, None),
+    ("passenger_count", 3, "long"),
+    ("trip_distance", 4, None),
+    ("pickup_longitude", 5, None),
+    ("pickup_latitude", 6, None),
+    ("dropoff_longitude", 9, None),
+    ("dropoff_latitude", 10, None),
+    ("payment_type", 11, None),
+    ("fare_amount", 12, None),
+    ("extra", 13, None),
+    ("mta_tax", 14, None),
+    ("tip_amount", 15, None),
+    ("tolls_amount", 16, None),
+    ("total_amount", 17, None),
+]
+
+
+def read_nyc_csv(spark: SparkSession, path_glob: str) -> DataFrame:
+    """S2: positional NYC CSV scan (PRD.md:330-368) → the TRIP_INPUT
+    shape, so the same classify/valid/invalid pipeline applies.
+    Timestamps arrive as 'YYYY-MM-DD HH:MM:SS' (no zone) and are
+    normalized to the ISO form the JSONL path uses; trip_id is the
+    reference's deterministic composite (PRD.md:356)."""
+    raw = spark.read.option("header", "false").csv(path_glob)
+    cols = [
+        F.col(f"_c{pos}").cast(dtype or "string").alias(name)
+        for name, pos, dtype in _CSV_POSITIONS
+    ]
+    df = raw.select(*cols)
+    iso = lambda c: F.regexp_replace(c, " ", "T")  # noqa: E731
+    return df.select(
+        F.concat_ws(
+            "_",
+            F.lit("batch"),
+            F.col("vendor_id").cast("string"),
+            F.col("pickup_datetime"),
+            F.col("pickup_longitude"),
+            F.col("pickup_latitude"),
+        ).alias("trip_id"),
+        "vendor_id",
+        iso(F.col("pickup_datetime")).alias("pickup_datetime"),
+        iso(F.col("dropoff_datetime")).alias("dropoff_datetime"),
+        F.coalesce(F.col("passenger_count"), F.lit(1)).alias("passenger_count"),
+        "trip_distance",
+        "pickup_longitude",
+        "pickup_latitude",
+        "dropoff_longitude",
+        "dropoff_latitude",
+        F.coalesce(F.col("payment_type"), F.lit("Unknown")).alias("payment_type"),
+        "fare_amount",
+        "extra",
+        "mta_tax",
+        "tip_amount",
+        "tolls_amount",
+        "total_amount",
+        F.lit(None).cast("long").alias("pickup_location_id"),
+        F.lit(None).cast("long").alias("dropoff_location_id"),
+        F.lit(None).cast("string").alias("event_timestamp"),
+    )
+
+
+def export_parquet(df: DataFrame, uri: str, partition_by: list[str] | None = None) -> None:
+    """S14: EXPORT DATA ... format='PARQUET' (PRD.md:1379-1393)."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(uri)
+
+
 def _parse_ts(col: str):
     """ISO-8601 with optional 'Z' → TimestampType (main.py:71-76's
     fromisoformat + Z→+00:00 normalization). try_to_timestamp returns
