@@ -1,4 +1,4 @@
-from . import dml, evolution, maintenance
+from . import dml, evolution, maintenance, metrics
 from .table import LakeTable, Snapshot
 from .views import Warehouse
 
@@ -9,4 +9,5 @@ __all__ = [
     "dml",
     "evolution",
     "maintenance",
+    "metrics",
 ]

@@ -84,7 +84,15 @@ def ngram_jaccard_pairs(
     the cost of the shingle self-join fan-out (see module docstring).
     """
     ex = doc_shingles(docs, id_col, text_col, n, max_df)
-    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    if max_df is None:
+        # set size straight from the array — no second aggregation over
+        # the exploded rows
+        sizes = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(F.array_distinct(shingles(text_col, n))).alias("n_shingles"),
+        )
+    else:
+        sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = ex.alias("a")
     b = ex.alias("b")
     common = (

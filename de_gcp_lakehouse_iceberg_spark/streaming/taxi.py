@@ -29,6 +29,59 @@ from ..sources.ingest import classify_trips, hourly_stats, invalid_trips, valid_
 from ..sources.taxi_schema import TRIP_INPUT
 
 
+def rate_trip_stream(spark: SparkSession, rows_per_second: int = 50) -> DataFrame:
+    """T8/B9: rate-controlled synthetic trip stream — Spark's `rate`
+    source paced at `rows_per_second` (the reference's simulator pushes
+    10-20 trips/min to Pub/Sub; B4's throughput envelope is 50 msg/s).
+    Trip fields derive deterministically from the row counter via
+    xxhash64, so a bounded capture is reproducible. Emits the TRIP_INPUT
+    shape, ready for classify_trips."""
+
+    def h(col, seed, mod):
+        return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(mod))
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+    v = F.col("value")
+    duration_min = (h(v, 1, 116) + 5).cast("long")  # 5-120 min
+    distance = (h(v, 2, 2450) + 50) / 100.0  # 0.5-25.0 mi
+    fare = F.round(2.50 + distance * 2.50 + duration_min * 0.50, 2)
+    pickup = F.col("timestamp") - F.expr("INTERVAL 1 HOUR")
+    return rate.select(
+        F.concat(F.lit("rate_"), v.cast("string")).alias("trip_id"),
+        (h(v, 3, 2) + 1).alias("vendor_id"),
+        F.date_format(pickup, "yyyy-MM-dd'T'HH:mm:ss").alias("pickup_datetime"),
+        F.date_format(
+            pickup + duration_min * F.expr("INTERVAL 1 MINUTE"),
+            "yyyy-MM-dd'T'HH:mm:ss",
+        ).alias("dropoff_datetime"),
+        (h(v, 4, 5) + 1).alias("passenger_count"),
+        distance.cast("string").alias("trip_distance"),
+        F.lit("-73.98").alias("pickup_longitude"),
+        F.lit("40.75").alias("pickup_latitude"),
+        F.lit("-73.95").alias("dropoff_longitude"),
+        F.lit("40.78").alias("dropoff_latitude"),
+        F.element_at(
+            F.array(F.lit("card"), F.lit("cash"), F.lit("no_charge"), F.lit("dispute")),
+            (h(v, 5, 4) + 1).cast("int"),
+        ).alias("payment_type"),
+        fare.cast("string").alias("fare_amount"),
+        F.lit("0.50").alias("extra"),
+        F.lit("0.50").alias("mta_tax"),
+        F.lit("0.00").alias("tip_amount"),
+        F.lit("0.00").alias("tolls_amount"),
+        F.round(fare + 1.0, 2).cast("string").alias("total_amount"),
+        (h(v, 6, 15) + 1).alias("pickup_location_id"),
+        (h(v, 7, 15) + 1).alias("dropoff_location_id"),
+        F.date_format(F.col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss").alias(
+            "event_timestamp"
+        ),
+    )
+
+
 def read_trips_stream(
     spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
