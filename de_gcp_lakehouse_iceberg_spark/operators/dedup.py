@@ -93,12 +93,17 @@ def ngram_jaccard_pairs(
         )
     else:
         sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    a = ex.alias("a")
-    b = ex.alias("b")
+    # join on a 64-bit shingle hash: the shuffle moves 8-byte keys
+    # instead of ~25-byte strings and compares longs. A cross-shingle
+    # xxhash64 collision (≈ d²/2⁶⁵ for d distinct shingles — ~1e-9 at
+    # sf0.1) would overcount one pair's intersection by 1; accepted.
+    exh = ex.select("doc_id", F.xxhash64("shingle").alias("sh"))
+    a = exh.alias("a")
+    b = exh.alias("b")
     common = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
