@@ -5,6 +5,6 @@ from . import similarity_queries  # noqa: F401  (registers q38-q40)
 from . import dml_queries  # noqa: F401  (registers q19-q21)
 from . import streaming_queries  # noqa: F401  (registers q25)
 from . import multimodal_queries  # noqa: F401  (registers q41-q42)
-from . import window_queries  # noqa: F401  (registers q26-q27, q43)
+from . import window_queries  # noqa: F401  (registers q26-q28, q43)
 
 __all__ = ["QUERIES", "ORACLE_SQL", "register"]

@@ -55,6 +55,50 @@ def q26_agg_of_agg_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q28 — A7: STDDEV (PRD.md:5228). Engines disagree bitwise on streaming
+# variance algorithms, so the sample stddev is derived from EXACT
+# decimal sums: sqrt((Σx² − (Σx)²/n)/(n−1)) — identical doubles in.
+# --------------------------------------------------------------------------
+@register(
+    "q28_stddev",
+    oracle="""
+    WITH sums AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))
+                      * CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS s2
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           floor(sqrt((s2 - s1 * s1 / n) / (n - 1)) * 10000 + 0.5) / 10000
+             AS stddev_price
+    FROM sums
+    ORDER BY o_orderpriority
+    """,
+)
+def q28_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d2 = F.col("o_totalprice").cast("decimal(18,2)")
+    d4 = F.col("o_totalprice").cast("decimal(28,4)")
+    sums = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(d2).cast("double").alias("s1"),
+            F.sum(d4 * d4).cast("double").alias("s2"),
+        )
+    )
+    std = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return sums.select(
+        "o_orderpriority", "n", _r(std, 4).alias("stddev_price")
+    ).orderBy("o_orderpriority")
+
+
+# --------------------------------------------------------------------------
 # q27 — W2: ROW_NUMBER() synthetic ids over a deterministic order
 # (PRD.md:743's staging-id pattern).
 # --------------------------------------------------------------------------

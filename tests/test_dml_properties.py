@@ -1,0 +1,90 @@
+"""Property-based DML invariants over LakeTable (hypothesis): for
+arbitrary datasets and predicates, copy-on-write DML must agree with
+the equivalent pure-DataFrame transformation, and history must be
+preserved."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from de_gcp_lakehouse_iceberg_spark.lakehouse import LakeTable, dml
+
+
+@pytest.fixture(scope="module")
+def base_rows():
+    return None  # placeholder so hypothesis tests can share the spark fixture
+
+
+_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),  # key (dupes allowed)
+        st.integers(min_value=-5, max_value=5),  # bucket
+        st.floats(min_value=-100, max_value=100, allow_nan=False).map(
+            lambda x: round(x, 2)
+        ),
+    ),
+    min_size=1,
+    max_size=25,
+)
+_threshold = st.integers(min_value=-5, max_value=5)
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(rows=_rows, thr=_threshold)
+def test_delete_equals_filter_complement(spark, tmp_path_factory, rows, thr):
+    root = str(tmp_path_factory.mktemp("prop") / "t")
+    t = LakeTable.create(spark, root)
+    df = spark.createDataFrame(rows, "key long, bucket long, amount double")
+    t.append(df)
+    before = t.current_version()
+    dml.delete(t, F.col("bucket") >= thr)
+    got = sorted(tuple(r) for r in t.scan().collect())
+    want = sorted(tuple(r) for r in df.filter(~(F.col("bucket") >= thr)).collect())
+    assert got == want
+    # history intact: pre-delete snapshot still reads the full data
+    assert t.scan(version=before).count() == len(rows)
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(rows=_rows, thr=_threshold)
+def test_update_equals_withcolumn(spark, tmp_path_factory, rows, thr):
+    root = str(tmp_path_factory.mktemp("prop") / "t")
+    t = LakeTable.create(spark, root)
+    df = spark.createDataFrame(rows, "key long, bucket long, amount double")
+    t.append(df)
+    pred = F.col("bucket") == thr
+    dml.update(t, {"amount": F.col("amount") * 2}, pred)
+    got = sorted(tuple(r) for r in t.scan().collect())
+    want = sorted(
+        tuple(r)
+        for r in df.withColumn(
+            "amount", F.when(pred, F.col("amount") * 2).otherwise(F.col("amount"))
+        ).collect()
+    )
+    assert got == want
+
+
+def test_merge_is_idempotent_for_pure_updates(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "key long, amount double"
+    )
+    t.append(df)
+    src = spark.createDataFrame(
+        [(5, 99.0), (7, 88.0)], "key long, amount double"
+    )
+    for _ in range(2):  # applying the same merge twice changes nothing more
+        dml.merge(
+            t, src, on=["key"],
+            when_matched_update={"amount": F.col("source.amount")},
+            when_not_matched_insert=True,
+        )
+    out = {r.key: r.amount for r in t.scan().collect()}
+    assert len(out) == 20 and out[5] == 99.0 and out[7] == 88.0
