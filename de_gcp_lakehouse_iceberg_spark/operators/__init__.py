@@ -1,3 +1,3 @@
-from . import dedup, multimodal, similarity
+from . import dedup, multimodal, similarity, skew
 
-__all__ = ["dedup", "multimodal", "similarity"]
+__all__ = ["dedup", "multimodal", "similarity", "skew"]
