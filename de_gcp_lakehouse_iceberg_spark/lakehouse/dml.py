@@ -55,16 +55,18 @@ def _affected_files(table: LakeTable, df_with_file: DataFrame, pred: Column) -> 
 def delete(table: LakeTable, predicate: Column | str) -> Snapshot:
     """DELETE FROM t WHERE pred (D5)."""
     pred = _as_col(predicate)
-    df = _with_file(table.scan())
+    snap = table.snapshot()  # pin the base BEFORE planning (OCC)
+    df = _with_file(table.scan(version=snap.version))
     affected = _affected_files(table, df, pred)
     if not affected:
-        return table.snapshot()
-    snap = table.snapshot()
+        return snap
     survivors = (
         table._read_files(snap, affected)
         .filter(~pred | pred.isNull())
     )
-    return table.replace_files(affected, survivors, operation="delete")
+    return table.replace_files(
+        affected, survivors, operation="delete", expected_base=snap.version
+    )
 
 
 def update(
@@ -73,18 +75,20 @@ def update(
     """UPDATE t SET col=expr WHERE pred (D4). Assignments are column
     expressions evaluated per-row (CASE recodes, anonymization, etc.)."""
     pred = _as_col(predicate)
-    df = _with_file(table.scan())
+    snap = table.snapshot()  # pin the base BEFORE planning (OCC)
+    df = _with_file(table.scan(version=snap.version))
     affected = _affected_files(table, df, pred)
     if not affected:
-        return table.snapshot()
-    snap = table.snapshot()
+        return snap
     rewritten = table._read_files(snap, affected)
     for name, expr in assignments.items():
         new_val = _as_col(expr) if isinstance(expr, str) else expr
         rewritten = rewritten.withColumn(
             name, F.when(pred, new_val).otherwise(F.col(name))
         )
-    return table.replace_files(affected, rewritten, operation="update")
+    return table.replace_files(
+        affected, rewritten, operation="update", expected_base=snap.version
+    )
 
 
 def merge(
@@ -100,8 +104,8 @@ def merge(
     source columns via `source.<col>` after the join); unmatched source
     rows are appended. One atomic snapshot commit for both halves.
     """
-    snap = table.snapshot()
-    target = _with_file(table.scan())
+    snap = table.snapshot()  # pin the base BEFORE planning (OCC)
+    target = _with_file(table.scan(version=snap.version))
     src = source.alias("source")
 
     # files holding matched rows — semi join keeps only file names moving
@@ -119,7 +123,7 @@ def merge(
 
     rewritten: DataFrame | None = None
     if matched_files:
-        tgt_cols = [c for c in table.scan().columns]
+        tgt_cols = [c for c in table.scan(version=snap.version).columns]
         base = table._read_files(snap, matched_files).alias("t")
         joined = base.join(src, on=on, how="left")
         matched = F.col(f"source.{on[0]}").isNotNull()
@@ -137,9 +141,9 @@ def merge(
 
     inserts: DataFrame | None = None
     if when_not_matched_insert:
-        tgt_cols = table.scan().columns
+        tgt_cols = table.scan(version=snap.version).columns
         inserts = (
-            src.join(table.scan().select(*on), on=on, how="left_anti")
+            src.join(table.scan(version=snap.version).select(*on), on=on, how="left_anti")
             .select(*[F.col(c) for c in tgt_cols])
         )
 
@@ -151,7 +155,11 @@ def merge(
     if add_df is None and not matched_files:
         return table.snapshot()
     return table.replace_files(
-        matched_files, add_df, operation="merge", summary={"merge_on": on}
+        matched_files,
+        add_df,
+        operation="merge",
+        summary={"merge_on": on},
+        expected_base=snap.version,
     )
 
 

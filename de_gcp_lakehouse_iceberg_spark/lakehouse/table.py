@@ -329,11 +329,22 @@ class LakeTable:
         add_df: DataFrame | None,
         operation: str,
         summary: dict[str, Any] | None = None,
+        expected_base: int | None = None,
     ) -> Snapshot:
         """Copy-on-write commit primitive: drop `remove` (relative paths)
         from the live file set, add files written from `add_df`. Used by
-        DML (delete/update/merge) and maintenance (compaction/sort)."""
+        DML (delete/update/merge) and maintenance (compaction/sort).
+
+        `expected_base` pins the snapshot the mutation was PLANNED
+        against: if another commit landed in between, the commit fails
+        (optimistic concurrency) instead of silently merging against a
+        moved table."""
         base = self.current_version()
+        if expected_base is not None and base != expected_base:
+            raise RuntimeError(
+                f"concurrent modification: planned against v{expected_base}, "
+                f"table is now at v{base}"
+            )
         prev = self.snapshot(base)
         removed = set(remove)
         kept = [f for f in prev.files if f.path not in removed]

@@ -143,6 +143,37 @@ def test_changelog(spark, warehouse):
     assert by_type["DELETE"] == 1
 
 
+def test_concurrent_modification_rejected(spark, warehouse):
+    """Optimistic concurrency: a commit planned against a stale base
+    must fail loudly, never silently merge (replace_files OCC check)."""
+    import pytest as _pytest
+
+    t = LakeTable.create(spark, warehouse)
+    t.append(_orders_df(spark, 20))
+    stale = t.snapshot()
+    t.append(_orders_df(spark, 5))  # another writer lands a commit
+    with _pytest.raises(RuntimeError, match="concurrent modification"):
+        t.replace_files(
+            [stale.files[0].path],
+            None,
+            operation="delete",
+            expected_base=stale.version,
+        )
+
+
+def test_ctas_from_time_travel(spark, warehouse, tmp_path):
+    """D9: CREATE TABLE AS SELECT ... FOR SYSTEM_TIME AS OF — a new
+    table materialized from a historical snapshot (PRD.md:975-988)."""
+    t = LakeTable.create(spark, warehouse)
+    t.append(_orders_df(spark, 40))
+    v1 = t.current_version()
+    t.append(_orders_df(spark, 25))
+    snap_table = LakeTable.create(spark, str(tmp_path / "monthly_snapshot"))
+    snap_table.append(t.scan(version=v1))
+    assert snap_table.scan().count() == 40
+    assert t.scan().count() == 65  # source unaffected
+
+
 def test_compaction_reduces_files_preserves_rows(spark, warehouse):
     t = LakeTable.create(spark, warehouse)
     for i in range(6):  # many small appends → many small files
