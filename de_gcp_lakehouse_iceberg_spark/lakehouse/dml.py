@@ -142,9 +142,16 @@ def merge(
     inserts: DataFrame | None = None
     if when_not_matched_insert:
         tgt_cols = table.scan(version=snap.version).columns
+        src_cols = set(source.columns)
         inserts = (
             src.join(table.scan(version=snap.version).select(*on), on=on, how="left_anti")
-            .select(*[F.col(c) for c in tgt_cols])
+            .select(
+                *[
+                    # target columns the source doesn't carry insert NULL
+                    (F.col(c) if c in src_cols else F.lit(None)).alias(c)
+                    for c in tgt_cols
+                ]
+            )
         )
 
     if rewritten is not None and inserts is not None:
