@@ -43,8 +43,23 @@ REQUIRED = ["pickup_datetime", "dropoff_datetime", "trip_distance", "total_amoun
 
 def read_jsonl(spark: SparkSession, path_glob: str) -> DataFrame:
     """S1: newline-delimited JSON scan with a pinned schema — no
-    inference in production paths (SURVEY.md §1.4)."""
-    return spark.read.schema(TRIP_INPUT).json(path_glob)
+    inference in production paths (SURVEY.md §1.4). Malformed lines
+    land in `_corrupt` (PERMISSIVE mode) so the classifier can tag them
+    json_parsing_failed, matching the reference's error taxonomy
+    (main.py:134-140)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    # StructType.add mutates in place — never call it on the shared
+    # module-level schema
+    schema = StructType(
+        list(TRIP_INPUT.fields) + [StructField("_corrupt", StringType(), True)]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path_glob)
+    )
 
 
 # NYC-taxi CSV positional layout (S2, PRD.md:338-358): 18 columns, the
@@ -148,8 +163,14 @@ def classify_trips(raw: DataFrame, mode: str = "batch") -> DataFrame:
     bad_values = (F.col("trip_distance").cast("double") <= 0) | (
         F.col("total_amount").cast("double") <= 0
     )
+    corrupt = (
+        F.col("_corrupt").isNotNull()
+        if "_corrupt" in raw.columns
+        else F.lit(False)
+    )
     error_type = (
-        F.when(missing, "missing_field")
+        F.when(corrupt, "json_parsing_failed")
+        .when(missing, "missing_field")
         .when(bad_format, "invalid_timestamp_format")
         .when(bad_order, "invalid_timestamp_order")
         .when(bad_values, "validation_failed")

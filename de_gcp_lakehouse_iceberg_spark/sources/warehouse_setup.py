@@ -82,12 +82,17 @@ def create_taxi_warehouse(spark: SparkSession, root: str) -> Warehouse:
     seeded zones, both views."""
     wh = Warehouse(spark, root)
     for name, spec in TABLE_SPECS.items():
-        schema = spec["schema"]
+        from pyspark.sql.types import StringType, StructField, StructType
+
         # materialized partition columns join the declared schema (the
-        # reference's DATE(pickup_datetime) hidden-partition analog)
+        # reference's DATE(pickup_datetime) hidden-partition analog).
+        # Copy first — StructType.add mutates the shared schema object.
+        schema = StructType(list(spec["schema"].fields))
         for pcol in spec["partition_by"]:
             if pcol not in schema.fieldNames():
-                schema = schema.add(pcol, "string", True)
+                schema = StructType(
+                    list(schema.fields) + [StructField(pcol, StringType(), True)]
+                )
         t = wh.create_table(
             name,
             partition_by=spec["partition_by"],

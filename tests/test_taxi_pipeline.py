@@ -76,6 +76,35 @@ def test_validation_split_counts(spark, tmp_path):
     assert by_type[None] > 250  # ~75% clean
 
 
+def test_corrupt_json_lines_get_their_own_class(spark, tmp_path):
+    """Malformed JSON → json_parsing_failed (main.py:134-140 taxonomy),
+    not a generic missing_field."""
+    d = tmp_path / "in"
+    d.mkdir()
+    good = generator.generate_trips(3, seed=42)
+    import json as _json
+
+    with open(d / "mixed.jsonl", "w") as f:
+        f.write(_json.dumps(good[0]) + "\n")
+        f.write("{this is not json\n")
+        f.write(_json.dumps(good[1]) + "\n")
+        f.write("[1, 2, 3]\n")  # valid JSON, wrong shape → corrupt too
+    classified = ingest.classify_trips(
+        ingest.read_jsonl(spark, str(d) + "/*.jsonl")
+    )
+    by = {
+        r["_error_type"]: r["cnt"]
+        for r in classified.groupBy("_error_type")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert by.get("json_parsing_failed") == 2
+    assert by.get(None) == 2
+    # corrupt payloads flow to the dead letter with the envelope intact
+    errs = ingest.invalid_trips(classified).collect()
+    assert all(e.error_type == "json_parsing_failed" for e in errs)
+
+
 def test_valid_trips_normalization(spark, tmp_path):
     trips = generator.generate_trips(50, seed=42)
     # strip trip_id from a few records → synthesized batch_<uuid> ids
