@@ -189,6 +189,107 @@ def _all_buckets_udf(tables: list[list[list[float]]]):
     return buckets
 
 
+def _centroids_from_corpus(
+    corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str
+):
+    """Deterministic centroid set: an evenly-strided sample of corpus
+    vectors by id rank. (A k-means refinement would improve balance;
+    strided seeding keeps the operator dependency-free and exactly
+    reproducible — the coarse quantizer only gates recall/cost.)"""
+    total = corpus.count()
+    stride = max(1, total // n_centroids)
+    rows = (
+        corpus.select(id_col, vec_col)
+        .filter(F.col(id_col) % stride == 0)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()  # only n_centroids vectors ever reach the driver
+    )
+    return np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+
+
+def _nearest_centroids_udf(centroids: "np.ndarray", nprobe: int):
+    """Pandas UDF: embedding → array of its `nprobe` nearest centroid
+    ids (cosine). One matmul per Arrow batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @pandas_udf("array<int>")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        v = np.stack(vecs.to_numpy()).astype(np.float64)
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        sims = vn @ c.T  # (n, k)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype("int32") for row in order])
+
+    return nearest
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 32,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted-file) partitioning —
+    the second canonical ANN scale path next to LSH.
+
+    Corpus rows are assigned to their single nearest centroid (the
+    inverted lists); queries probe their `nprobe` nearest centroids and
+    exact-score only those lists. Expected scoring cost drops to
+    ~nprobe/n_centroids of brute force. Same output schema as
+    brute_force_topk; scores exact, candidate set approximate.
+    """
+    centroids = _centroids_from_corpus(corpus, n_centroids, id_col, vec_col)
+    assign1 = _nearest_centroids_udf(centroids, 1)
+    assignp = _nearest_centroids_udf(centroids, nprobe)
+    c = with_norm(corpus, vec_col)
+    lists = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(assignp(F.col(vec_col))).alias("cell"),
+    )
+    cand = (
+        lists.join(F.broadcast(probes), "cell")
+        .select("query_id", "neighbor_id")
+        .distinct()
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    qv = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_norm").alias("_qn"),
+    )
+    cv = c.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("_norm").alias("_cn"),
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

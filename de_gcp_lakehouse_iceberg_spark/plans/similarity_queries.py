@@ -105,3 +105,20 @@ def q40_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", _r(F.col("cosine"), 6).alias("cosine"), "rank"
     ).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# q45 — IVF (inverted-file) ANN, the second scale path. Rows-only;
+# recall + exact-score invariants pinned in tests/test_similarity.py.
+# --------------------------------------------------------------------------
+@register("q45_ivf_ann")
+def q45_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_ann_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = ivf_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=32, nprobe=8
+    )
+    return out.select(
+        "query_id", "neighbor_id", _r(F.col("cosine"), 6).alias("cosine"), "rank"
+    ).orderBy("query_id", "rank")

@@ -85,3 +85,24 @@ def test_lsh_cosines_are_exact_for_returned_pairs(spark, sf_dir_medium):
     }
     for r in similarity.lsh_ann_topk(emb, queries, k=10).collect():
         assert exact[(r.query_id, r.neighbor_id)] == r.cosine
+
+
+def test_ivf_recall_and_exact_scores(spark, sf_dir_medium):
+    """IVF variant: healthy recall vs brute force, exact cosines for
+    every returned pair (candidate set approximate, scores never)."""
+    emb = table(spark, sf_dir_medium, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact_pairs = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.brute_force_topk(emb, queries, k=5000).collect()
+    }
+    exact_top = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, queries, k=10).collect()
+    }
+    ivf = similarity.ivf_ann_topk(emb, queries, k=10, n_centroids=32, nprobe=8).collect()
+    got = {(r.query_id, r.neighbor_id) for r in ivf}
+    recall = len(got & exact_top) / len(exact_top)
+    assert recall >= 0.4, f"IVF recall@10 degraded to {recall:.2f}"
+    for r in ivf:
+        assert exact_pairs[(r.query_id, r.neighbor_id)] == r.cosine
