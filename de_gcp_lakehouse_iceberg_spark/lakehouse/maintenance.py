@@ -129,6 +129,79 @@ def rewrite_sorted(
     }
 
 
+def rewrite_zorder(
+    table: LakeTable,
+    zorder_columns: list[str],
+    bits_per_column: int = 8,
+    partition_filter=None,
+    target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
+) -> dict[str, Any]:
+    """M3 (true multi-dimensional form): Z-order rewrite — interleave
+    the bits of min-max-scaled column values into one z-value and sort
+    by it, so parquet row-group min/max stats prune on EVERY z-ordered
+    column, not just the leading sort key (FR-014, PRD.md:137;
+    rewrite strategy iceberg_maintenance.py:108-117).
+
+    Scaling uses global min/max (one cheap agg pass) rather than exact
+    ranks — no global sort for the quantization, only for the final
+    clustering order. 100 TB note: swap the orderBy for
+    repartitionByRange(zvalue) + sortWithinPartitions to keep the sort
+    distributed."""
+    snap = table.snapshot()
+    targets = [
+        f for f in snap.files
+        if partition_filter is None or partition_filter(f.partition)
+    ]
+    if not targets:
+        return {"status": "skipped", "reason": "no matching partitions"}
+    df = table._read_files(snap, [f.path for f in targets])
+    stats = df.agg(
+        *[F.min(c).alias(f"{c}__min") for c in zorder_columns],
+        *[F.max(c).alias(f"{c}__max") for c in zorder_columns],
+    ).collect()[0]
+    n_buckets = 1 << bits_per_column
+    scaled = []
+    for c in zorder_columns:
+        lo = float(stats[f"{c}__min"])
+        hi = float(stats[f"{c}__max"])
+        span = (hi - lo) or 1.0
+        scaled.append(
+            F.least(
+                F.floor((F.col(c).cast("double") - lo) / span * n_buckets)
+                .cast("long"),
+                F.lit(n_buckets - 1),
+            )
+        )
+    # interleave: bit j of column i lands at position j*len(cols)+i
+    z = F.lit(0).cast("long")
+    for j in range(bits_per_column):
+        for i, s in enumerate(scaled):
+            pos = j * len(scaled) + i
+            bit = F.shiftright(s, bits_per_column - 1 - j).bitwiseAND(F.lit(1))
+            z = z + bit * F.lit(1 << (bits_per_column * len(scaled) - 1 - pos))
+    # range-partition by z then sort within — the distributed form (a
+    # bare orderBy would let AQE coalesce tiny inputs into one file and
+    # erase the per-file clustering this rewrite exists to create)
+    total_bytes = sum(f.bytes for f in targets)
+    n_out = max(2, math.ceil(total_bytes / target_file_size))
+    out = (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_out, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    new_snap = table.replace_files(
+        [f.path for f in targets], out, operation="rewrite_zorder",
+        summary={"zorder_columns": zorder_columns},
+    )
+    return {
+        "status": "success",
+        "rewritten_files": len(targets),
+        "files_after": len(new_snap.files),
+        "zorder_columns": zorder_columns,
+    }
+
+
 def expire_snapshots(
     table: LakeTable, retention_days: float = DEFAULT_RETENTION_DAYS
 ) -> dict[str, Any]:

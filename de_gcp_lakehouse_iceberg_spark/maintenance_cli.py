@@ -57,6 +57,10 @@ def run_action(args: argparse.Namespace) -> dict:
     if args.action == "expire":
         return maintenance.expire_snapshots(t, retention_days=args.retention_days)
     if args.action == "optimize":
+        if args.zorder_columns:
+            return maintenance.rewrite_zorder(
+                t, args.zorder_columns.split(",")
+            )
         sort_cols = args.sort_columns.split(",") if args.sort_columns else []
         if not sort_cols:
             return {"status": "skipped", "reason": "no --sort-columns given"}
@@ -138,6 +142,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--orphan-age-days", type=float, default=3.0)
     p.add_argument("--target-file-size-mb", type=int, default=128)
     p.add_argument("--sort-columns", default="")
+    p.add_argument("--zorder-columns", default="")
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--schedule-interval-s", type=float, default=60.0)
     return p

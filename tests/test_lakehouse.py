@@ -237,3 +237,43 @@ def test_full_maintenance_cycle(spark, warehouse):
         "partition_health",
     ]
     assert t.scan().count() == 100
+
+
+def test_zorder_rewrite_clusters_both_dims(spark, warehouse):
+    """Z-order must shrink the per-file value range on BOTH columns;
+    a linear sort only shrinks the leading one."""
+    import json
+
+    import pyarrow.parquet as pq
+    import os
+
+    t = LakeTable.create(spark, warehouse)
+    df = spark.range(20_000).select(
+        (F.col("id") % 141).cast("double").alias("x"),
+        ((F.col("id") * 7919) % 131).cast("double").alias("y"),
+    )
+    t.append(df.repartition(8))
+
+    def avg_ranges(tab):
+        snap = tab.snapshot()
+        spans = {"x": [], "y": []}
+        for fe in snap.files:
+            md = pq.ParquetFile(os.path.join(tab.root, fe.path))
+            for col in ("x", "y"):
+                idx = md.schema_arrow.get_field_index(col)
+                lo = min(md.metadata.row_group(i).column(idx).statistics.min
+                         for i in range(md.metadata.num_row_groups))
+                hi = max(md.metadata.row_group(i).column(idx).statistics.max
+                         for i in range(md.metadata.num_row_groups))
+                spans[col].append(hi - lo)
+        return {c: sum(v) / len(v) for c, v in spans.items()}
+
+    before = avg_ranges(t)
+    res = maintenance.rewrite_zorder(t, ["x", "y"], target_file_size=6 * 1024)
+    assert res["status"] == "success"
+    assert t.scan().count() == 20_000
+    after = avg_ranges(t)
+    # random layout: every file spans ~the full range of both columns;
+    # z-ordered: both dims shrink substantially
+    assert after["x"] < before["x"] * 0.6, (before, after)
+    assert after["y"] < before["y"] * 0.65, (before, after)
