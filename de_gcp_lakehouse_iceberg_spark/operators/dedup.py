@@ -265,9 +265,14 @@ def minhash_lsh_pairs(
     )
     # exact-verify ONLY the candidate pairs: join each side to its
     # distinct shingle set and compute set Jaccard per pair. Cost scales
-    # with #candidates (tiny after banding), not #pairs.
-    sets = doc_shingles(docs, id_col, text_col, n, max_df).groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("sh")
+    # with #candidates (tiny after banding), not #pairs. Sets carry the
+    # 64-bit shingle hashes, not strings (same collision caveat as the
+    # inverted-index join in ngram_jaccard_pairs).
+    sets = (
+        doc_shingles(docs, id_col, text_col, n, max_df)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
     )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
