@@ -101,7 +101,8 @@ def q39_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q40_lsh_ann")
 def q40_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    out = lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    dim = emb.select(F.size("embedding")).first()[0]  # don't assume 64
+    out = lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, dim=dim)
     return out.select(
         "query_id", "neighbor_id", _r(F.col("cosine"), 6).alias("cosine"), "rank"
     ).orderBy("query_id", "rank")
