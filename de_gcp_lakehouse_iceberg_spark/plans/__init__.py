@@ -9,5 +9,6 @@ from . import window_queries  # noqa: F401  (registers q26-q28, q43)
 from . import session_queries  # noqa: F401  (registers q29)
 from . import corpus_queries  # noqa: F401  (registers q44)
 from . import dedup_maxdf_query  # noqa: F401  (registers q46)
+from . import lakehouse_queries  # noqa: F401  (registers q47-q48)
 
 __all__ = ["QUERIES", "ORACLE_SQL", "register"]
