@@ -13,27 +13,35 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------- F4/F5
-_UNIT_SECONDS = {
-    "SECOND": 1,
-    "MINUTE": 60,
-    "HOUR": 3600,
-    "DAY": 86400,
+_UNIT_MICROS = {
+    "MICROSECOND": 1,
+    "MILLISECOND": 1_000,
+    "SECOND": 1_000_000,
+    "MINUTE": 60 * 1_000_000,
+    "HOUR": 3600 * 1_000_000,
+    "DAY": 86400 * 1_000_000,
 }
 
 
 def timestamp_diff(a: Column, b: Column, unit: str) -> Column:
     """BigQuery TIMESTAMP_DIFF(a, b, unit) = a − b (NB: Spark's
     timestampdiff takes (unit, start, end) — argument order flips,
-    SURVEY.md F4). MILLISECOND supported like the reference's usage."""
+    SURVEY.md F4).
+
+    BigQuery truncates the MICROSECOND difference toward zero — NOT each
+    timestamp to whole units first: diff('...02.000', '...00.900',
+    SECOND) is 1, not 2. Computed exactly in long arithmetic:
+    `diff - diff % u` is an exact multiple of u (Spark `%` keeps the
+    dividend's sign, i.e. truncating semantics), so the final division
+    is exact for any representable timestamp range."""
     unit = unit.upper()
-    if unit == "MILLISECOND":
-        return (
-            (a.cast("double") - b.cast("double")) * 1000
-        ).cast("long")
-    if unit not in _UNIT_SECONDS:
+    if unit not in _UNIT_MICROS:
         raise ValueError(f"unsupported unit {unit!r}")
-    secs = F.unix_timestamp(a) - F.unix_timestamp(b)
-    return (secs / _UNIT_SECONDS[unit]).cast("long")
+    u = _UNIT_MICROS[unit]
+    diff = F.unix_micros(a) - F.unix_micros(b)
+    if u == 1:
+        return diff
+    return ((diff - diff % F.lit(u)) / F.lit(u)).cast("long")
 
 
 def timestamp_sub(ts: Column, n: int, unit: str) -> Column:

@@ -103,10 +103,34 @@ def merge(
     Matched rows get the update assignments (expressions may reference
     source columns via `source.<col>` after the join); unmatched source
     rows are appended. One atomic snapshot commit for both halves.
+
+    Cardinality guard (BigQuery parity, PRD.md:769-779): a target row
+    matched by MORE than one source row is an error, not a silent
+    row duplication — BigQuery MERGE raises in that case, and the
+    left-join rewrite below would otherwise fan matched rows out.
     """
     snap = table.snapshot()  # pin the base BEFORE planning (OCC)
     target = _with_file(table.scan(version=snap.version))
     src = source.alias("source")
+
+    # duplicate source keys are only fatal if they MATCH a target row
+    # (duplicate unmatched keys legitimately insert one row each)
+    dup_keys = (
+        source.groupBy(*on).agg(F.count("*").alias("_c")).filter(F.col("_c") > 1).drop("_c")
+    )
+    if (
+        dup_keys.join(
+            table.scan(version=snap.version).select(*on), on=on, how="left_semi"
+        )
+        .limit(1)
+        .count()
+        > 0
+    ):
+        raise ValueError(
+            "MERGE source has duplicate join keys matching a target row — "
+            "each target row may match at most one source row (BigQuery "
+            "MERGE semantics); dedupe the source first"
+        )
 
     # files holding matched rows — semi join keeps only file names moving
     matched_files = _rel_paths(

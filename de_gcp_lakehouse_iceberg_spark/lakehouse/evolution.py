@@ -61,7 +61,11 @@ def add_column(
     )
     if default is not None:
         d = _defaults(table)
-        d[name] = default
+        # record WHICH snapshot the column was added at: the default
+        # applies only to rows in files that predate it (Iceberg/BigQuery
+        # ADD COLUMN DEFAULT backfills existing rows; later rows that
+        # explicitly write NULL keep their NULL)
+        d[name] = {"default": default, "version": out.version}
         with open(os.path.join(table.root, DEFAULTS_FILE), "w") as f:
             json.dump(d, f)
     _log(
@@ -108,10 +112,42 @@ def drop_column(table: LakeTable, name: str) -> Snapshot:
 
 
 def apply_defaults(table: LakeTable, df: DataFrame) -> DataFrame:
-    """Fill recorded column defaults over NULLs from pre-evolution files
-    (the read-side half of ADD COLUMN DEFAULT)."""
-    for name, default in _defaults(table).items():
-        if name in df.columns:
+    """Fill recorded column defaults over NULLs in PRE-evolution files
+    (the read-side half of ADD COLUMN DEFAULT).
+
+    Scoping matches BigQuery/Iceberg: only rows from files that existed
+    when the column was added get the default — rows appended afterwards
+    with an explicit NULL stay NULL. Pre-evolution files come from the
+    manifest of the snapshot the ADD COLUMN committed over, identified
+    per-row via `_metadata.file_path` (an O(#files) literal list here;
+    at very large file counts, broadcast-join a file-list frame instead).
+    Falls back to unscoped coalesce when df is derived and no longer
+    carries file metadata."""
+    for name, rec in _defaults(table).items():
+        if name not in df.columns:
+            continue
+        if isinstance(rec, dict):
+            default, added_at = rec["default"], rec.get("version")
+        else:  # legacy unscoped record
+            default, added_at = rec, None
+        if added_at is None:
+            df = df.withColumn(name, F.coalesce(F.col(name), F.lit(default)))
+            continue
+        # the add_column commit is metadata-only, so its own manifest
+        # lists exactly the pre-evolution files
+        pre = table.snapshot(added_at).files
+        pre_paths = [os.path.join(table.root, f.path) for f in pre]
+        try:
+            norm = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+            df = df.withColumn(
+                name,
+                F.when(
+                    F.col(name).isNull() & norm.isin(pre_paths), F.lit(default)
+                ).otherwise(F.col(name)),
+            )
+        except Exception:
+            # derived frame without file metadata — documented divergence:
+            # fall back to coalescing every NULL
             df = df.withColumn(name, F.coalesce(F.col(name), F.lit(default)))
     return df
 

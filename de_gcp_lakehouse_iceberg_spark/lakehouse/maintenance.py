@@ -86,7 +86,8 @@ def compact(
     n_out = max(1, math.ceil(total_bytes / target_file_size))
     df = df.repartition(n_out, *pcols) if pcols else df.coalesce(n_out)
     new_snap = table.replace_files(
-        [f.path for f in to_rewrite], df, operation="compact"
+        [f.path for f in to_rewrite], df, operation="compact",
+        expected_base=snap.version,
     )
     return {
         "status": "success",
@@ -120,6 +121,7 @@ def rewrite_sorted(
     new_snap = table.replace_files(
         [f.path for f in targets], df, operation="rewrite_sorted",
         summary={"sort_columns": sort_columns},
+        expected_base=snap.version,
     )
     return {
         "status": "success",
@@ -193,6 +195,7 @@ def rewrite_zorder(
     new_snap = table.replace_files(
         [f.path for f in targets], out, operation="rewrite_zorder",
         summary={"zorder_columns": zorder_columns},
+        expected_base=snap.version,
     )
     return {
         "status": "success",

@@ -121,23 +121,34 @@ def stream_append_to_laketable(
     source: DataFrame,
     table: LakeTable,
     poll_timeout_s: float = 120.0,
+    checkpoint_name: str = "stream_append",
 ) -> int:
     """Continuous append of a bounded stream into a LakeTable via
-    foreachBatch (S11: the streaming Iceberg append). Each micro-batch
-    is one atomic snapshot commit — exactly-once for a bounded replay.
-    Returns the number of micro-batches committed."""
+    foreachBatch (S11: the streaming Iceberg append). Exactly-once =
+    at-least-once delivery (checkpointed offsets, STABLE checkpoint path
+    so a restart resumes instead of replaying from scratch) + an
+    idempotent commit: each micro-batch's snapshot records its batch_id
+    in the operation name, and a retried/replayed batch whose id already
+    appears in the snapshot log is skipped instead of double-appended.
+    Returns the number of micro-batches newly committed."""
     batches = {"n": 0}
 
     def _commit(df: DataFrame, batch_id: int) -> None:
+        op = f"stream_batch_{batch_id}"
+        # idempotence on batch_id: O(#snapshots) driver-side metadata scan
+        if any(s.operation == op for s in table.snapshots()):
+            return
         if df.isEmpty():
             return
-        table.append(df, operation=f"stream_batch_{batch_id}")
+        table.append(df, operation=op)
         batches["n"] += 1
 
     q = (
         source.writeStream.foreachBatch(_commit)
         .trigger(availableNow=True)
-        .option("checkpointLocation", f"{table.root}/_checkpoints/{uuid.uuid4().hex[:8]}")
+        .option(
+            "checkpointLocation", f"{table.root}/_checkpoints/{checkpoint_name}"
+        )
         .start()
     )
     deadline = time.time() + poll_timeout_s

@@ -95,3 +95,25 @@ def test_generate_uuid_shape(spark):
     vals = {r.u for r in rows}
     assert len(vals) == 5
     assert all(len(v) == 36 and v.count("-") == 4 for v in vals)
+
+
+def test_timestamp_diff_truncates_microsecond_difference(spark):
+    """BigQuery truncates the MICROSECOND difference — not each operand
+    to whole units: diff(..02.000, ..00.900, SECOND) = 1, not 2."""
+    df = spark.createDataFrame(
+        [
+            (
+                dt.datetime(2025, 1, 1, 0, 0, 2, 0),
+                dt.datetime(2025, 1, 1, 0, 0, 0, 900_000),
+            )
+        ],
+        "a timestamp, b timestamp",
+    )
+    row = df.select(
+        bq.timestamp_diff(F.col("a"), F.col("b"), "SECOND").alias("s"),
+        bq.timestamp_diff(F.col("b"), F.col("a"), "SECOND").alias("neg"),
+        bq.timestamp_diff(F.col("a"), F.col("b"), "MILLISECOND").alias("ms"),
+        bq.timestamp_diff(F.col("a"), F.col("b"), "MICROSECOND").alias("us"),
+    ).collect()[0]
+    # 1.1 s apart: SECOND truncates toward zero in BOTH directions
+    assert (row.s, row.neg, row.ms, row.us) == (1, -1, 1100, 1_100_000)

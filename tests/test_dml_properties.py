@@ -88,3 +88,36 @@ def test_merge_is_idempotent_for_pure_updates(spark, tmp_path):
         )
     out = {r.key: r.amount for r in t.scan().collect()}
     assert len(out) == 20 and out[5] == 99.0 and out[7] == 88.0
+
+
+def test_merge_rejects_duplicate_source_keys_on_match(spark, tmp_path):
+    """BigQuery MERGE errors when a target row matches >1 source row —
+    the rewrite must raise, not silently duplicate target rows."""
+    import pytest
+
+    t = LakeTable.create(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "key long, amount double")
+    )
+    dup_src = spark.createDataFrame(
+        [(1, 10.0), (1, 11.0)], "key long, amount double"
+    )
+    with pytest.raises(ValueError, match="duplicate join keys"):
+        dml.merge(
+            t, dup_src, on=["key"],
+            when_matched_update={"amount": F.col("source.amount")},
+        )
+    # unchanged table
+    assert t.scan().count() == 2
+
+
+def test_merge_allows_duplicate_unmatched_source_keys(spark, tmp_path):
+    """Duplicate source keys that match NO target row are legal: each
+    row inserts (BigQuery NOT MATCHED semantics)."""
+    t = LakeTable.create(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, 1.0)], "key long, amount double"))
+    src = spark.createDataFrame(
+        [(9, 90.0), (9, 91.0)], "key long, amount double"
+    )
+    dml.merge(t, src, on=["key"], when_not_matched_insert=True)
+    assert t.scan().filter("key = 9").count() == 2

@@ -94,3 +94,17 @@ def test_materialized_view_refresh_and_staleness(spark, tmp_path):
     # refresh is an overwrite snapshot → history retained
     ops = [s.operation for s in wh.table("daily_stats").snapshots()]
     assert ops.count("overwrite") >= 2
+
+
+def test_apply_defaults_scoped_to_pre_evolution_files(spark, tmp_path):
+    """ADD COLUMN DEFAULT backfills only rows that existed at evolution
+    time; rows appended LATER with an explicit NULL stay NULL
+    (BigQuery/Iceberg semantics)."""
+    t = LakeTable.create(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 4))  # pre-evolution rows: defaults apply
+    evolution.add_column(t, "status", "string", default="unknown")
+    post = _df(spark, 3).withColumn("trip_id", F.col("trip_id") + 100)
+    t.append(post.withColumn("status", F.lit(None).cast("string")))
+    got = evolution.apply_defaults(t, t.scan())
+    assert got.filter("trip_id < 100 AND status = 'unknown'").count() == 4
+    assert got.filter("trip_id >= 100 AND status IS NULL").count() == 3

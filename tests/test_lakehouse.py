@@ -277,3 +277,33 @@ def test_zorder_rewrite_clusters_both_dims(spark, warehouse):
     # z-ordered: both dims shrink substantially
     assert after["x"] < before["x"] * 0.6, (before, after)
     assert after["y"] < before["y"] * 0.65, (before, after)
+
+
+def test_maintenance_rewrites_carry_occ_expected_base(spark, tmp_path, monkeypatch):
+    """compact/rewrite_sorted/rewrite_zorder plan against a pinned
+    snapshot and must commit with expected_base so a DML landing between
+    plan and commit fails the rewrite instead of resurrecting rows."""
+    t = LakeTable.create(spark, str(tmp_path / "t"))
+    for i in range(3):  # several small files in one (unpartitioned) group
+        t.append(
+            spark.createDataFrame(
+                [(i * 10 + j, float(j), float(-j)) for j in range(4)],
+                "order_id long, x double, y double",
+            )
+        )
+    seen: list[int | None] = []
+    real = LakeTable.replace_files
+
+    def spy(self, remove, add_df, operation, summary=None, expected_base=None):
+        seen.append(expected_base)
+        return real(
+            self, remove, add_df, operation, summary=summary,
+            expected_base=expected_base,
+        )
+
+    monkeypatch.setattr(LakeTable, "replace_files", spy)
+    v0 = t.current_version()
+    assert maintenance.compact(t)["status"] == "success"
+    assert maintenance.rewrite_sorted(t, ["order_id"])["status"] == "success"
+    assert maintenance.rewrite_zorder(t, ["x", "y"])["status"] == "success"
+    assert seen == [v0, v0 + 1, v0 + 2]  # each pinned its planning snapshot

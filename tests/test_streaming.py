@@ -84,3 +84,30 @@ def test_windowed_aggregate_watermark_drops_late_rows(spark, tmp_path):
     # batch (which would have made it 12) never lands
     assert (base.replace(second=0), 6) in rows
     assert (base.replace(second=0), 12) not in rows
+
+
+def test_stream_append_idempotent_on_replayed_batch(spark, sf_dir, tmp_path):
+    """Exactly-once under retry: if the checkpoint is lost and the
+    bounded stream replays from scratch, already-committed batch_ids are
+    skipped — no duplicate rows."""
+    import shutil
+
+    t = LakeTable.create(spark, str(tmp_path / "sink"))
+    n1 = stream_append_to_laketable(
+        spark, read_events_stream(spark, sf_dir), t, checkpoint_name="ck"
+    )
+    expected = table(spark, sf_dir, "events").count()
+    assert n1 >= 1 and t.scan().count() == expected
+
+    # resume with intact checkpoint: no new data, nothing committed
+    n2 = stream_append_to_laketable(
+        spark, read_events_stream(spark, sf_dir), t, checkpoint_name="ck"
+    )
+    assert n2 == 0 and t.scan().count() == expected
+
+    # simulate a lost checkpoint (full replay, same batch ids)
+    shutil.rmtree(f"{t.root}/_checkpoints/ck")
+    n3 = stream_append_to_laketable(
+        spark, read_events_stream(spark, sf_dir), t, checkpoint_name="ck"
+    )
+    assert n3 == 0 and t.scan().count() == expected
