@@ -22,6 +22,8 @@ no driver-side collects, no per-row Python. Scale posture per operator:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -33,6 +35,27 @@ from ..functions.text import shingles
 SIMHASH_BASE = 31
 SIMHASH_MOD = 2147483647
 SIMHASH_BITS = 16
+
+# Portable MinHash family (hash_mode="portable"): shingle → char-poly
+# key (< MINHASH_P), then h_k(key) = (A_k·key + B_k) mod P — the classic
+# universal-hash construction. All arithmetic stays < 2^63 (A_k,key < P
+# ≈ 2^31 → product < 2^62), so Spark longs, DuckDB BIGINTs, and the
+# oracle SQL generated from THESE constants agree bit-for-bit. Band
+# hashes fold r member hashes the same way with MINHASH_BAND_MULT.
+MINHASH_P = 2147483647
+MINHASH_BAND_MULT = 1_000_003
+
+
+def minhash_coeffs(num_hashes: int, seed: int = 11) -> list[tuple[int, int]]:
+    """Deterministic (A_k, B_k) coefficient pairs shared by the Spark
+    plan and the DuckDB oracle generator."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P))
+        for _ in range(num_hashes)
+    ]
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
@@ -129,12 +152,58 @@ def ngram_jaccard_pairs(
 
 
 def _char_poly_key(w: Column) -> Column:
-    """Char-level polynomial word hash: fold (acc·31 + codepoint) mod M."""
+    """Char-level polynomial word hash: fold (acc·31 + codepoint) mod M.
+
+    Expression (Catalyst) form — Spark interprets higher-order lambdas,
+    so this is the slow path; `char_poly_key_udf` computes the SAME
+    integers vectorized (integer math: no float divergence possible).
+    The expression form is kept because it's the shape the DuckDB
+    oracles re-derive, and as the equality anchor for the UDF."""
     return F.aggregate(
         F.split(w, ""),
         F.lit(0).cast("long"),
         lambda acc, c: (acc * SIMHASH_BASE + F.ascii(c)) % SIMHASH_MOD,
     )
+
+
+def _char_poly_batch(strings: list[str]) -> "np.ndarray":
+    """Vectorized char-poly hash of a batch of strings.
+
+    One `''.join` + one UTF-32 encode turns the whole batch into a flat
+    codepoint array at C speed; the polynomial fold then runs as
+    max_len masked numpy passes (vectorized over the batch) instead of
+    per-character interpreted expressions. acc·31 + cp < 2^36 — int64
+    exact, so results equal `_char_poly_key` bit-for-bit."""
+    n = len(strings)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(s) for s in strings), dtype=np.int64, count=n)
+    flat = np.frombuffer(
+        "".join(strings).encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    for j in range(int(lens.max())):
+        valid = lens > j
+        out[valid] = (
+            out[valid] * SIMHASH_BASE + flat[starts[valid] + j]
+        ) % SIMHASH_MOD
+    return out
+
+
+def char_poly_key_udf():
+    """Arrow-batched pandas UDF form of `_char_poly_key` (hot path).
+    NULL in → NULL out, matching the expression form."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def key(s: pd.Series) -> pd.Series:
+        mask = np.asarray(s.isna())
+        vals = pd.array(_char_poly_batch(s.fillna("").tolist()), dtype="Int64")
+        vals[mask] = pd.NA
+        return pd.Series(vals)
+
+    return key
 
 
 def simhash(text_col: Column | str, bits: int = SIMHASH_BITS) -> Column:
@@ -170,6 +239,48 @@ def simhash(text_col: Column | str, bits: int = SIMHASH_BITS) -> Column:
     )
 
 
+def simhash_fast(text_col: Column | str, bits: int = SIMHASH_BITS) -> Column:
+    """Vectorized SimHash — identical integers to `simhash()` (all-int64
+    math, no float divergence), computed per Arrow batch: ONE flat
+    codepoint array for every token in the batch, the masked-pass
+    polynomial fold, then a segmented reduce for the per-doc bit votes.
+    This is the 10 TB-of-text form; the expression `simhash()` stays as
+    the DuckDB-oracle shape and the equality anchor (tests/test_dedup)."""
+    from pyspark.sql.functions import pandas_udf
+
+    masks = (1 << np.arange(bits)).astype(np.int64)
+
+    @pandas_udf("long")
+    def sig(texts: pd.Series) -> pd.Series:
+        if len(texts) == 0:
+            return pd.Series(pd.array([], dtype="Int64"))
+        na = np.asarray(texts.isna())
+        toks_per_doc = [
+            ("" if t is None else t).split(" ") for t in texts.tolist()
+        ]
+        counts = np.fromiter(
+            (len(t) for t in toks_per_doc), dtype=np.int64,
+            count=len(toks_per_doc),
+        )
+        flat = [w for toks in toks_per_doc for w in toks]
+        keys = _char_poly_batch(flat)
+        # ±1 vote per (token, bit), summed per doc with a segmented
+        # reduce over the contiguous token runs ('' splits to [''] so
+        # every doc owns ≥1 token — reduceat segments are never empty)
+        votes_tok = (
+            ((keys[:, None] & masks[None, :]) != 0).astype(np.int64) * 2 - 1
+        )
+        seg_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        votes = np.add.reduceat(votes_tok, seg_starts, axis=0)
+        sigs = ((votes > 0) * masks).sum(axis=1)
+        out = pd.array(sigs, dtype="Int64")
+        out[na] = pd.NA
+        return pd.Series(out)
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return sig(c)
+
+
 def simhash_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -197,15 +308,33 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 64,
     max_df: int | None = None,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """MinHash signatures: per doc, min over shingles of xxhash64(shingle,
-    seed=k) for k in 0..num_hashes-1. xxhash64 is Spark-native (JVM,
-    codegen) — this is a narrow projection + one groupBy(doc_id)."""
+    """MinHash signatures: per doc, min over shingles of a k-indexed hash
+    family; a narrow projection + one groupBy(doc_id).
+
+    hash_mode:
+    - "xxhash64" (default, scale path): xxhash64(shingle, seed=k) —
+      Spark-native JVM codegen, fastest.
+    - "portable": (A_k·charpoly(shingle) + B_k) mod P with module-level
+      constants — reproducible in any engine, so the driver's DuckDB
+      oracle can hash-verify the full LSH pipeline (q37). Same banding
+      math, slightly more CPU (one interpreted char fold per shingle).
+    """
     ex = doc_shingles(docs, id_col, text_col, n, max_df)
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"h{k}")
-        for k in range(num_hashes)
-    ]
+    if hash_mode == "portable":
+        # vectorized UDF == expression fold exactly (integer math); the
+        # 64 (A·key+B) mod P projections stay JVM-side Column arithmetic
+        key = char_poly_key_udf()(F.col("shingle"))
+        mins = [
+            F.min((F.lit(a) * key + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{k}")
+            for k, (a, b) in enumerate(minhash_coeffs(num_hashes))
+        ]
+    else:
+        mins = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(k))).alias(f"h{k}")
+            for k in range(num_hashes)
+        ]
     sig = ex.groupBy("doc_id").agg(*mins)
     return sig.select(
         "doc_id", F.array(*[f"h{k}" for k in range(num_hashes)]).alias("signature")
@@ -221,6 +350,7 @@ def minhash_lsh_pairs(
     bands: int = 32,
     threshold: float = 0.5,
     max_df: int | None = None,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard-verified.
 
@@ -229,11 +359,29 @@ def minhash_lsh_pairs(
     Jaccard ≥ threshold. With b=32, r=2: P(candidate | J=0.8) ≈ 1−(1−0.8²)^32
     ≈ 1-6e-15 — recall is effectively 1 at the planted-dup similarity,
     while J≤0.1 pairs almost never collide (the verify join stays tiny).
+
+    hash_mode="portable" swaps both hash stages for the cross-engine
+    family (see minhash_signatures), making the whole pipeline
+    DuckDB-reproducible for the driver's hash gate.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, n, num_hashes, max_df)
+    sig = minhash_signatures(
+        docs, id_col, text_col, n, num_hashes, max_df, hash_mode
+    )
+
+    def band_hash(bi: int):
+        members = [F.col("signature")[bi * r + j] for j in range(r)]
+        if hash_mode == "portable":
+            # left fold (…(h0·M + h1)·M + h2…) mod P — members are < P so
+            # every intermediate stays < 2^52
+            acc = members[0]
+            for m in members[1:]:
+                acc = (acc * F.lit(MINHASH_BAND_MULT) + m) % F.lit(MINHASH_P)
+            return acc
+        return F.xxhash64(*members)
+
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -241,9 +389,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("band_id"),
-                        F.xxhash64(
-                            *[F.col("signature")[bi * r + j] for j in range(r)]
-                        ).alias("band_hash"),
+                        band_hash(bi).alias("band_hash"),
                     )
                     for bi in range(bands)
                 ]
@@ -263,14 +409,25 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # exact-verify ONLY the candidate pairs: join each side to its
-    # distinct shingle set and compute set Jaccard per pair. Cost scales
-    # with #candidates (tiny after banding), not #pairs. Sets carry the
-    # 64-bit shingle hashes, not strings (same collision caveat as the
-    # inverted-index join in ngram_jaccard_pairs).
+    # exact-verify ONLY the candidate pairs — and build shingle sets ONLY
+    # for docs that appear in a candidate pair: the broadcast semi-join
+    # lands BELOW the groupBy/collect_set, so the verify stage shuffles
+    # #candidate-docs' shingles, not the whole corpus's. (With max_df the
+    # document-frequency cap still counts over the FULL corpus — the cap
+    # is applied during the explode, before the candidate scoping.)
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    if hash_mode == "portable":
+        sh_key = char_poly_key_udf()(F.col("shingle"))
+    else:
+        sh_key = F.xxhash64("shingle")
     sets = (
         doc_shingles(docs, id_col, text_col, n, max_df)
-        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .select("doc_id", sh_key.alias("shingle"))
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("sh"))
     )

@@ -109,9 +109,13 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                 for x in b:
                     counts[x] = counts.get(x, 0) + 1
                     total += x
+                # entropy terms accumulate in byte-value order: a fixed
+                # fold order makes the double bit-identical to the q42
+                # DuckDB oracle's list_sum(list(... ORDER BY b))
                 ent = (
                     -sum(
-                        (c / n) * math.log2(c / n) for c in counts.values()
+                        (c / n) * math.log2(c / n)
+                        for _bv, c in sorted(counts.items())
                     )
                     if n
                     else 0.0

@@ -138,51 +138,86 @@ def nearest_pairs_blocked(
     )
 
 
-def hyperplanes(dim: int, num_planes: int, seed: int = 7) -> list[list[float]]:
-    """Deterministic pseudo-random unit-free hyperplanes (seeded numpy)."""
+# Fixed-point quantization scale for LSH/IVF bucketing: embeddings are
+# quantized to floor(x·10^6 + 0.5) int64 before projecting onto INTEGER
+# hyperplanes/centroids. Integer dot products are associative and exact,
+# so the bucket keys / probe order are bit-identical whether computed by
+# a numpy matmul (Spark hot path), a Column fold, or the DuckDB oracle —
+# float summation-order noise can never flip a sign bit. Exact cosine
+# scoring still runs on the RAW floats; only candidate selection is
+# quantized (error 1e-6 — irrelevant to recall).
+QUANT = 1_000_000
+
+
+def hyperplanes(dim: int, num_planes: int, seed: int = 7) -> list[list[int]]:
+    """Deterministic integer hyperplanes: seeded unit normals scaled by
+    1000 and rounded. Shared verbatim by the Spark plan and the DuckDB
+    oracle generator (plans/similarity_queries.py)."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
-    return rng.standard_normal((num_planes, dim)).tolist()
+    return (
+        (rng.standard_normal((num_planes, dim)) * 1000)
+        .round()
+        .astype(np.int64)
+        .tolist()
+    )
 
 
-def _bucket(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket key: bit h = 1 iff vec · plane_h > 0.
+def quantize(vec_col: Column) -> Column:
+    """floor(x·QUANT + 0.5) per element, as int64 — the cross-engine
+    fixed-point form of an embedding."""
+    return F.transform(
+        vec_col,
+        lambda x: F.floor(x.cast("double") * QUANT + F.lit(0.5)).cast("long"),
+    )
 
-    Column-expression form (used in tests/small paths). Spark evaluates
+
+def _bucket(vec_col: Column, planes: list[list[int]]) -> Column:
+    """Sign-bit bucket key: bit h = 1 iff qvec · plane_h > 0 (integer).
+
+    Column-expression form (small paths / cross-checks). Spark evaluates
     higher-order lambdas interpreted, so the hot path uses
-    `_all_buckets_udf` (one numpy matmul per Arrow batch) instead."""
+    `_all_buckets_udf` (one numpy matmul per Arrow batch) instead —
+    integer arithmetic guarantees both forms agree exactly."""
+    qv = quantize(vec_col)
     key = F.lit(0).cast("long")
     for h, plane in enumerate(planes):
-        proj = _fold_sum(
+        proj = F.aggregate(
             F.zip_with(
-                vec_col,
-                F.array(*[F.lit(float(v)) for v in plane]),
-                lambda x, p: x.cast("double") * p,
-            )
+                qv,
+                F.array(*[F.lit(int(v)).cast("long") for v in plane]),
+                lambda x, p: x * p,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         )
         key = key + F.when(proj > 0, F.lit(2**h)).otherwise(F.lit(0))
     return key
 
 
-def _all_buckets_udf(tables: list[list[list[float]]]):
+def _all_buckets_udf(tables: list[list[list[int]]]):
     """Pandas UDF: embedding → array of per-table bucket keys, computed
-    as ONE (batch × dim) @ (dim × H·L) matmul + sign-bit packing. Arrow
-    batches keep this vectorized end-to-end — the 100 TB-friendly form
-    of the 32-projection fold."""
+    as ONE (batch × dim) @ (dim × H·L) int64 matmul + sign-bit packing.
+    Arrow batches keep this vectorized end-to-end — the 100 TB-friendly
+    form of the 32-projection fold — and the integer math makes the keys
+    engine-independent (see QUANT)."""
     from pyspark.sql.functions import pandas_udf
 
     num_tables = len(tables)
     num_planes = len(tables[0])
-    # (dim, L*H) plane matrix, fixed at plan time
-    mat = np.concatenate([np.asarray(t).T for t in tables], axis=1)
+    # (dim, L*H) integer plane matrix, fixed at plan time
+    mat = np.concatenate(
+        [np.asarray(t, dtype=np.int64).T for t in tables], axis=1
+    )
     weights = (1 << np.arange(num_planes)).astype(np.int64)
 
     @pandas_udf("array<long>")
     def buckets(vecs: pd.Series) -> pd.Series:
         v = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
-        proj = v @ mat  # (n, L*H)
-        bits = (proj > 0).reshape(len(v), num_tables, num_planes)
+        qv = np.floor(v * QUANT + 0.5).astype(np.int64)
+        proj = qv @ mat  # (n, L*H) int64 — exact
+        bits = (proj > 0).reshape(len(qv), num_tables, num_planes)
         keys = (bits * weights).sum(axis=2)  # (n, L)
         return pd.Series(list(keys))
 
@@ -193,9 +228,17 @@ def _centroids_from_corpus(
     corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str
 ):
     """Deterministic centroid set: an evenly-strided sample of corpus
-    vectors by id rank. (A k-means refinement would improve balance;
-    strided seeding keeps the operator dependency-free and exactly
-    reproducible — the coarse quantizer only gates recall/cost.)"""
+    vectors by id rank, L2-normalized then quantized to int64 (×QUANT).
+
+    The normalization runs on the DRIVER as a sequential Python fold —
+    the same operation order as DuckDB's list_sum — so the quantized
+    centroid coordinates are bit-identical to what the oracle SQL
+    derives, and every downstream integer score matches exactly. (A
+    k-means refinement would improve balance; strided seeding keeps the
+    operator dependency-free and exactly reproducible — the coarse
+    quantizer only gates recall/cost.)"""
+    import math
+
     total = corpus.count()
     stride = max(1, total // n_centroids)
     rows = (
@@ -205,21 +248,34 @@ def _centroids_from_corpus(
         .limit(n_centroids)
         .collect()  # only n_centroids vectors ever reach the driver
     )
-    return np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    cents = []
+    for r in rows:
+        vec = [float(x) for x in r[1]]
+        acc = 0.0
+        for x in vec:  # sequential fold == DuckDB list_sum order
+            acc += x * x
+        nrm = math.sqrt(acc)
+        cents.append([math.floor(x / nrm * QUANT + 0.5) for x in vec])
+    return np.asarray(cents, dtype=np.int64)
 
 
-def _nearest_centroids_udf(centroids: "np.ndarray", nprobe: int):
+def _nearest_centroids_udf(qcentroids: "np.ndarray", nprobe: int):
     """Pandas UDF: embedding → array of its `nprobe` nearest centroid
-    ids (cosine). One matmul per Arrow batch."""
+    ids. Score = integer dot of the quantized raw vector with the
+    quantized NORMALIZED centroid — for a fixed vector this is monotone
+    in cosine (the vector's own norm is constant across centroids), and
+    integer arithmetic makes the probe order engine-exact. Ties break
+    toward the lower centroid id (stable argsort ≡ ORDER BY s DESC, cid).
+    One matmul per Arrow batch."""
     from pyspark.sql.functions import pandas_udf
 
-    c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    c = qcentroids.T  # (dim, k) int64
 
     @pandas_udf("array<int>")
     def nearest(vecs: pd.Series) -> pd.Series:
         v = np.stack(vecs.to_numpy()).astype(np.float64)
-        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-        sims = vn @ c.T  # (n, k)
+        qv = np.floor(v * QUANT + 0.5).astype(np.int64)
+        sims = qv @ c  # (n, k) int64 — exact
         order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
         return pd.Series([row.astype("int32") for row in order])
 

@@ -14,12 +14,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    MINHASH_BAND_MULT,
+    MINHASH_P,
     SIMHASH_BASE,
     SIMHASH_BITS,
     SIMHASH_MOD,
+    minhash_coeffs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
+    simhash_fast,
 )
 from ..tables import table
 from .queries import _r, register
@@ -138,9 +142,11 @@ def _simhash_sql() -> str:
     """,
 )
 def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # simhash_fast == simhash (expression form) bit-for-bit — integer
+    # math end to end; the oracle SQL above mirrors the expression form
     docs = table(spark, sf_dir, "documents")
     groups = (
-        docs.select("lang", simhash("text").alias("sig"))
+        docs.select("lang", simhash_fast("text").alias("sig"))
         .groupBy("lang", "sig")
         .agg(F.count("*").alias("c"))
     )
@@ -158,13 +164,93 @@ def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q37 — MinHash+LSH near-dup pairs (scale path). Rows-only driver check;
-# tests/test_dedup.py asserts equality with the exact q35 pair set.
+# q37 — MinHash+LSH near-dup pairs (scale path), FULL oracle: the query
+# runs hash_mode="portable" — shingle keys are char-polynomial mod P and
+# the 64-hash family is (A_k·key + B_k) mod P with coefficients shared
+# between this SQL generator and the Spark operator, so DuckDB replays
+# the ENTIRE pipeline (signatures → banding → bucket join → exact
+# verify) and the driver hash-compares the surviving pairs. The
+# xxhash64 default stays the faster production path; tests assert both
+# modes produce the exact-Jaccard pair set.
 # --------------------------------------------------------------------------
-@register("q37_minhash_lsh")
+def _minhash_sql(num_hashes: int = 64, bands: int = 32) -> str:
+    r = num_hashes // bands
+    coeffs = minhash_coeffs(num_hashes)
+    mins = ",\n             ".join(
+        f"min(({a} * key + {b}) % {MINHASH_P}) AS h{k}"
+        for k, (a, b) in enumerate(coeffs)
+    )
+
+    def band_expr(bi: int) -> str:
+        acc = f"h{bi * r}"
+        for j in range(1, r):
+            acc = f"(({acc}) * {MINHASH_BAND_MULT} + h{bi * r + j}) % {MINHASH_P}"
+        return acc
+
+    band_ids = ", ".join(str(bi) for bi in range(bands))
+    band_hashes = ",\n             ".join(band_expr(bi) for bi in range(bands))
+    return f"""
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, greatest(len(t) - 2, 1)),
+               i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')
+             )) AS shingles
+      FROM toks),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    keys AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(s, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * {SIMHASH_BASE} + x) % {MINHASH_P}) AS key
+      FROM ex),
+    minh AS (
+      SELECT doc_id,
+             {mins}
+      FROM keys GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id,
+             unnest([{band_ids}]) AS band_id,
+             unnest([{band_hashes}]) AS bh
+      FROM minh),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    ksets AS (
+      SELECT doc_id, CAST(count(DISTINCT key) AS BIGINT) AS nk
+      FROM keys GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(count(DISTINCT ka.key) AS BIGINT) AS common
+      FROM cand c
+      JOIN keys ka ON ka.doc_id = c.doc_a
+      JOIN keys kb ON kb.doc_id = c.doc_b AND kb.key = ka.key
+      GROUP BY c.doc_a, c.doc_b)
+    """
+
+
+@register(
+    "q37_minhash_lsh",
+    oracle=f"""
+    WITH {_minhash_sql(64, 32)}
+    SELECT i.doc_a, i.doc_b,
+           floor(CAST(i.common AS DOUBLE) / (sa.nk + sb.nk - i.common)
+                 * 1000000 + 0.5) / 1000000 AS jaccard
+    FROM inter i
+    JOIN ksets sa ON i.doc_a = sa.doc_id
+    JOIN ksets sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.common AS DOUBLE) / (sa.nk + sb.nk - i.common) >= 0.5
+    ORDER BY i.doc_a, i.doc_b
+    """,
+)
 def q37_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, num_hashes=64, bands=32, threshold=0.5)
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=64, bands=32, threshold=0.5, hash_mode="portable"
+    )
     return pairs.select(
         "doc_a", "doc_b", _r(F.col("jaccard"), 6).alias("jaccard")
     ).orderBy("doc_a", "doc_b")

@@ -62,16 +62,76 @@ def q41_media_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q42 — Pandas-UDF feature extraction (stub decode): per kind, feature
-# aggregates. Rows-only driver check (the Arrow batch path has no SQL
-# analog); tests/test_multimodal.py pins exact per-payload values.
+# q42 — Pandas-UDF feature extraction (stub decode): corpus-level feature
+# aggregates. FULL oracle: the stub features are pure byte arithmetic, so
+# DuckDB recomputes them from hex(encode(text)) — per-byte extraction via
+# substring/strpos, entropy as a byte-value-ordered list_sum fold (the
+# Python side folds in the same order → bit-identical doubles), and the
+# FNV-1a head hash as a HUGEINT list_reduce mod 2^64. Per-doc entropy is
+# quantized to 6dp then decimal-summed so the corpus average is exact and
+# order-independent in both engines.
 # --------------------------------------------------------------------------
-@register("q42_media_features")
+_Q42_ORACLE = """
+    WITH hx AS (
+      SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id, n, i,
+             (strpos('0123456789ABCDEF', substring(h, 2*i+1, 1)) - 1) * 16 +
+             (strpos('0123456789ABCDEF', substring(h, 2*i+2, 1)) - 1) AS b
+      FROM hx, unnest(range(n)) AS t(i)
+    ),
+    counts AS (
+      SELECT doc_id, n, b, CAST(count(*) AS BIGINT) AS c
+      FROM bytes GROUP BY doc_id, n, b
+    ),
+    ent AS (
+      SELECT doc_id,
+             floor(-list_sum(list((CAST(c AS DOUBLE)/n) * log2(CAST(c AS DOUBLE)/n)
+                                  ORDER BY b))
+                   * 1000000 + 0.5) / 1000000 AS ent_q
+      FROM counts GROUP BY doc_id
+    ),
+    fnv AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                            list(CAST(b AS HUGEINT) ORDER BY i)
+                              FILTER (WHERE i < 64)),
+               (acc, x) -> ((acc - (acc % 256)
+                             + xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)))
+                            * 1099511628211)
+                           % CAST('18446744073709551616' AS HUGEINT)
+             ) AS hh
+      FROM bytes GROUP BY doc_id
+    ),
+    per_doc AS (
+      SELECT hx.doc_id, hx.n,
+             coalesce(ent.ent_q, 0.0) AS ent_q,
+             coalesce(fnv.hh, CAST(14695981039346656037 AS HUGEINT)) AS hh
+      FROM hx
+      LEFT JOIN ent ON hx.doc_id = ent.doc_id
+      LEFT JOIN fnv ON hx.doc_id = fnv.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS media_count,
+           CAST(sum(n) AS BIGINT) AS total_bytes,
+           floor(CAST(sum(CAST(ent_q AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+                 * 10000 + 0.5) / 10000 AS avg_entropy,
+           CAST(count(DISTINCT hh) AS BIGINT) AS distinct_head_hashes
+    FROM per_doc
+"""
+
+
+@register("q42_media_features", oracle=_Q42_ORACLE)
 def q42_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(_media_df(spark, sf_dir), decode_stub=True)
+    ent_q = _r(F.col("byte_entropy"), 6)
     return feats.agg(
         F.count("*").alias("media_count"),
         F.sum("n_bytes").alias("total_bytes"),
-        _r(F.avg("byte_entropy"), 4).alias("avg_entropy"),
+        _r(
+            F.sum(ent_q.cast("decimal(28,6)")).cast("double") / F.count("*"), 4
+        ).alias("avg_entropy"),
         F.countDistinct("head_hash").alias("distinct_head_hashes"),
     )

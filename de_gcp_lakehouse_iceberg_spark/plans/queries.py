@@ -803,19 +803,47 @@ def q22_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Q23 shape — approx median (APPROX_QUANTILES, PRD.md:4574-4586; A8).
-# No SQL oracle: approx algorithms differ between engines → the driver
-# records the weaker rows-only check (documented in SURVEY.md §2.13).
+# Approx sketches differ between engines (Spark: variant of KLL;
+# DuckDB: t-digest), so the raw approx value can't be hash-compared.
+# Oracle strategy: each engine runs ITS approx aggregate and reduces it
+# to a tolerance flag against the exact PERCENTILE_CONT — the hashed
+# columns are the exact median + the flag, so the driver still verifies
+# the approx path end-to-end (a broken sketch flips the flag) without
+# demanding bit-equal sketches.
 # --------------------------------------------------------------------------
-@register("q23_approx_median")
+@register(
+    "q23_approx_median",
+    oracle="""
+    SELECT event_type,
+           floor(percentile_cont(0.5) WITHIN GROUP (ORDER BY value)
+                 * 1000000 + 0.5) / 1000000 AS exact_median,
+           abs(approx_quantile(value, 0.5)
+               - percentile_cont(0.5) WITHIN GROUP (ORDER BY value))
+             <= 0.05 * (abs(percentile_cont(0.5) WITHIN GROUP (ORDER BY value)) + 1.0)
+             AS approx_within_5pct,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def q23_approx_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        table(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(
-            F.percentile_approx("value", 0.5).alias("approx_median_value"),
-            F.count("*").alias("cnt"),
-        )
-        .orderBy("event_type")
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_q23_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               floor(percentile_cont(0.5) WITHIN GROUP (ORDER BY value)
+                     * 1000000 + 0.5) / 1000000 AS exact_median,
+               abs(percentile_approx(value, 0.5)
+                   - percentile_cont(0.5) WITHIN GROUP (ORDER BY value))
+                 <= 0.05 * (abs(percentile_cont(0.5) WITHIN GROUP (ORDER BY value)) + 1.0)
+                 AS approx_within_5pct,
+               count(*) AS cnt
+        FROM _q23_events
+        GROUP BY event_type
+        ORDER BY event_type
+        """
     )
 
 

@@ -95,10 +95,85 @@ def q39_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q40 — LSH-bucketed approximate top-k (the scale path). Rows-only check;
-# recall vs q38 is pinned in tests/test_similarity.py.
+# q40 — LSH-bucketed approximate top-k (the scale path). FULL oracle:
+# bucket keys come from INTEGER projections of fixed-point-quantized
+# embeddings onto integer hyperplanes (operators/similarity.py QUANT) —
+# integer dot products are exact and order-independent, so the numpy
+# matmul in the Spark UDF and the list_sum folds below produce the SAME
+# sign bits, hence the same candidate sets; exact cosine scoring then
+# matches bit-for-bit like q38. Plane literals are generated from the
+# same `hyperplanes()` call the operator uses. The oracle pins dim=64
+# (the testdata embedding width at every SF); the Spark side still
+# infers dim at runtime.
 # --------------------------------------------------------------------------
-@register("q40_lsh_ann")
+def _lsh_ann_sql(
+    dim: int = 64,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    seed: int = 7,
+    k: int = 10,
+) -> str:
+    from ..operators.similarity import QUANT, hyperplanes
+
+    tables = [hyperplanes(dim, num_planes, seed + t) for t in range(num_tables)]
+
+    def proj(t: int, h: int) -> str:
+        lit = "[" + ",".join(str(int(v)) for v in tables[t][h]) + "]"
+        return f"list_sum(list_transform(list_zip(q, {lit}), p -> p[1]*p[2]))"
+
+    def bucket(t: int) -> str:
+        return "(" + " + ".join(
+            f"(CASE WHEN {proj(t, h)} > 0 THEN {1 << h} ELSE 0 END)"
+            for h in range(num_planes)
+        ) + ")"
+
+    table_ids = ", ".join(str(t) for t in range(num_tables))
+    buckets = ",\n             ".join(bucket(t) for t in range(num_tables))
+    probe_list = "[b" + "".join(
+        f", xor(b, {1 << h})" for h in range(num_planes)
+    ) + "]"
+    return f"""
+    qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT} + 0.5) AS BIGINT)) AS q
+      FROM embeddings),
+    cb AS (
+      SELECT vec_id,
+             unnest([{table_ids}]) AS t,
+             unnest([{buckets}]) AS b
+      FROM qv),
+    probes AS (
+      SELECT vec_id AS query_id, t, unnest({probe_list}) AS pb
+      FROM cb WHERE vec_id < 5),
+    cand AS (
+      SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+      FROM probes p JOIN cb c ON c.t = p.t AND c.b = p.pb
+      WHERE c.vec_id <> p.query_id)
+    """
+
+
+@register(
+    "q40_lsh_ann",
+    oracle=f"""
+    WITH {_COS_SQL},
+    {_lsh_ann_sql()},
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id, {_cos_expr('qn', 'cn')} AS cos
+      FROM cand
+      JOIN n qn ON qn.vec_id = cand.query_id
+      JOIN n cn ON cn.vec_id = cand.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id,
+           floor(cos * 1000000 + 0.5) / 1000000 AS cosine, rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
 def q40_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     dim = emb.select(F.size("embedding")).first()[0]  # don't assume 64
@@ -109,10 +184,75 @@ def q40_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q45 — IVF (inverted-file) ANN, the second scale path. Rows-only;
-# recall + exact-score invariants pinned in tests/test_similarity.py.
+# q45 — IVF (inverted-file) ANN, the second scale path. FULL oracle: the
+# strided centroid sample, its driver-side sequential-fold normalization,
+# and the integer assignment scores are all replayed in SQL — the
+# operator normalizes centroids with the exact operation order DuckDB's
+# list_sum uses, then quantizes, so probe order and inverted lists agree
+# exactly; cosine scoring matches like q38.
 # --------------------------------------------------------------------------
-@register("q45_ivf_ann")
+def _ivf_sql(n_centroids: int = 32, nprobe: int = 8) -> str:
+    from ..operators.similarity import QUANT
+
+    return f"""
+    qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT} + 0.5) AS BIGINT)) AS q
+      FROM embeddings),
+    cent0 AS (
+      SELECT vec_id, embedding
+      FROM embeddings
+      WHERE vec_id % greatest(1, (SELECT count(*) FROM embeddings) // {n_centroids}) = 0
+      ORDER BY vec_id LIMIT {n_centroids}),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE)
+                    / sqrt(list_sum(list_transform(embedding,
+                          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+                    * {QUANT} + 0.5) AS BIGINT)) AS qc
+      FROM cent0),
+    assign AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(list_zip(e.q, c.qc), p -> p[1]*p[2])) AS s
+      FROM qv e, cents c),
+    rn AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rnk
+      FROM assign),
+    lists AS (SELECT vec_id AS neighbor_id, cid FROM rn WHERE rnk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid
+      FROM rn WHERE rnk <= {nprobe} AND vec_id < 5),
+    cand AS (
+      SELECT DISTINCT p.query_id, l.neighbor_id
+      FROM probes p JOIN lists l ON l.cid = p.cid
+      WHERE l.neighbor_id <> p.query_id)
+    """
+
+
+@register(
+    "q45_ivf_ann",
+    oracle=f"""
+    WITH {_COS_SQL},
+    {_ivf_sql()},
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id, {_cos_expr('qn', 'cn')} AS cos
+      FROM cand
+      JOIN n qn ON qn.vec_id = cand.query_id
+      JOIN n cn ON cn.vec_id = cand.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id,
+           floor(cos * 1000000 + 0.5) / 1000000 AS cosine, rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
 def q45_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_ann_topk
 

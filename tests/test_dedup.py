@@ -86,3 +86,68 @@ def test_max_df_cap_drops_ubiquitous_shingles(spark):
     capped = dedup.doc_shingles(df, max_df=2)
     assert uncapped.filter(F.col("shingle") == "a b c").count() == 3
     assert capped.filter(F.col("shingle") == "a b c").count() == 0
+
+
+def test_simhash_fast_equals_expression_form_on_10x_corpus(spark, sf_dir_medium):
+    """The vectorized pandas_udf SimHash must equal the Catalyst
+    expression form bit-for-bit (all-integer math) — checked on a 10×
+    replicated corpus with perturbed texts so the vectorized path sees
+    real batch sizes, unicode, and varied token counts."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir_medium, "documents")
+    big = docs.crossJoin(spark.range(10).select(F.col("id").alias("rep"))).select(
+        (F.col("doc_id") * 10 + F.col("rep")).alias("doc_id"),
+        # vary the text per replica so signatures differ across reps
+        F.concat_ws(" ", F.col("text"), F.col("rep").cast("string")).alias("text"),
+    )
+    import time
+
+    both = big.select(
+        "doc_id",
+        dedup.simhash("text").alias("expr_sig"),
+        dedup.simhash_fast("text").alias("fast_sig"),
+    )
+    t0 = time.time()
+    mismatches = both.filter(F.col("expr_sig") != F.col("fast_sig")).count()
+    assert mismatches == 0
+    # and a rough CPU sanity probe: fast path alone over the 10x corpus
+    t1 = time.time()
+    big.select(dedup.simhash_fast("text").alias("s")).agg(
+        F.count("*"), F.sum("s")
+    ).collect()
+    fast_wall = time.time() - t1
+    print(f"simhash 10x: joint={t1-t0:.2f}s fast-only={fast_wall:.2f}s")
+
+
+def test_char_poly_udf_equals_expression(spark):
+    """char_poly_key_udf == _char_poly_key on unicode/empty/null input."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("hello",), ("",), (None,), ("héllo wörld",), ("中文 text",)],
+        "s string",
+    )
+    rows = df.select(
+        dedup._char_poly_key(F.col("s")).alias("expr"),
+        dedup.char_poly_key_udf()(F.col("s")).alias("udf"),
+    ).collect()
+    for r in rows:
+        assert r.expr == r.udf, (r.expr, r.udf)
+
+
+def test_minhash_portable_mode_matches_exact_jaccard(spark, sf_dir):
+    """hash_mode='portable' (the oracle-checkable family) finds the same
+    verified pair set as exact n-gram Jaccard, like the default mode."""
+    docs = table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, threshold=0.5, hash_mode="portable"
+        ).collect()
+    }
+    assert lsh == exact
