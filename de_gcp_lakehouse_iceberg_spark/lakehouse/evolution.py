@@ -152,6 +152,63 @@ def apply_defaults(table: LakeTable, df: DataFrame) -> DataFrame:
     return df
 
 
+def widen_column(
+    table: LakeTable,
+    name: str,
+    new_type: str = "decimal(38,18)",
+    warehouse=None,
+    view_name: str | None = None,
+) -> Snapshot:
+    """Safe type-widening migration (reference PRD.md:1214-1229, the
+    "Evolution 7" flow): since a column's type can't change in place,
+
+    1. ADD COLUMN `<name>_precise <new_type>` (metadata-only commit),
+    2. backfill `<name>_precise = CAST(<name> AS <new_type>)` where
+       NULL (file-targeted copy-on-write UPDATE — at scale this touches
+       each file once, no full-table rewrite beyond the data it owns),
+    3. CREATE OR REPLACE VIEW `<table>_precise` as
+       `SELECT * EXCEPT(<name>), <name>_precise AS <name>` when a
+       Warehouse is supplied — readers switch atomically,
+    4. log a MODIFY_COLUMN evolution entry (audit parity with
+       schema_evolution_log, create_iceberg_tables.sql:108-123).
+
+    Returns the backfill snapshot.
+    """
+    from . import dml  # local import: dml ← table only, no cycle
+
+    wide = f"{name}_precise"
+    snap = table.snapshot()
+    schema = StructType.fromJson(json.loads(snap.schema_json))
+    if name not in schema.fieldNames():
+        raise ValueError(f"no column {name!r} to widen")
+    old_type = next(
+        f.dataType.simpleString() for f in schema.fields if f.name == name
+    )
+    add_column(table, wide, new_type)
+    out = dml.update(
+        table,
+        {wide: F.col(name).cast(new_type)},
+        F.col(wide).isNull(),
+    )
+    if warehouse is not None:
+        tbl = os.path.basename(table.root)
+        keep = [c for c in schema.fieldNames() if c != name]
+        cols = ", ".join([*keep, f"{wide} AS {name}"])
+        warehouse.create_view(
+            view_name or f"{tbl}_precise", f"SELECT {cols} FROM {tbl}"
+        )
+    _log(
+        table,
+        {
+            "change_type": "MODIFY_COLUMN",
+            "column_name": name,
+            "old_type": old_type,
+            "new_type": new_type,
+        },
+    )
+    return out
+
+
 def evolution_log_df(table: LakeTable):
     """The schema_evolution_log audit table
     (sql/create_iceberg_tables.sql:108-123)."""

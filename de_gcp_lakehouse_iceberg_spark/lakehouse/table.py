@@ -312,15 +312,21 @@ class LakeTable:
                      "added_rows": sum(f.rows for f in new_files)},
         )
 
-    def overwrite(self, df: DataFrame) -> Snapshot:
+    def overwrite(
+        self,
+        df: DataFrame,
+        operation: str = "overwrite",
+        summary: dict[str, Any] | None = None,
+    ) -> Snapshot:
         """Full-table replace (INSERT OVERWRITE / CTAS refresh, D8/D9)."""
         base = self.current_version()
         new_files = self._write_files(df)
         return self._commit_snapshot(
-            operation="overwrite",
+            operation=operation,
             files=new_files,
             schema_json=df.schema.json(),
             base=base,
+            summary=summary,
         )
 
     def replace_files(

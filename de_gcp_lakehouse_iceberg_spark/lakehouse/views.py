@@ -101,24 +101,101 @@ class Warehouse:
 
     # -- materialized views (D8) ---------------------------------------
     def create_materialized_view(
-        self, name: str, sql: str, refresh_minutes: float = 60.0
+        self,
+        name: str,
+        sql: str,
+        refresh_minutes: float = 60.0,
+        base_table: str | None = None,
+        partition_col: str | None = None,
     ) -> LakeTable:
-        """MV = view definition + a backing table refreshed idempotently
-        (full overwrite — the snapshot layer keeps history; per-partition
-        incremental refresh is the 100 TB upgrade path and slots into
-        `refresh` unchanged)."""
+        """MV = view definition + a backing table refreshed idempotently.
+
+        With `base_table` + `partition_col` declared (and the base
+        partitioned by that column), refreshes become INCREMENTAL: the
+        manifest diff between the base version recorded at last refresh
+        and its current version names exactly the partitions whose data
+        changed, and only those MV partitions are recomputed/replaced —
+        at 100 TB a 1-partition source append rewrites 1 MV partition,
+        not the world. The contract is the standard MV one: every output
+        row must derive only from base rows of a single `partition_col`
+        value (i.e. the SQL groups by / preserves the partition column).
+        Without the declaration, refresh is a full overwrite."""
         self.create_view(f"_mv_def_{name}", sql)
         views = self._views()
         views[f"_mv_def_{name}"]["refresh_minutes"] = refresh_minutes
+        if base_table is not None:
+            views[f"_mv_def_{name}"]["base_table"] = base_table
+            views[f"_mv_def_{name}"]["partition_col"] = partition_col
         with open(os.path.join(self.root, VIEWS_FILE), "w") as f:
             json.dump(views, f, indent=2)
-        t = self.create_table(name)
+        self.create_table(
+            name, partition_by=[partition_col] if partition_col else None
+        )
         self.refresh_materialized_view(name)
         return self.table(name)
 
     def refresh_materialized_view(self, name: str) -> None:
-        df = self.query_view(f"_mv_def_{name}")
-        self.table(name).overwrite(df)
+        spec = self._views()[f"_mv_def_{name}"]
+        base_name = spec.get("base_table")
+        pcol = spec.get("partition_col")
+        mv = self.table(name)
+        last_src = mv.snapshot().summary.get("source_version")
+        base = self.table(base_name) if base_name else None
+        incremental_ok = (
+            base is not None
+            and pcol is not None
+            and pcol in base.partition_by
+            and last_src is not None
+        )
+        if not incremental_ok:
+            df = self.query_view(f"_mv_def_{name}")
+            summary = (
+                {"source_version": base.current_version()} if base else None
+            )
+            self.table(name).overwrite(df, summary=summary)
+            return
+
+        cur_v = base.current_version()
+        prev_files = {f.path: f for f in base.snapshot(last_src).files}
+        cur_files = {f.path: f for f in base.snapshot(cur_v).files}
+        changed = {
+            f.partition.get(pcol)
+            for p, f in {**prev_files, **cur_files}.items()
+            if (p in prev_files) != (p in cur_files)
+        }
+        if not changed:
+            # touch: record freshness (and the source version) without
+            # rewriting any data
+            snap = mv.snapshot()
+            mv._commit_snapshot(
+                operation="mv_refresh_noop",
+                files=snap.files,
+                schema_json=snap.schema_json,
+                base=snap.version,
+                summary={"source_version": cur_v},
+            )
+            return
+        # recompute the view over ONLY the changed base partitions:
+        # manifest-level partition pruning before Spark plans the scan
+        self._register_bases()
+        base.scan(
+            partition_filter=lambda p: p.get(pcol) in changed
+        ).createOrReplaceTempView(base_name)
+        partial = self.spark.sql(spec["sql"])
+        stale = [
+            f.path
+            for f in mv.snapshot().files
+            if f.partition.get(pcol) in {str(c) for c in changed}
+        ]
+        mv.replace_files(
+            stale,
+            partial,
+            operation="mv_incremental_refresh",
+            summary={
+                "source_version": cur_v,
+                "refreshed_partitions": sorted(str(c) for c in changed),
+            },
+        )
 
     def stale_materialized_views(self, now_ms: int | None = None) -> list[str]:
         """MVs whose backing table is older than their refresh interval —

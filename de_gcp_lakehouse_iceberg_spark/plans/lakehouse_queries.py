@@ -104,3 +104,63 @@ def q48_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_rows long, rows_with_category long, rows_null_category long, "
         "evolution_events long",
     )
+
+
+# --------------------------------------------------------------------------
+# q49 — type-widening migration (PRD.md:1214-1229 "Evolution 7"):
+# widen_column adds a DECIMAL(38,18) companion, backfills it with a
+# copy-on-write UPDATE, publishes the *_precise compat view, and logs
+# MODIFY_COLUMN. The query proves the migration: every row backfilled,
+# zero value drift between old and widened column, exact totals through
+# the view, and both evolution-log entries present.
+# --------------------------------------------------------------------------
+@register(
+    "q49_widen_column",
+    oracle="""
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM orders) AS total_rows,
+      (SELECT CAST(count(*) AS BIGINT) FROM orders) AS backfilled_rows,
+      CAST(0 AS BIGINT) AS mismatch_rows,
+      (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         FROM orders) AS total_amount,
+      CAST(2 AS BIGINT) AS evolution_events
+    """,
+)
+def q49_widen_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..lakehouse import Warehouse
+
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    wh = Warehouse(spark, _root("q49_wh", sf_dir))
+    t = wh.create_table("orders_w")
+    t.append(src)
+    evolution.widen_column(t, "o_totalprice", "decimal(38,18)", warehouse=wh)
+    base = t.scan()
+    mismatches = base.filter(
+        ~F.col("o_totalprice_precise").eqNullSafe(
+            F.col("o_totalprice").cast("decimal(38,18)")
+        )
+    ).count()
+    view = wh.query_view("orders_w_precise")
+    agg = view.agg(
+        F.count("*").alias("total_rows"),
+        F.count("o_totalprice").alias("backfilled_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_amount"),
+    ).first()
+    n_events = evolution.evolution_log_df(t).count()
+    return spark.createDataFrame(
+        [
+            (
+                agg.total_rows,
+                agg.backfilled_rows,
+                mismatches,
+                float(agg.total_amount),
+                n_events,
+            )
+        ],
+        "total_rows long, backfilled_rows long, mismatch_rows long, "
+        "total_amount double, evolution_events long",
+    )

@@ -569,8 +569,9 @@ def q13_rank_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type, stat_hour
     )
     SELECT event_type, stat_hour, cnt, total_value,
-           lag(cnt, 1)  OVER w AS cnt_lag_1,
-           lag(cnt, 24) OVER w AS cnt_lag_24,
+           lag(cnt, 1)   OVER w AS cnt_lag_1,
+           lag(cnt, 24)  OVER w AS cnt_lag_24,
+           lag(cnt, 168) OVER w AS cnt_lag_168,
            floor(avg(cnt) OVER (PARTITION BY event_type ORDER BY stat_hour
                                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
                  * 10000 + 0.5) / 10000 AS rolling_avg_24h
@@ -597,6 +598,8 @@ def q14_lag_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
             F.lag("cnt", 1).over(w).alias("cnt_lag_1"),
             F.lag("cnt", 24).over(w).alias("cnt_lag_24"),
+            # 168 h = the week-over-week feature (PRD.md:5262)
+            F.lag("cnt", 168).over(w).alias("cnt_lag_168"),
             _r(F.avg("cnt").over(w.rowsBetween(-23, 0)), 4).alias("rolling_avg_24h"),
         )
         .orderBy("event_type", "stat_hour")

@@ -108,3 +108,100 @@ def test_apply_defaults_scoped_to_pre_evolution_files(spark, tmp_path):
     got = evolution.apply_defaults(t, t.scan())
     assert got.filter("trip_id < 100 AND status = 'unknown'").count() == 4
     assert got.filter("trip_id >= 100 AND status IS NULL").count() == 3
+
+
+def test_widen_column_migration_flow(spark, tmp_path):
+    """PRD 'Evolution 7': add precise column + backfill + compat view +
+    MODIFY_COLUMN log entry; old and new columns agree exactly."""
+    from de_gcp_lakehouse_iceberg_spark.lakehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = wh.create_table("trips")
+    t.append(_df(spark, 12))  # trip_id, amount double
+    evolution.widen_column(t, "amount", "decimal(38,18)", warehouse=wh)
+
+    base = t.scan()
+    assert "amount_precise" in base.columns
+    assert base.filter("amount_precise IS NULL").count() == 0
+    assert (
+        base.filter(
+            "amount_precise <> CAST(amount AS DECIMAL(38,18))"
+        ).count()
+        == 0
+    )
+    # compat view renames precise -> original name, drops the old column
+    v = wh.query_view("trips_precise")
+    assert set(v.columns) == {"trip_id", "amount"}
+    assert dict(v.dtypes)["amount"] == "decimal(38,18)"
+    assert v.count() == 12
+    log = evolution.evolution_log_df(t).collect()
+    kinds = {(r.change_type, r.column_name) for r in log}
+    assert ("ADD_COLUMN", "amount_precise") in kinds
+    assert ("MODIFY_COLUMN", "amount") in kinds
+
+
+def _mv_warehouse(spark, tmp_path):
+    from de_gcp_lakehouse_iceberg_spark.lakehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = wh.create_table("sales", partition_by=["day"])
+    rows = [(d, i, float(i)) for d in ("d1", "d2", "d3") for i in range(10)]
+    base.append(
+        spark.createDataFrame(rows, "day string, sale_id long, amount double")
+    )
+    wh.create_materialized_view(
+        "daily_totals",
+        "SELECT day, count(*) AS cnt, sum(CAST(amount AS DECIMAL(18,2))) AS total"
+        " FROM sales GROUP BY day",
+        base_table="sales",
+        partition_col="day",
+    )
+    return wh, base
+
+
+def test_incremental_mv_refresh_touches_only_changed_partition(spark, tmp_path):
+    """A 1-partition source append must rewrite exactly 1 MV partition,
+    with results equal to a full recompute."""
+    wh, base = _mv_warehouse(spark, tmp_path)
+    mv = wh.table("daily_totals")
+    files_before = {f.path: f for f in mv.snapshot().files}
+
+    # append to ONE day only
+    base.append(
+        spark.createDataFrame(
+            [("d2", 100, 5.0), ("d2", 101, 7.0)],
+            "day string, sale_id long, amount double",
+        )
+    )
+    wh.refresh_materialized_view("daily_totals")
+    mv = wh.table("daily_totals")
+    snap = mv.snapshot()
+    assert snap.operation == "mv_incremental_refresh"
+    assert snap.summary["refreshed_partitions"] == ["d2"]
+    files_after = {f.path: f for f in snap.files}
+    # d1/d3 files untouched byte-for-byte (same manifest entries)
+    untouched = {
+        p for p, f in files_before.items() if f.partition.get("day") != "d2"
+    }
+    assert untouched <= set(files_after)
+    # result equals the full recompute of the view definition
+    got = {
+        (r.day, r.cnt, float(r.total))
+        for r in mv.scan().select("day", "cnt", "total").collect()
+    }
+    want = {
+        (r.day, r.cnt, float(r.total))
+        for r in wh.query_view("_mv_def_daily_totals").collect()
+    }
+    assert got == want
+    assert {r[0] for r in got} == {"d1", "d2", "d3"}
+
+
+def test_incremental_mv_refresh_noop_touches_freshness_only(spark, tmp_path):
+    wh, base = _mv_warehouse(spark, tmp_path)
+    mv = wh.table("daily_totals")
+    rows_before = {tuple(r) for r in mv.scan().collect()}
+    wh.refresh_materialized_view("daily_totals")
+    mv = wh.table("daily_totals")
+    assert mv.snapshot().operation == "mv_refresh_noop"
+    assert {tuple(r) for r in mv.scan().collect()} == rows_before

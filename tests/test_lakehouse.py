@@ -307,3 +307,30 @@ def test_maintenance_rewrites_carry_occ_expected_base(spark, tmp_path, monkeypat
     assert maintenance.rewrite_sorted(t, ["order_id"])["status"] == "success"
     assert maintenance.rewrite_zorder(t, ["x", "y"])["status"] == "success"
     assert seen == [v0, v0 + 1, v0 + 2]  # each pinned its planning snapshot
+
+
+def test_concurrent_writers_occ_loser_retries(spark, tmp_path):
+    """Two writers race: the one whose base moved underneath it fails
+    its commit (optimistic concurrency) and succeeds after replanning
+    against the new base — no lost update, no resurrected rows."""
+    t = LakeTable.create(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(i, float(i)) for i in range(10)], "key long, amount double"))
+    v1 = t.current_version()
+
+    # writer A plans a DELETE against v1 (but does not commit yet)
+    snap_a = t.snapshot()
+    files_a = [f.path for f in snap_a.files]
+    survivors_a = t._read_files(snap_a, files_a).filter("key >= 5")
+
+    # writer B lands an append first
+    t.append(spark.createDataFrame([(100, 1.0)], "key long, amount double"))
+    assert t.current_version() == v1 + 1
+
+    # writer A's commit must fail, not silently drop B's rows
+    with pytest.raises(RuntimeError, match="concurrent modification"):
+        t.replace_files(files_a, survivors_a, operation="delete", expected_base=v1)
+
+    # retry: replan through the DML path against the current base
+    dml.delete(t, F.col("key") < 5)
+    keys = {r.key for r in t.scan().collect()}
+    assert keys == {5, 6, 7, 8, 9, 100}  # B's append survived the retry
