@@ -408,6 +408,12 @@ def minhash_lsh_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        # the candidate set feeds THREE subtrees (pair output, doc_a ids,
+        # doc_b ids); without persisting, Spark re-runs the whole
+        # signature+banding pipeline once per consumer. Candidates are
+        # small by construction (that is the point of banding), so
+        # pinning them is bounded at any corpus size.
+        .persist()
     )
     # exact-verify ONLY the candidate pairs — and build shingle sets ONLY
     # for docs that appear in a candidate pair: the broadcast semi-join
