@@ -1,3 +1,3 @@
-from . import bucketing, corpus, dedup, multimodal, similarity, skew
+from . import bucketing, corpus, dedup, multimodal, packing, sampling, similarity, skew
 
-__all__ = ["bucketing", "corpus", "dedup", "multimodal", "similarity", "skew"]
+__all__ = ["bucketing", "corpus", "dedup", "multimodal", "packing", "sampling", "similarity", "skew"]

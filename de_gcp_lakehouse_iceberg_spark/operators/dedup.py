@@ -239,6 +239,66 @@ def simhash(text_col: Column | str, bits: int = SIMHASH_BITS) -> Column:
     )
 
 
+def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over a near-dup pair graph — the "keep one
+    doc per duplicate cluster" primitive that turns pairwise Jaccard
+    output into a dedup decision.
+
+    Iterative min-label propagation: every node starts labelled with its
+    own id; each round replaces a node's label with the min over itself
+    and its neighbors' labels. Converges in O(graph diameter) rounds —
+    near-dup clusters are shallow (pairs share shingles transitively),
+    so a handful of rounds suffice; `max_iter` bounds pathological
+    chains. Each round is one join + one groupBy; labels persist per
+    round and the previous round unpersists, so peak state is two label
+    sets of O(#nodes-in-pairs). Convergence is detected with sum(label)
+    (strictly decreasing while any label changes). At 100 TB the same
+    loop holds — swap in the alternating large-star/small-star variant
+    if a single component's edge list skews one reducer.
+
+    Returns (doc_id, cluster_id) with cluster_id = min doc id reachable.
+    """
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = (
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
+            .select(
+                F.col("doc_id"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        cur_sum = new_labels.agg(F.sum("label")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
 def simhash_fast(text_col: Column | str, bits: int = SIMHASH_BITS) -> Column:
     """Vectorized SimHash — identical integers to `simhash()` (all-int64
     math, no float divergence), computed per Arrow batch: ONE flat

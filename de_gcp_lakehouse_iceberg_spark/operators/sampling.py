@@ -1,0 +1,91 @@
+"""Deterministic sampling & data-mixing operators for training-data
+pipelines — the "mix sources at fixed weights" and "downsample a
+stratum" primitives every corpus build needs (SURVEY.md §7.1 step 10
+extension surface).
+
+Everything is keyed on a PORTABLE affine id hash h(id) = (id·A + B)
+mod P (constants below, P = 2³¹−1): membership is a pure row-local
+predicate, so sampling is a scan-time filter (no shuffle, pushes below
+joins), reproducible across engines (the DuckDB oracles re-derive it
+from the same constants), and stable across runs/partitionings — unlike
+`DataFrame.sample`, whose output depends on partition layout. At 100 TB
+the filter rides the parquet scan; nothing else moves.
+
+Rates are materialized as INTEGER thresholds `int(rate · P)` at plan
+time — the engines compare longs, never floats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+SAMPLE_P = 2147483647  # 2^31 - 1 (Mersenne)
+SAMPLE_A = 1103515245  # classic LCG multiplier, < P
+SAMPLE_B = 12345
+
+
+def id_hash(id_col: Column | str) -> Column:
+    """Portable uniform hash of an integer id into [0, P)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (
+        (c.cast("long") % SAMPLE_P) * F.lit(SAMPLE_A) + F.lit(SAMPLE_B)
+    ) % F.lit(SAMPLE_P)
+
+
+def id_hash_sql(id_expr: str) -> str:
+    """The identical hash in ANSI/DuckDB SQL (oracle generation)."""
+    return (
+        f"((CAST({id_expr} AS BIGINT) % {SAMPLE_P}) * {SAMPLE_A} "
+        f"+ {SAMPLE_B}) % {SAMPLE_P}"
+    )
+
+
+def threshold(rate: float) -> int:
+    """rate ∈ [0,1] → integer hash threshold (computed once in Python,
+    embedded as a literal in both the Spark plan and the oracle SQL)."""
+    return int(rate * SAMPLE_P)
+
+
+def hash_sample(
+    df: DataFrame, rate: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep ~rate of rows, deterministically by id."""
+    return df.filter(id_hash(id_col) < F.lit(threshold(rate)))
+
+
+def sample_by_weights(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Data mixing: per-group keep rates (e.g. upweight books, cap web).
+    One CASE over integer thresholds — a scan-time filter."""
+    thresh = F.lit(threshold(default_rate))
+    for k, rate in sorted(weights.items()):
+        thresh = F.when(F.col(key_col) == k, F.lit(threshold(rate))).otherwise(
+            thresh
+        )
+    return df.filter(id_hash(id_col) < thresh)
+
+
+def stratified_sample(
+    df: DataFrame,
+    n_per_stratum: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, chosen by hash order
+    (deterministic, unbiased); ties broken by id. One shuffle on the
+    stratum key — for heavily skewed strata pre-filter with
+    `hash_sample` to bound the per-stratum sort input."""
+    w = W.partitionBy(stratum_col).orderBy(
+        id_hash(id_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_srn", F.row_number().over(w))
+        .filter(F.col("_srn") <= n_per_stratum)
+        .drop("_srn")
+    )

@@ -9,6 +9,7 @@ from . import window_queries  # noqa: F401  (registers q26-q28, q43)
 from . import session_queries  # noqa: F401  (registers q29)
 from . import corpus_queries  # noqa: F401  (registers q44)
 from . import dedup_maxdf_query  # noqa: F401  (registers q46)
-from . import lakehouse_queries  # noqa: F401  (registers q47-q48)
+from . import lakehouse_queries  # noqa: F401  (registers q47-q49)
+from . import pipeline_queries  # noqa: F401  (registers q50-q53)
 
 __all__ = ["QUERIES", "ORACLE_SQL", "register"]

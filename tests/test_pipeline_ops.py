@@ -1,0 +1,109 @@
+"""Corpus-pipeline operators: deterministic sampling/mixing, sequence
+packing invariants, and connected-component dup clustering."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from de_gcp_lakehouse_iceberg_spark.operators import dedup, packing, sampling
+from de_gcp_lakehouse_iceberg_spark.tables import table
+
+
+def test_hash_sample_is_deterministic_and_composable(spark, sf_dir_medium):
+    docs = table(spark, sf_dir_medium, "documents")
+    a = {r.doc_id for r in sampling.hash_sample(docs, 0.4).select("doc_id").collect()}
+    b = {r.doc_id for r in sampling.hash_sample(docs, 0.4).select("doc_id").collect()}
+    assert a == b  # stable across runs (unlike DataFrame.sample)
+    # rate monotonicity: a smaller rate selects a SUBSET (nested samples)
+    small = {
+        r.doc_id for r in sampling.hash_sample(docs, 0.2).select("doc_id").collect()
+    }
+    assert small <= a
+    # rough rate sanity on 500 docs
+    n = docs.count()
+    assert 0.25 * n < len(a) < 0.55 * n
+
+
+def test_sample_by_weights_rates_per_group(spark, sf_dir_medium):
+    docs = table(spark, sf_dir_medium, "documents")
+    kept = sampling.sample_by_weights(
+        docs, {"en": 1.0, "zh": 0.0}, key_col="lang", default_rate=0.5
+    )
+    by_lang = {r.lang: r.cnt for r in kept.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    total = {r.lang: r.cnt for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert by_lang.get("en") == total["en"]  # rate 1.0 keeps everything
+    assert "zh" not in by_lang  # rate 0.0 keeps nothing
+    for lang in ("de", "es", "fr"):  # default rate keeps a strict subset
+        assert 0 < by_lang.get(lang, 0) < total[lang]
+
+
+def test_stratified_sample_exact_counts(spark, sf_dir_medium):
+    docs = table(spark, sf_dir_medium, "documents")
+    picked = sampling.stratified_sample(docs, 3, stratum_col="lang")
+    counts = {r.lang: r.cnt for r in picked.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    sizes = {r.lang: r.cnt for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    for lang, size in sizes.items():
+        assert counts[lang] == min(3, size)
+    # deterministic selection
+    again = {
+        (r.lang, r.doc_id)
+        for r in sampling.stratified_sample(docs, 3, stratum_col="lang")
+        .select("lang", "doc_id")
+        .collect()
+    }
+    first = {(r.lang, r.doc_id) for r in picked.select("lang", "doc_id").collect()}
+    assert first == again
+
+
+def test_pack_chunks_invariants(spark, sf_dir_medium):
+    docs = table(spark, sf_dir_medium, "documents")
+    cap = 128
+    packed = packing.pack_chunks(docs, capacity=cap, stream_col="lang").cache()
+    rows = packed.select("lang", "doc_id", "n_tokens", "tok_offset", "chunk_id").collect()
+    by_stream: dict[str, list] = {}
+    for r in rows:
+        by_stream.setdefault(r.lang, []).append(r)
+    for lang, rs in by_stream.items():
+        rs.sort(key=lambda r: r.doc_id)
+        # offsets are the exact running sum, chunks the offset div
+        run = 0
+        for r in rs:
+            assert r.tok_offset == run, (lang, r)
+            assert r.chunk_id == run // cap
+            run += r.n_tokens
+        # chunk ids are nondecreasing and start at 0
+        assert rs[0].chunk_id == 0
+    # every document appears exactly once
+    assert packed.count() == docs.count()
+    stats = packing.chunk_stats(packed, capacity=cap, stream_col="lang")
+    srow = stats.agg(F.sum("chunk_tokens").alias("t")).first()
+    assert srow.t == packed.agg(F.sum("n_tokens")).first()[0]
+    packed.unpersist()
+
+
+def test_dup_clusters_matches_bruteforce_components(spark):
+    """Label propagation must equal the true connected components on a
+    graph with a chain, a triangle, an isolated pair — including a chain
+    long enough to need several propagation rounds."""
+    pairs = [
+        # chain 1-2-3-4-5 (diameter 4)
+        (1, 2), (2, 3), (3, 4), (4, 5),
+        # triangle 10-11-12
+        (10, 11), (11, 12), (10, 12),
+        # isolated pair
+        (20, 21),
+    ]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {
+        r.doc_id: r.cluster_id for r in dedup.dup_clusters(df).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_dup_clusters_empty_pairs(spark):
+    df = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dedup.dup_clusters(df).count() == 0
