@@ -26,49 +26,69 @@ def main() -> None:
     timings: dict[str, float] = {}
     # Warm the JVM/codegen once with the cheapest query so per-query times
     # reflect execution, not first-call JIT + session setup.
-    QUERIES["q01_global_count"](spark, sf_dir).collect()
+    try:
+        QUERIES["q01_global_count"](spark, sf_dir).collect()
+    except Exception as exc:  # noqa: BLE001 — warm-up is best-effort
+        print(f"# warm-up failed: {exc}", file=sys.stderr)
 
     # Cache the shared base tables (Spark in-memory columnar cache): the
     # corpus reads the same parquet dozens of times; a real deployment
     # would keep hot tables cached exactly like this. Disable with
     # SPARK_GRAFT_CACHE=0.
     if os.environ.get("SPARK_GRAFT_CACHE", "1") != "0":
-        from de_gcp_lakehouse_iceberg_spark.tables import TESTDATA_TABLES, table
+        try:
+            from de_gcp_lakehouse_iceberg_spark.tables import (
+                TESTDATA_TABLES,
+                table,
+            )
 
-        for name in TESTDATA_TABLES:
-            df = table(spark, sf_dir, name)
-            df.cache().count()
+            for name in TESTDATA_TABLES:
+                df = table(spark, sf_dir, name)
+                df.cache().count()
 
-        # The exploded-shingle inverted index is the corpus's hottest
-        # DERIVED dataset — q35/q37/q46 each rebuild the identical
-        # explode otherwise. Caching it once lets Spark's cache manager
-        # substitute it by logical-plan match inside every consumer
-        # (exactly how a deployment would pin a hot shared index).
-        from de_gcp_lakehouse_iceberg_spark.operators.dedup import doc_shingles
+            # The exploded-shingle inverted index is the corpus's hottest
+            # DERIVED dataset — q35/q37/q46 each rebuild the identical
+            # explode otherwise. Caching it once lets Spark's cache manager
+            # substitute it by logical-plan match inside every consumer
+            # (exactly how a deployment would pin a hot shared index).
+            from de_gcp_lakehouse_iceberg_spark.operators.dedup import (
+                doc_shingles,
+            )
 
-        doc_shingles(table(spark, sf_dir, "documents")).cache().count()
+            doc_shingles(table(spark, sf_dir, "documents")).cache().count()
+        except Exception as exc:  # noqa: BLE001 — warm-up is best-effort
+            print(f"# cache warm-up failed: {exc}", file=sys.stderr)
 
+    # Failure isolation: one broken query must never void the other
+    # measurements — record its error and keep going; ALWAYS emit the
+    # JSON line (round-2 lesson: an unhandled AnalysisException voided
+    # the entire bench run).
     total = 0.0
+    errors: dict[str, str] = {}
     for name in sorted(QUERIES):
         t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        n = df.count() if name.startswith("_") else len(df.collect())
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            n = df.count() if name.startswith("_") else len(df.collect())
+        except Exception as exc:  # noqa: BLE001 — survive any query failure
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "query_corpus_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "query_corpus_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

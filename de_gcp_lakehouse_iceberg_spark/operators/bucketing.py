@@ -16,6 +16,9 @@ both sides (same bucket count, same keys).
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -27,7 +30,19 @@ def write_bucketed(
     sort_keys: list[str] | None = None,
     mode: str = "overwrite",
 ) -> None:
-    """Persist `df` as a bucketed (and optionally sorted) catalog table."""
+    """Persist `df` as a bucketed (and optionally sorted) catalog table.
+
+    Drops any prior incarnation first: a managed-table LOCATION left
+    behind by a crashed writer (catalog entry gone, directory present)
+    would otherwise fail every later overwrite with
+    LOCATION_ALREADY_EXISTS — rerunnability beats the microseconds the
+    extra DROP costs."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    stale = os.path.join(wh.removeprefix("file:"), table_name.lower())
+    if os.path.isdir(stale):
+        shutil.rmtree(stale, ignore_errors=True)
     writer = (
         df.write.mode(mode)
         .bucketBy(num_buckets, *bucket_keys)

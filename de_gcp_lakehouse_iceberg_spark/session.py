@@ -20,7 +20,11 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "lakehouse-spark", cpus: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "lakehouse-spark",
+    cpus: int | None = None,
+    warehouse_dir: str | None = None,
+) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     builder = (
@@ -36,6 +40,11 @@ def get_spark(app_name: str = "lakehouse-spark", cpus: int | None = None) -> Spa
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
     )
+    if warehouse_dir:
+        # static conf — only effective when this call CREATES the session
+        # (tests pass a tmp dir so saveAsTable leftovers from a killed run
+        # can never collide with the next run's catalog)
+        builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

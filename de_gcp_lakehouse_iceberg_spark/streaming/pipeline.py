@@ -27,9 +27,9 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructType
 
 from ..lakehouse import LakeTable
+from ..tables import normalize_events_ts
 
 EVENTS_FILE_SCHEMA = (
     "event_id bigint, ts bigint, user_id bigint, event_type string, "
@@ -39,25 +39,23 @@ EVENTS_FILE_SCHEMA = (
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbounded read of the events table (file source stands in for
-    Pub/Sub — S3 in SURVEY.md §2.1). ts arrives as TIMESTAMP(NANOS)
-    parquet; read as long and convert in integer space (tables.py)."""
+    Pub/Sub — S3 in SURVEY.md §2.1). The file's `ts` physical type has
+    varied across testdata vintages (TIMESTAMP(NANOS) read as long vs
+    timestamp[us] read as TIMESTAMP_NTZ): take the REAL schema from a
+    batch probe of the file — never substitute a hand-written one — and
+    let normalize_events_ts dispatch, so batch and streaming readers are
+    identical by construction (tables.py)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    schema = StructType(
-        [
-            f if f.name != "ts" else type(f)("ts", LongType(), f.nullable)
-            for f in raw_schema.fields
-        ]
-    )
     # the file source requires a directory: scan sf_dir, glob-filtered to
     # the events file only
     stream = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(stream)
 
 
 def windowed_aggregate(

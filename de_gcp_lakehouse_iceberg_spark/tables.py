@@ -41,18 +41,37 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects. Read nanos as long (legacy conf, runtime-settable) and
-    convert with integer division — `ts div 1000` stays in long space, no
-    double round-trip (nanos ~1.7e18 exceed double's 2^53 exact range)."""
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Dtype-dispatch for the events `ts` column — the testdata has shipped
+    it as both TIMESTAMP(NANOS) (read as long under the legacy conf) and
+    timestamp[us] (read as TIMESTAMP_NTZ). Normalize every variant to a
+    session-TZ TIMESTAMP so downstream code (unix_micros, window(),
+    watermarks) sees one type regardless of which file vintage is on disk.
+
+    - bigint  : nanos-as-long → integer `div 1000` (stays in long space;
+      nanos ~1.7e18 exceed double's 2^53 exact range) → timestamp_micros.
+    - timestamp_ntz : cast to timestamp. The session TZ is pinned UTC
+      (table(), read_events_stream), so the cast preserves instants.
+    - timestamp : already right.
+    """
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet has carried TIMESTAMP(NANOS) — which Spark's
+    vectorized reader rejects without nanosAsLong — and, in newer testdata
+    vintages, timestamp[us] (TIMESTAMP_NTZ). Set the legacy conf so nanos
+    files still load, then let normalize_events_ts dispatch on whatever
+    dtype actually arrived."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
