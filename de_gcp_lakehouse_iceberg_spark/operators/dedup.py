@@ -206,6 +206,86 @@ def char_poly_key_udf():
     return key
 
 
+def _doc_keys_sig_batch(
+    texts: list, n: int, coeffs: list[tuple[int, int]]
+) -> tuple[list, list]:
+    """Per-doc (distinct shingle keys, MinHash signature) for a batch.
+
+    Shingle construction mirrors functions.text.shingles/tokens exactly
+    (split on single space keeps empties — Python str.split(" ") matches
+    Spark split(text, ' ')), and keys are _char_poly_batch — so every
+    integer equals the exploded expression path bit-for-bit, which is
+    what keeps the DuckDB oracle reproducing this pipeline. The
+    signature fold is ONE (flat_keys × num_hashes) int64 matmul-shaped
+    pass + np.minimum.reduceat per batch — no per-doc Python loops in
+    the hash math."""
+    all_sh: list[str] = []
+    counts = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        toks = t.split(" ")
+        upper = max(len(toks) - n, 0)
+        sh = [" ".join(toks[i0 : i0 + n]) for i0 in range(upper + 1)]
+        sh = list(dict.fromkeys(sh))  # array_distinct semantics
+        all_sh.extend(sh)
+        counts[i] = len(sh)
+    flat = _char_poly_batch(all_sh)
+    bounds = np.concatenate(([0], np.cumsum(counts)))
+    keys_out: list = []
+    for i in range(len(texts)):
+        seg = flat[bounds[i] : bounds[i + 1]]
+        keys_out.append(np.unique(seg) if len(seg) else np.empty(0, np.int64))
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)
+    B = np.array([b for _, b in coeffs], dtype=np.int64)
+    num_hashes = len(coeffs)
+    if len(flat):
+        # One 1-D contiguous pass per hash function with preallocated
+        # buffers — 15x faster than the obvious 2-D broadcast
+        # ((flat[:,None]*A+B)%P), whose strided int64 temporaries are
+        # pathological. keys < P ≈ 2^31 and A < P so products stay
+        # < 2^62 — int64 exact, same bound as the Column form.
+        H = np.empty((num_hashes, len(flat)), dtype=np.int64)
+        tmp = np.empty(len(flat), dtype=np.int64)
+        for k in range(num_hashes):
+            np.multiply(flat, A[k], out=tmp)
+            np.add(tmp, B[k], out=tmp)
+            np.remainder(tmp, MINHASH_P, out=H[k])
+        nonempty = counts > 0
+        # (num_hashes, n_nonempty_docs): per-doc segment minima
+        mins = np.minimum.reduceat(H, bounds[:-1][nonempty], axis=1).T
+    sigs_out: list = []
+    j = 0
+    for i in range(len(texts)):
+        if counts[i]:
+            sigs_out.append(mins[j])
+            j += 1
+        else:
+            sigs_out.append(None)
+    return keys_out, sigs_out
+
+
+def doc_keys_sig_udf(n: int = 3, num_hashes: int = 64):
+    """text → struct(keys: sorted distinct char-poly shingle keys,
+    sig: MinHash signature) in one Arrow pass. NULL/empty-shingle docs
+    get empty keys and NULL sig (they cannot pair anyway)."""
+    from pyspark.sql.functions import pandas_udf
+
+    coeffs = minhash_coeffs(num_hashes)
+
+    @pandas_udf("keys array<long>, sig array<long>")
+    def f(s: pd.Series) -> pd.DataFrame:
+        keys, sigs = _doc_keys_sig_batch(s.tolist(), n, coeffs)
+        return pd.DataFrame(
+            {
+                "keys": [k.tolist() for k in keys],
+                "sig": [None if g is None else g.tolist() for g in sigs],
+            }
+        )
+
+    return f
+
+
 def simhash(text_col: Column | str, bits: int = SIMHASH_BITS) -> Column:
     """SimHash signature over whitespace tokens (with multiplicity).
 
@@ -427,9 +507,51 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
-    sig = minhash_signatures(
-        docs, id_col, text_col, n, num_hashes, max_df, hash_mode
-    )
+    if hash_mode == "portable" and max_df is None:
+        # Fast path: ONE Arrow pass per doc computes the distinct shingle
+        # keys AND the full signature (numpy, bit-identical to the
+        # exploded expression form — asserted in tests). No explode, no
+        # per-shingle shuffle, no collect_set: the only shuffles left in
+        # the whole operator are the banding self-join and the verify
+        # joins. Persisted MEMORY_AND_DISK — per-doc key arrays are the
+        # same order of bytes as the text itself, so this spills, not
+        # OOMs, at corpus scale.
+        dk = (
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                doc_keys_sig_udf(n, num_hashes)(F.col(text_col)).alias("ks"),
+            )
+            .select("doc_id", "ks.keys", "ks.sig")
+            .filter(F.size("keys") > 0)
+            .persist()
+        )
+        sig = dk.select("doc_id", F.col("sig").alias("signature"))
+        sets_src = dk.select("doc_id", F.col("keys").alias("sh"))
+    else:
+        # General path (xxhash mode / max_df cap): explode+hash once,
+        # shared by the signature agg AND the verify stage. Persisted —
+        # without this the banding self-join re-runs the whole subtree
+        # once PER ALIAS and the verify stage a third time (measured 3x
+        # the pipeline cost at sf0.1).
+        ex = doc_shingles(docs, id_col, text_col, n, max_df)
+        if hash_mode == "portable":
+            key_expr = char_poly_key_udf()(F.col("shingle"))
+        else:
+            key_expr = F.xxhash64("shingle")
+        keyed = ex.select("doc_id", key_expr.alias("key")).persist()
+        mins = [
+            (
+                F.min((F.lit(a) * F.col("key") + F.lit(b)) % F.lit(MINHASH_P))
+                if hash_mode == "portable"
+                else F.min(F.xxhash64(F.col("key"), F.lit(k)))
+            ).alias(f"h{k}")
+            for k, (a, b) in enumerate(minhash_coeffs(num_hashes))
+        ]
+        sig = keyed.groupBy("doc_id").agg(*mins).select(
+            "doc_id",
+            F.array(*[f"h{k}" for k in range(num_hashes)]).alias("signature"),
+        )
+        sets_src = None
 
     def band_hash(bi: int):
         members = [F.col("signature")[bi * r + j] for j in range(r)]
@@ -455,7 +577,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    ).select("doc_id", "band.band_id", "band.band_hash").persist()
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
         a.join(
@@ -475,28 +597,36 @@ def minhash_lsh_pairs(
         # pinning them is bounded at any corpus size.
         .persist()
     )
-    # exact-verify ONLY the candidate pairs — and build shingle sets ONLY
-    # for docs that appear in a candidate pair: the broadcast semi-join
-    # lands BELOW the groupBy/collect_set, so the verify stage shuffles
-    # #candidate-docs' shingles, not the whole corpus's. (With max_df the
-    # document-frequency cap still counts over the FULL corpus — the cap
-    # is applied during the explode, before the candidate scoping.)
+    # materialize candidates NOW, while `banded` (#docs x bands rows of
+    # three longs — narrow at any corpus size) is pinned so the self-join
+    # computes the signature agg once per side from the persisted `keyed`
+    # instead of replaying explode+hash; then drop the band index — only
+    # `keyed` (verify input) and `candidates` stay pinned.
+    candidates.count()
+    banded.unpersist()
+    # exact-verify ONLY the candidate pairs — and build shingle-key sets
+    # ONLY for docs that appear in a candidate pair: the broadcast
+    # semi-join lands BELOW the groupBy/collect_set, so the verify stage
+    # shuffles #candidate-docs' keys, not the whole corpus's. (With
+    # max_df the document-frequency cap still counts over the FULL
+    # corpus — the cap is applied during the explode, before the
+    # candidate scoping.)
     cand_ids = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    if hash_mode == "portable":
-        sh_key = char_poly_key_udf()(F.col("shingle"))
+    if sets_src is not None:
+        # fast path: the per-doc key array IS the distinct set already —
+        # no explode, no collect_set, just a semi-join to scope it
+        sets = sets_src.join(F.broadcast(cand_ids), "doc_id", "left_semi")
     else:
-        sh_key = F.xxhash64("shingle")
-    sets = (
-        doc_shingles(docs, id_col, text_col, n, max_df)
-        .join(F.broadcast(cand_ids), "doc_id", "left_semi")
-        .select("doc_id", sh_key.alias("shingle"))
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("sh"))
-    )
+        sets = (
+            keyed.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+            .select("doc_id", F.col("key").alias("shingle"))
+            .groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("sh"))
+        )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))

@@ -151,3 +151,36 @@ def test_minhash_portable_mode_matches_exact_jaccard(spark, sf_dir):
         ).collect()
     }
     assert lsh == exact
+
+
+def test_fast_minhash_sig_equals_expression_form(spark, sf_dir_medium):
+    """The fused Arrow fast path (doc_keys_sig_udf: shingle build +
+    char-poly keys + numpy signature in one pass) must equal the
+    exploded expression-form minhash_signatures bit-for-bit in portable
+    mode — all-integer math, so any divergence is a real bug."""
+    docs = table(spark, sf_dir_medium, "documents")
+    expr_sig = {
+        r.doc_id: list(r.signature)
+        for r in dedup.minhash_signatures(docs, hash_mode="portable").collect()
+    }
+    fast = {
+        r.doc_id: (list(r.ks.keys), list(r.ks.sig) if r.ks.sig else None)
+        for r in docs.select(
+            F.col("doc_id"),
+            dedup.doc_keys_sig_udf(3, 64)(F.col("text")).alias("ks"),
+        ).collect()
+    }
+    assert set(expr_sig) == {d for d, (k, s) in fast.items() if s is not None}
+    for doc_id, sig in expr_sig.items():
+        assert fast[doc_id][1] == sig, doc_id
+    # keys are sorted distinct char-poly values — spot-check one doc
+    # against the exploded path
+    some_doc = next(iter(expr_sig))
+    exploded = sorted(
+        r.k
+        for r in dedup.doc_shingles(docs)
+        .filter(F.col("doc_id") == some_doc)
+        .select(dedup.char_poly_key_udf()(F.col("shingle")).alias("k"))
+        .collect()
+    )
+    assert sorted(set(exploded)) == fast[some_doc][0]
