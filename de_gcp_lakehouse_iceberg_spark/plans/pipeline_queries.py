@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import dup_clusters, ngram_jaccard_pairs
+from ..operators.dedup import dup_clusters_star, ngram_jaccard_pairs
 from ..operators.packing import chunk_stats, pack_chunks
 from ..operators.sampling import (
     id_hash_sql,
@@ -157,9 +157,9 @@ def q52_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q53 — near-dup cluster assignment: connected components over the exact
-# Jaccard pair graph (iterative min-label propagation in Spark; the
-# oracle replays it as a recursive transitive closure — both converge to
-# cluster_id = min reachable doc id).
+# Jaccard pair graph (alternating large-star/small-star in Spark — the
+# skew-safe O(log n)-round variant; the oracle replays it as a recursive
+# transitive closure — both converge to cluster_id = min reachable id).
 # --------------------------------------------------------------------------
 @register(
     "q53_dup_clusters",
@@ -195,7 +195,7 @@ def q52_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q53_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, threshold=0.5)
-    clusters = dup_clusters(pairs)
+    clusters = dup_clusters_star(pairs)
     return (
         clusters.groupBy("cluster_id")
         .agg(F.count("*").alias("cluster_size"))

@@ -125,20 +125,27 @@ def stream_append_to_laketable(
     foreachBatch (S11: the streaming Iceberg append). Exactly-once =
     at-least-once delivery (checkpointed offsets, STABLE checkpoint path
     so a restart resumes instead of replaying from scratch) + an
-    idempotent commit: each micro-batch's snapshot records its batch_id
-    in the operation name, and a retried/replayed batch whose id already
-    appears in the snapshot log is skipped instead of double-appended.
+    idempotent commit: each checkpoint's max committed batch_id rides in
+    the snapshot summary (`stream_watermarks`, carried forward through
+    every later commit by LakeTable._commit_snapshot), so a
+    retried/replayed batch at or below the watermark is skipped instead
+    of double-appended. The check reads ONLY the latest snapshot —
+    O(1) per micro-batch regardless of snapshot-log length (the old
+    form scanned every snapshot's operation name).
     Returns the number of micro-batches newly committed."""
     batches = {"n": 0}
 
     def _commit(df: DataFrame, batch_id: int) -> None:
-        op = f"stream_batch_{batch_id}"
-        # idempotence on batch_id: O(#snapshots) driver-side metadata scan
-        if any(s.operation == op for s in table.snapshots()):
+        wm = table.snapshot().summary.get("stream_watermarks", {})
+        if batch_id <= wm.get(checkpoint_name, -1):
             return
         if df.isEmpty():
             return
-        table.append(df, operation=op)
+        table.append(
+            df,
+            operation=f"stream_batch_{batch_id}",
+            summary={"stream_watermarks": {checkpoint_name: batch_id}},
+        )
         batches["n"] += 1
 
     q = (

@@ -107,3 +107,41 @@ def test_dup_clusters_matches_bruteforce_components(spark):
 def test_dup_clusters_empty_pairs(spark):
     df = spark.createDataFrame([], "doc_a long, doc_b long")
     assert dedup.dup_clusters(df).count() == 0
+
+
+def test_dup_clusters_star_matches_label_propagation(spark):
+    """large-star/small-star (the skew-safe scale path) must produce the
+    exact same labelling as min-label propagation on a mixed graph."""
+    pairs = [
+        (1, 2), (2, 3), (3, 4), (4, 5),        # chain, diameter 4
+        (10, 11), (11, 12), (10, 12),          # triangle
+        (20, 21),                              # isolated pair
+        (30, 31), (31, 32), (30, 33), (33, 34) # tree
+    ]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    lp = {r.doc_id: r.cluster_id for r in dedup.dup_clusters(df).collect()}
+    star = {
+        r.doc_id: r.cluster_id for r in dedup.dup_clusters_star(df).collect()
+    }
+    assert star == lp
+
+
+def test_dup_clusters_star_skewed_hub(spark):
+    """One viral component: a hub joined to 50k nodes plus a trailing
+    chain. This is the shape that hot-spots one reducer under plain
+    label propagation; the star variant must (a) finish in few rounds
+    and (b) label every node with the component minimum."""
+    hub = 7
+    n = 50_000
+    edges = [(hub, i) for i in range(100_000, 100_000 + n)]
+    # chain hanging off one leaf so the component is not a pure star
+    edges += [(100_000, 5), (5, 3), (3, 11)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    labels = dedup.dup_clusters_star(df)
+    assert labels.select("cluster_id").distinct().collect()[0][0] == 3
+    assert labels.count() == n + 4  # hub + n leaves + {5, 3, 11}
+
+
+def test_dup_clusters_star_empty(spark):
+    df = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dedup.dup_clusters_star(df).count() == 0

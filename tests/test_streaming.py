@@ -111,3 +111,79 @@ def test_stream_append_idempotent_on_replayed_batch(spark, sf_dir, tmp_path):
         spark, read_events_stream(spark, sf_dir), t, checkpoint_name="ck"
     )
     assert n3 == 0 and t.scan().count() == expected
+
+
+def test_append_mode_emits_watermark_closed_windows(spark, sf_dir, tmp_path):
+    """Append mode (the mode a production sink runs in): replaying the
+    events table must emit exactly the windows whose END the final
+    watermark (max event time − delay) has passed, with per-window
+    values identical to the batch aggregate. Complete-mode equality is
+    covered by test_stream_equals_batch_windows; this pins the
+    watermark-holdback semantics."""
+    import uuid
+
+    wm_delay = "10 minutes"
+    window = "60 seconds"
+    sink = f"append_replay_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed_aggregate(
+            read_events_stream(spark, sf_dir),
+            window=window,
+            watermark=wm_delay,
+            min_count=1,
+        )
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_append"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.window_start, r.event_type): (r.event_count, r.total_value)
+        for r in spark.table(sink).collect()
+    }
+    events = table(spark, sf_dir, "events")
+    max_ts = events.agg(F.max("ts")).first()[0]
+    batch = windowed_aggregate(events, window=window, min_count=1)
+    closed = {
+        (r.window_start, r.event_type): (r.event_count, r.total_value)
+        for r in batch.withColumn(
+            "window_end", F.col("window_start") + F.expr("INTERVAL 60 seconds")
+        )
+        .filter(
+            F.col("window_end")
+            <= F.lit(max_ts) - F.expr(f"INTERVAL {wm_delay}")
+        )
+        .drop("window_end")
+        .collect()
+    }
+    assert len(closed) > 0  # the corpus spans >> the watermark delay
+    assert streamed == closed
+
+
+def test_stream_watermark_survives_interleaved_commits(spark, sf_dir, tmp_path):
+    """The exactly-once high-watermark rides the snapshot summary and is
+    carried forward through NON-streaming commits, so a maintenance op
+    between micro-batches cannot reopen the door to duplicate appends."""
+    import shutil
+
+    t = LakeTable.create(spark, str(tmp_path / "sink_wm"))
+    n1 = stream_append_to_laketable(
+        spark, read_events_stream(spark, sf_dir), t, checkpoint_name="ck"
+    )
+    expected = table(spark, sf_dir, "events").count()
+    assert n1 >= 1 and t.scan().count() == expected
+
+    # interleave a non-streaming commit (append from batch)
+    t.append(table(spark, sf_dir, "events").limit(5), operation="backfill")
+    assert t.scan().count() == expected + 5
+
+    # lost checkpoint → full replay with the same batch ids: watermark
+    # (carried through the backfill snapshot) must still block them
+    shutil.rmtree(f"{t.root}/_checkpoints/ck")
+    n2 = stream_append_to_laketable(
+        spark, read_events_stream(spark, sf_dir), t, checkpoint_name="ck"
+    )
+    assert n2 == 0 and t.scan().count() == expected + 5
