@@ -132,3 +132,16 @@ def shingles(text: Column | str, n: int = 3) -> Column:
         F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
     )
+
+
+def repetition_ratio(text: Column | str, n: int = 3) -> Column:
+    """Duplicate n-gram ratio — the published repetition filter from
+    large-corpus quality pipelines (e.g. the Gopher/MassiveText rules):
+    1 − distinct_ngrams / total_ngrams, in [0, 1). 0 = no repeated
+    n-gram; word-salad spam scores high. Pure Column expression over the
+    shingle array (with multiplicity), one narrow pass per row."""
+    sh = shingles(text, n)
+    return (
+        F.lit(1.0)
+        - F.size(F.array_distinct(sh)).cast("double") / F.size(sh)
+    )

@@ -21,8 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.text import quality_score
-from .dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+from ..functions.text import quality_score, token_count
+from .dedup import doc_shingles, minhash_lsh_pairs, ngram_jaccard_pairs
 
 
 def clean_corpus(
@@ -50,3 +50,91 @@ def clean_corpus(
     pairs = pair_fn(kept, threshold=jaccard_threshold)
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return kept.join(losers, "doc_id", "left_anti")
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    eval_ids: DataFrame,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: for every training doc, the share
+    of its distinct n-gram shingles that also appear anywhere in the
+    held-out/benchmark set (`eval_ids`: one `doc_id` column naming the
+    benchmark docs; benchmark docs are excluded from the output).
+
+    Returns (doc_id, n_shingles, eval_hits, overlap) with
+    overlap = eval_hits / n_shingles ∈ [0, 1].
+
+    Scale posture: benchmarks are tiny relative to a training corpus, so
+    the distinct benchmark shingle set is BROADCAST (the standard
+    decontamination shape — a 100 TB corpus streams past a few MB of
+    benchmark n-grams; no corpus-sized shuffle). The training side is
+    one explode + one per-doc count.
+    """
+    # The benchmark side explodes ONLY the eval docs (tiny at any
+    # corpus size); the training side filters the canonical
+    # doc_shingles(docs) explode — that exact subtree is what a
+    # deployment keeps cached (bench.py pins it), so this plan
+    # substitutes the shared in-memory index instead of re-exploding.
+    # Hits and sizes come from ONE aggregation pass: the left join
+    # against the DISTINCT broadcast shingle set cannot fan out (≤1
+    # match per probe).
+    eval_sh = (
+        doc_shingles(docs.join(eval_ids, "doc_id", "left_semi"), n=n)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train_ex = doc_shingles(docs, n=n).join(eval_ids, "doc_id", "left_anti")
+    return (
+        train_ex.join(F.broadcast(eval_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_hit").alias("eval_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "eval_hits",
+            (F.col("eval_hits").cast("double") / F.col("n_shingles")).alias(
+                "overlap"
+            ),
+        )
+    )
+
+
+def select_within_token_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    group_col: str = "lang",
+) -> DataFrame:
+    """Data selection under a token budget: per group, admit docs in
+    quality order (quality_score desc, doc_id asc as the deterministic
+    tie-break) until the cumulative token count would exceed the budget.
+    The greedy-by-quality prefix is the published corpus-curation
+    baseline for fixed training-token targets.
+
+    Returns the selected docs with `n_tokens`, `quality`, and the
+    running `cum_tokens`. One shuffle on the group key; the window
+    cumsum is a single in-partition pass. At 100 TB, groups are
+    language/source-sized (dozens) — if a single group outgrows one
+    reducer's sort budget, pre-aggregate doc summaries (doc_id, tokens,
+    quality — a few bytes/doc) rather than sorting full text: only the
+    summary needs the window, and the winners semi-join back.
+    """
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    scored = docs.select(
+        "doc_id",
+        F.col(group_col),
+        token_count("text").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+    )
