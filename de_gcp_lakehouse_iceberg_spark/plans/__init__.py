@@ -12,5 +12,6 @@ from . import dedup_maxdf_query  # noqa: F401  (registers q46)
 from . import lakehouse_queries  # noqa: F401  (registers q47-q49)
 from . import pipeline_queries  # noqa: F401  (registers q50-q53)
 from . import curation_queries  # noqa: F401  (registers q54-q57)
+from . import clustering_queries  # noqa: F401  (registers q58)
 
 __all__ = ["QUERIES", "ORACLE_SQL", "register"]

@@ -1,0 +1,44 @@
+"""Distributed k-means: convergence on separable data, deterministic
+assignment, empty-cluster carry."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from de_gcp_lakehouse_iceberg_spark.operators.clustering import kmeans
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    # two tight blobs far apart; k=2 must split them exactly regardless
+    # of which blob the lowest-id init points land in
+    rows = [(i, [0.0 + i * 0.001, 0.0]) for i in range(10)] + [
+        (100 + i, [50.0, 50.0 + i * 0.001]) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans(df, k=2, iters=3).collect()
+    by_cluster: dict[int, set[int]] = {}
+    for r in out:
+        by_cluster.setdefault(r.cid, set()).add(r.vec_id)
+    assert sorted(len(v) for v in by_cluster.values()) == [10, 10]
+    groups = sorted(by_cluster.values(), key=min)
+    assert groups[0] == set(range(10))
+    assert groups[1] == {100 + i for i in range(10)}
+
+
+def test_kmeans_deterministic_across_runs(spark, sf_dir):
+    from de_gcp_lakehouse_iceberg_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    a = {(r.vec_id, r.cid) for r in kmeans(emb, k=4, iters=2).collect()}
+    b = {(r.vec_id, r.cid) for r in kmeans(emb, k=4, iters=2).collect()}
+    assert a == b and len(a) == emb.count()
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    # k=3 over two distinct points: one init centroid never wins a row;
+    # the run must not crash and every row must still be assigned
+    rows = [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [9.0, 9.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans(df, k=3, iters=2).collect()
+    assert len(out) == 3
+    assert {r.vec_id for r in out} == {1, 2, 3}
