@@ -13,5 +13,6 @@ from . import lakehouse_queries  # noqa: F401  (registers q47-q49)
 from . import pipeline_queries  # noqa: F401  (registers q50-q53)
 from . import curation_queries  # noqa: F401  (registers q54-q57)
 from . import clustering_queries  # noqa: F401  (registers q58)
+from . import interval_queries  # noqa: F401  (registers q59)
 
 __all__ = ["QUERIES", "ORACLE_SQL", "register"]
