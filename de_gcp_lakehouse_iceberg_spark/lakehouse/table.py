@@ -43,12 +43,87 @@ DATA_DIR = "data"
 POINTER = "_current"
 
 
+def _stat_value(v):
+    """Parquet-footer min/max → JSON-safe comparable (numbers/strings
+    verbatim, datetimes → epoch micros). None ⇒ unusable for pruning."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, _dt.datetime):
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return int((v - epoch).total_seconds() * 1_000_000)
+    return None
+
+
+def _footer_stats(meta) -> dict[str, list]:
+    """Aggregate per-column [min, max] across a parquet file's row
+    groups — the exact metadata Iceberg manifests carry, harvested for
+    free from footers (no data scan). Columns with missing/partial
+    statistics are omitted (⇒ never pruned on)."""
+    acc: dict[str, list] = {}
+    dead: set[str] = set()
+    for rg in range(meta.num_row_groups):
+        for ci in range(meta.num_columns):
+            col = meta.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if name in dead or name.startswith("_p_"):
+                continue
+            st = col.statistics
+            lo = _stat_value(st.min) if st is not None and st.has_min_max else None
+            hi = _stat_value(st.max) if st is not None and st.has_min_max else None
+            if lo is None or hi is None:
+                dead.add(name)
+                acc.pop(name, None)
+                continue
+            if name in acc:
+                acc[name][0] = min(acc[name][0], lo)
+                acc[name][1] = max(acc[name][1], hi)
+            else:
+                acc[name] = [lo, hi]
+    return acc
+
+
+_PRUNE_OPS = {"=", "==", "<", "<=", ">", ">="}
+
+
+def _file_may_match(entry: "FileEntry", col: str, op: str, value) -> bool:
+    """Conservative stats pruning: False ONLY when the file provably
+    holds no matching row (NULLs never satisfy these comparisons, so
+    min/max bounds over non-null values are sufficient)."""
+    s = entry.stats.get(col)
+    if s is None:
+        return True
+    lo, hi = s
+    v = _stat_value(value)
+    if v is None or (type(v) is str) != (type(lo) is str):
+        return True  # incomparable — keep the file
+    if op in ("=", "=="):
+        return lo <= v <= hi
+    if op == "<":
+        return lo < v
+    if op == "<=":
+        return lo <= v
+    if op == ">":
+        return hi > v
+    if op == ">=":
+        return hi >= v
+    return True
+
+
 @dataclass
 class FileEntry:
     path: str  # relative to table root
     rows: int
     bytes: int
     partition: dict[str, str] = field(default_factory=dict)
+    # per-column [min, max] harvested from parquet footers at write time
+    # (Iceberg-style file stats). Values are JSON-safe: numbers and
+    # strings verbatim; timestamps as epoch micros. Missing column ⇒
+    # stats unavailable ⇒ never pruned on it.
+    stats: dict[str, list] = field(default_factory=dict)
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -56,11 +131,18 @@ class FileEntry:
             "rows": self.rows,
             "bytes": self.bytes,
             "partition": self.partition,
+            "stats": self.stats,
         }
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "FileEntry":
-        return FileEntry(d["path"], d["rows"], d["bytes"], d.get("partition", {}))
+        return FileEntry(
+            d["path"],
+            d["rows"],
+            d["bytes"],
+            d.get("partition", {}),
+            d.get("stats", {}),
+        )
 
 
 @dataclass
@@ -271,6 +353,7 @@ class LakeTable:
                         rows=meta.num_rows,
                         bytes=os.path.getsize(full),
                         partition=part,
+                        stats=_footer_stats(meta),
                     )
                 )
         return sorted(entries, key=lambda e: e.path)
@@ -394,15 +477,18 @@ class LakeTable:
     # ------------------------------------------------------------------
     # read paths
     # ------------------------------------------------------------------
-    def scan(
+    def plan_files(
         self,
         version: int | None = None,
         as_of_ms: int | None = None,
         partition_filter: Callable[[dict[str, str]], bool] | None = None,
-    ) -> DataFrame:
-        """Snapshot-isolated read, optionally time-traveled (S5) and
-        manifest-partition-pruned (§4: partition pruning before Spark
-        plans the scan)."""
+        where: list[tuple[str, str, Any]] | None = None,
+    ) -> tuple[Snapshot, list[FileEntry]]:
+        """Manifest-level scan planning: partition pruning plus
+        Iceberg-style column-stats file skipping (per-file min/max from
+        parquet footers). `where` is a conjunction of
+        (column, op, value) with op ∈ {=, <, <=, >, >=}; a file is
+        dropped only when its stats PROVE no row can match."""
         if as_of_ms is not None:
             snap = self.snapshot_as_of(as_of_ms)
         else:
@@ -410,7 +496,37 @@ class LakeTable:
         files = snap.files
         if partition_filter is not None:
             files = [f for f in files if partition_filter(f.partition)]
-        return self._read_files(snap, [f.path for f in files])
+        for col, op, value in where or []:
+            if op not in _PRUNE_OPS:
+                raise ValueError(f"unsupported prune op {op!r}")
+            files = [f for f in files if _file_may_match(f, col, op, value)]
+        return snap, files
+
+    def scan(
+        self,
+        version: int | None = None,
+        as_of_ms: int | None = None,
+        partition_filter: Callable[[dict[str, str]], bool] | None = None,
+        where: list[tuple[str, str, Any]] | None = None,
+    ) -> DataFrame:
+        """Snapshot-isolated read, optionally time-traveled (S5),
+        manifest-partition-pruned, and column-stats file-skipped (§4:
+        both prunings happen BEFORE Spark plans the scan — at 100 TB
+        the manifest drops files a filter can never match, then parquet
+        row-group pruning still applies inside each survivor). `where`
+        predicates are ALSO applied exactly to the result, so the
+        returned rows are identical with or without stats."""
+        snap, files = self.plan_files(version, as_of_ms, partition_filter, where)
+        df = self._read_files(snap, [f.path for f in files])
+        for col, op, value in where or []:
+            from pyspark.sql import functions as F
+
+            c = F.col(col)
+            df = df.filter(
+                {"=": c == value, "==": c == value, "<": c < value,
+                 "<=": c <= value, ">": c > value, ">=": c >= value}[op]
+            )
+        return df
 
     def _read_files(self, snap: Snapshot, rel_paths: list[str]) -> DataFrame:
         from pyspark.sql.types import StructType

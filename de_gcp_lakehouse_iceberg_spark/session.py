@@ -39,6 +39,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # modern timestamp physical type: INT96 (Spark's legacy default)
+        # carries NO parquet min/max statistics, which would blind the
+        # lakehouse column-stats file skipping on every time column
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     if warehouse_dir:
         # static conf — only effective when this call CREATES the session
@@ -59,6 +63,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"),
     ]:
         try:
             spark.conf.set(k, v)
