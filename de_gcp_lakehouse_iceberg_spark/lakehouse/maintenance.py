@@ -117,6 +117,15 @@ def rewrite_sorted(
     pcols = [c for c in table.partition_by if c in df.columns]
     if pcols:
         df = df.repartition(*[F.col(c) for c in pcols])
+    else:
+        # GLOBAL range clustering (Iceberg sort-order-rewrite shape):
+        # each output file owns a disjoint slice of the sort key, so
+        # the manifest's per-file [min,max] stats — and therefore
+        # scan(where=) file skipping — become surgical instead of every
+        # file spanning the whole range. File count is preserved.
+        df = df.repartitionByRange(
+            max(1, len(targets)), *[F.col(c) for c in sort_columns]
+        )
     df = df.sortWithinPartitions(*sort_columns)
     new_snap = table.replace_files(
         [f.path for f in targets], df, operation="rewrite_sorted",

@@ -14,5 +14,6 @@ from . import pipeline_queries  # noqa: F401  (registers q50-q53)
 from . import curation_queries  # noqa: F401  (registers q54-q57)
 from . import clustering_queries  # noqa: F401  (registers q58)
 from . import interval_queries  # noqa: F401  (registers q59)
+from . import skipping_queries  # noqa: F401  (registers q60)
 
 __all__ = ["QUERIES", "ORACLE_SQL", "register"]

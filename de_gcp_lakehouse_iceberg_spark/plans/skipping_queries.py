@@ -1,0 +1,82 @@
+"""q60 — stats-pruned lakehouse time-range scan: events land in a
+LakeTable (one file per append batch), then a timestamp-range query
+runs through `scan(where=...)` — the manifest's footer-harvested
+[min,max] stats drop non-matching files BEFORE Spark plans the read.
+The oracle is the plain range aggregate over the source table: pruning
+must be invisible in the result, visible only in files planned (the
+query also RETURNS the planned-vs-total file counts so the driver's
+hash gate verifies the pruning actually happened).
+
+All window arithmetic is integer epoch-micros in BOTH engines — no
+interval division, so the cut point is bit-identical."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lakehouse import LakeTable
+from ..tables import table
+from .queries import _davg, register
+
+_ROOT = "/tmp/lakehouse_skipping_queries"
+_N_BATCHES = 4
+
+
+def _us_to_dt(us: int) -> dt.datetime:
+    return dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=us)
+
+
+@register(
+    "q60_stats_pruned_scan",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+    cut AS (
+      -- the query window: the last quarter of the event-time range
+      SELECT lo + (hi - lo) * 3 // 4 AS start_us FROM bounds),
+    hit AS (
+      SELECT e.* FROM events e, cut WHERE epoch_us(e.ts) >= cut.start_us)
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*) * 100 + 0.5) / 100 AS avg_value,
+           CAST(1 AS BIGINT) AS files_planned,
+           CAST({_N_BATCHES} AS BIGINT) AS files_total
+    FROM hit
+    """,
+)
+def q60_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    lo_us, hi_us = events.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    start_us = lo_us + (hi_us - lo_us) * 3 // 4
+
+    root = os.path.join(_ROOT, os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(root, ignore_errors=True)
+    t = LakeTable.create(spark, root)
+    # one append (= one file with its own stats) per contiguous time
+    # slice — the shape a daily ingest produces naturally
+    for i in range(_N_BATCHES):
+        s = lo_us + (hi_us - lo_us) * i // _N_BATCHES
+        e = lo_us + (hi_us - lo_us) * (i + 1) // _N_BATCHES
+        batch = events.filter(
+            (F.unix_micros("ts") >= s)
+            & ((F.unix_micros("ts") < e) | F.lit(i == _N_BATCHES - 1))
+        )
+        t.append(batch.coalesce(1), operation=f"slice_{i}")
+
+    snap, planned = t.plan_files(where=[("ts", ">=", _us_to_dt(start_us))])
+    hit = t.scan(where=[("ts", ">=", _us_to_dt(start_us))])
+    return hit.agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        _davg("value", 2).alias("avg_value"),
+        F.lit(len(planned)).cast("long").alias("files_planned"),
+        F.lit(len(snap.files)).cast("long").alias("files_total"),
+    )

@@ -86,3 +86,36 @@ def test_pruning_never_drops_matching_rows_on_overlap(spark, tmp_path):
     _, planned = t.plan_files(where=[("id", "=", 55)])
     assert len(planned) == 2
     assert t.scan(where=[("id", "=", 55)]).count() == 2
+
+
+def test_sort_rewrite_makes_stats_pruning_surgical(spark, tmp_path):
+    """Before clustering: every file spans the whole key range, so a
+    narrow predicate prunes nothing. After rewrite_sorted (global range
+    clustering), each file owns a disjoint slice and the same predicate
+    plans ~one file — the classic sort-then-skip synergy."""
+    import random
+
+    from de_gcp_lakehouse_iceberg_spark.lakehouse.maintenance import (
+        rewrite_sorted,
+    )
+
+    rng = random.Random(7)
+    ids = list(range(4000))
+    rng.shuffle(ids)
+    t = LakeTable.create(spark, str(tmp_path / "clustbl"))
+    for b in range(4):  # 4 files, each a random full-range sample
+        rows = [(i, float(i)) for i in ids[b * 1000 : (b + 1) * 1000]]
+        t.append(
+            spark.createDataFrame(rows, "id long, x double").coalesce(1)
+        )
+    pred = [("id", ">=", 3900)]
+    want = sorted(r.id for r in t.scan(where=pred).collect())
+    _, before = t.plan_files(where=pred)
+    assert len(before) == 4  # unsorted: nothing prunable
+
+    res = rewrite_sorted(t, ["id"])
+    assert res["status"] == "success"
+    _, after = t.plan_files(where=pred)
+    assert len(after) < 4  # clustered: most files provably out of range
+    got = sorted(r.id for r in t.scan(where=pred).collect())
+    assert got == want == list(range(3900, 4000))
