@@ -92,3 +92,25 @@ def test_partition_scoped_delete_rewrites_one_partition(spark, tmp_path):
     # and the data is right
     assert t.scan().filter("day = '2025-01-02'").count() == 100 - 50
     assert t.scan().count() == 250
+
+
+def test_plan_q54_broadcasts_benchmark_shingles(spark, sf_dir):
+    """Decontamination must stream the corpus past a BROADCAST benchmark
+    set — a shuffle join here would move the whole corpus at 100 TB."""
+    plan = _plan(spark, "q54_contamination", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_plan_q56_asof_single_shuffle(spark, sf_dir):
+    """The as-of join is one union + one window: exactly one Exchange
+    on the key (plus the final-agg exchanges), never a join explosion."""
+    plan = QUERIES["q56_asof_error_context"](spark, sf_dir)
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in s and "BroadcastNestedLoopJoin" not in s
+    # the carry-forward is a window over (user_id), not a self-join
+    assert "Window" in s
+
+
+def test_plan_q58_kmeans_broadcasts_centroids(spark, sf_dir):
+    plan = _plan(spark, "q58_kmeans", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
