@@ -212,6 +212,14 @@ class LakeTable:
         except FileNotFoundError:
             return []
 
+    @property
+    def partition_transforms(self) -> list:
+        """Parsed partition spec (hidden-partitioning transforms —
+        identity / days / hours / months / bucket / truncate)."""
+        from .transforms import parse_spec
+
+        return [parse_spec(s) for s in self.partition_by]
+
     # ------------------------------------------------------------------
     # snapshot bookkeeping
     # ------------------------------------------------------------------
@@ -316,17 +324,23 @@ class LakeTable:
         for `remove_orphans`)."""
         stage = subdir or uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.root, DATA_DIR, stage)
-        pcols = [c for c in self.partition_by if c in df.columns]
-        # Partition layout uses shadow `_p_<col>` copies so the real column
-        # stays inside the data files; reads then skip Spark partition
-        # inference entirely (recursiveFileLookup) — staging dirs would
-        # otherwise make directory structures "conflict".
+        transforms = [
+            t for t in self.partition_transforms if t.source in df.columns
+        ]
+        # Partition layout uses shadow `_p_<name>` columns holding the
+        # TRANSFORMED value (hidden partitioning: `days(ts)` writes
+        # `_p_ts_day=19723/...` while `ts` itself stays untouched inside
+        # the data files); reads then skip Spark partition inference
+        # entirely (recursiveFileLookup) — staging dirs would otherwise
+        # make directory structures "conflict".
         writer_df = df
-        for c in pcols:
-            writer_df = writer_df.withColumn(f"_p_{c}", writer_df[c].cast("string"))
+        for t in transforms:
+            writer_df = writer_df.withColumn(
+                f"_p_{t.name}", t.expr().cast("string")
+            )
         writer = writer_df.write.mode("error")
-        if pcols:
-            writer = writer.partitionBy(*[f"_p_{c}" for c in pcols])
+        if transforms:
+            writer = writer.partitionBy(*[f"_p_{t.name}" for t in transforms])
         writer.parquet(out_dir)
         return self._scan_written(out_dir)
 
@@ -496,10 +510,22 @@ class LakeTable:
         files = snap.files
         if partition_filter is not None:
             files = [f for f in files if partition_filter(f.partition)]
+        transforms = self.partition_transforms
         for col, op, value in where or []:
             if op not in _PRUNE_OPS:
                 raise ValueError(f"unsupported prune op {op!r}")
             files = [f for f in files if _file_may_match(f, col, op, value)]
+            # hidden-partition pruning: map the RAW-column predicate
+            # through every transform of that column (days/bucket/...)
+            for t in transforms:
+                if t.source != col:
+                    continue
+                files = [
+                    f
+                    for f in files
+                    if t.name not in f.partition
+                    or t.prune(op, value, f.partition[t.name])
+                ]
         return snap, files
 
     def scan(
