@@ -69,3 +69,38 @@ def chunk_stats(packed: DataFrame, capacity: int, stream_col: str = "lang") -> D
             / 10000,
         )
     )
+
+
+def chunk_text(
+    text_col,
+    chunk_tokens: int,
+    stride: int,
+):
+    """Overlapping context-window chunking — split a document's tokens
+    into windows of `chunk_tokens`, stepping by `stride` (< chunk ⇒
+    overlap; the sliding-window chunking RAG/long-context pipelines
+    use). Returns an array<struct<chunk_idx, chunk_text, n_tokens>> —
+    explode at the call site. Pure Column expressions: one narrow pass
+    per row, no shuffle; chunk starts are 0, stride, 2·stride, … while
+    start < token_count, and the final chunk may be short."""
+    from ..functions.text import tokens
+
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    t = tokens(text_col)
+    k = F.size(t)
+    # number of chunks = floor((k-1)/stride) + 1  (k ≥ 1 always: even
+    # an empty string tokenizes to [''])
+    n_chunks = F.floor((k - F.lit(1)) / F.lit(stride)) + F.lit(1)
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - F.lit(1)),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(t, i * stride + 1, chunk_tokens)
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens), k - i * F.lit(stride)
+            ).cast("long").alias("n_tokens"),
+        ),
+    )

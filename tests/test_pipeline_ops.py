@@ -145,3 +145,24 @@ def test_dup_clusters_star_skewed_hub(spark):
 def test_dup_clusters_star_empty(spark):
     df = spark.createDataFrame([], "doc_a long, doc_b long")
     assert dedup.dup_clusters_star(df).count() == 0
+
+
+def test_chunk_text_overlap_and_tail(spark):
+    from de_gcp_lakehouse_iceberg_spark.operators.packing import chunk_text
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10)))], "doc_id long, text string"
+    )
+    rows = (
+        df.select(F.explode(chunk_text("text", 4, 3)).alias("c"))
+        .select("c.chunk_idx", "c.chunk_text", "c.n_tokens")
+        .collect()
+    )
+    got = {(r.chunk_idx, r.chunk_text, r.n_tokens) for r in rows}
+    # starts 0,3,6,9 over 10 tokens; window 4; final chunk short
+    assert got == {
+        (0, "w0 w1 w2 w3", 4),
+        (1, "w3 w4 w5 w6", 4),
+        (2, "w6 w7 w8 w9", 4),
+        (3, "w9", 1),
+    }
