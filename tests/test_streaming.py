@@ -187,3 +187,48 @@ def test_stream_watermark_survives_interleaved_commits(spark, sf_dir, tmp_path):
         spark, read_events_stream(spark, sf_dir), t, checkpoint_name="ck"
     )
     assert n2 == 0 and t.scan().count() == expected + 5
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Streaming dedup on event_id under a watermark: a replayed
+    duplicate inside the watermark window is dropped; the sink sees
+    each event once (the Kafka at-least-once → exactly-once pattern)."""
+    import datetime as dt
+    import uuid
+
+    base = dt.datetime(2025, 1, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp, value double"
+    first = [(i, base + dt.timedelta(seconds=i), float(i)) for i in range(5)]
+    # replay of ids 2-4 slightly later, plus one genuinely new event
+    second = [
+        (i, base + dt.timedelta(seconds=i + 1), float(i)) for i in (2, 3, 4)
+    ] + [(9, base + dt.timedelta(seconds=30), 9.0)]
+
+    d = tmp_path / "dup_src"
+    d.mkdir()
+    spark.createDataFrame(first, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+
+    sink = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    spark.createDataFrame(second, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d))
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(r.event_id for r in spark.table(sink).collect())
+    assert got == [0, 1, 2, 3, 4, 9]  # replays suppressed, new event kept
