@@ -237,3 +237,61 @@ def changelog(table: LakeTable, from_version: int, to_version: int) -> DataFrame
     if out is None:
         raise ValueError("no changes between requested versions")
     return out
+
+
+def apply_changelog(
+    replica: LakeTable, changes: DataFrame, key_cols: list[str]
+) -> Snapshot:
+    """CDC apply — replay a `changelog()` feed onto a replica table so
+    it converges to the source's end state (the Iceberg-CDC / Delta-CDF
+    downstream-sync pattern; BigQuery surface: PRD.md:956-972).
+
+    Per key, only the LATEST change matters: the newest
+    `_change_version` wins, and within one version an INSERT outranks
+    its paired DELETE (an update emits both). Keys whose last change is
+    DELETE are removed; keys whose last change is INSERT are upserted.
+    One atomic commit: affected replica files are rewritten without the
+    touched keys and the upserts land in the same snapshot — the
+    replica never shows a half-applied feed.
+
+    Requires `key_cols` to identify rows uniquely in the source's end
+    state (CDC on non-unique keys is ill-defined).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*key_cols).orderBy(
+        F.col("_change_version").desc(),
+        # within a version: INSERT (0) sorts before DELETE (1) ⇒ wins
+        F.when(F.col("_change_type") == "INSERT", 0).otherwise(1).asc(),
+    )
+    last = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_change_version", "_change_timestamp")
+    )
+    payload_cols = [c for c in last.columns if c != "_change_type"]
+    upserts = last.filter(F.col("_change_type") == "INSERT").select(
+        *payload_cols
+    )
+    touched_keys = last.select(*key_cols)
+
+    snap = replica.snapshot()  # pin base (OCC)
+    target = _with_file(replica.scan(version=snap.version))
+    hit = target.join(touched_keys, on=key_cols, how="left_semi")
+    affected = _rel_paths(
+        replica, [r[0] for r in hit.select(_FILE).distinct().collect()]
+    )
+    if affected:
+        kept = replica._read_files(snap, affected).join(
+            touched_keys, on=key_cols, how="left_anti"
+        )
+        add_df = kept.unionByName(upserts)
+    else:
+        add_df = upserts
+    return replica.replace_files(
+        affected,
+        add_df,
+        operation="apply_changelog",
+        summary={"upserts": upserts.count(), "keys": touched_keys.count()},
+        expected_base=snap.version,
+    )

@@ -72,8 +72,21 @@ def _footer_stats(meta) -> dict[str, list]:
             if name in dead or name.startswith("_p_"):
                 continue
             st = col.statistics
-            lo = _stat_value(st.min) if st is not None and st.has_min_max else None
-            hi = _stat_value(st.max) if st is not None and st.has_min_max else None
+            try:
+                lo = (
+                    _stat_value(st.min)
+                    if st is not None and st.has_min_max
+                    else None
+                )
+                hi = (
+                    _stat_value(st.max)
+                    if st is not None and st.has_min_max
+                    else None
+                )
+            except Exception:  # noqa: BLE001 — pyarrow raises
+                # ArrowNotImplementedError for types it cannot extract
+                # (e.g. DECIMAL); those columns simply carry no stats
+                lo = hi = None
             if lo is None or hi is None:
                 dead.add(name)
                 acc.pop(name, None)

@@ -121,3 +121,61 @@ def test_merge_allows_duplicate_unmatched_source_keys(spark, tmp_path):
     )
     dml.merge(t, src, on=["key"], when_not_matched_insert=True)
     assert t.scan().filter("key = 9").count() == 2
+
+
+def test_apply_changelog_converges_replica(spark, sf_dir, tmp_path):
+    """Full CDC round trip: source DML → changelog() → apply_changelog
+    on a replica initialized from the pre-DML snapshot → replica rows
+    equal the source's end state exactly."""
+    from de_gcp_lakehouse_iceberg_spark.lakehouse import LakeTable, dml
+    from de_gcp_lakehouse_iceberg_spark.tables import table as tdata
+
+    sup = tdata(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    src = LakeTable.create(spark, str(tmp_path / "cdc_src"))
+    src.append(sup)
+    v0 = src.current_version()
+
+    replica = LakeTable.create(spark, str(tmp_path / "cdc_replica"))
+    replica.append(src.scan(version=v0))
+
+    # source evolves: append new rows, update a slice, delete a slice
+    dml_rows = sup.select(
+        (F.col("s_suppkey") + 100_000).alias("s_suppkey"),
+        "s_nationkey",
+        "s_acctbal",
+    ).limit(3)
+    src.append(dml_rows)
+    dml.update(
+        src, {"s_acctbal": F.col("s_acctbal") + 1}, "s_nationkey = 1"
+    )
+    dml.delete(src, "s_nationkey = 2")
+
+    feed = dml.changelog(src, v0, src.current_version())
+    dml.apply_changelog(replica, feed, key_cols=["s_suppkey"])
+
+    a = sorted(map(tuple, src.scan().collect()))
+    b = sorted(map(tuple, replica.scan().collect()))
+    assert a == b and a
+
+
+def test_apply_changelog_is_idempotent(spark, tmp_path):
+    """Re-applying the same feed must be a no-op on row content."""
+    from de_gcp_lakehouse_iceberg_spark.lakehouse import LakeTable, dml
+
+    src = LakeTable.create(spark, str(tmp_path / "cdc_src2"))
+    src.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    v0 = src.current_version()
+    replica = LakeTable.create(spark, str(tmp_path / "cdc_rep2"))
+    replica.append(src.scan(version=v0))
+
+    dml.delete(src, "id = 1")
+    src.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    feed = dml.changelog(src, v0, src.current_version())
+
+    dml.apply_changelog(replica, feed, key_cols=["id"])
+    once = sorted(map(tuple, replica.scan().collect()))
+    dml.apply_changelog(replica, feed, key_cols=["id"])
+    twice = sorted(map(tuple, replica.scan().collect()))
+    assert once == twice == sorted(map(tuple, src.scan().collect()))
