@@ -46,8 +46,13 @@ def clean_corpus(
         .drop("_rn", "_q")
     )
     # near-dup removal on the survivors: drop the higher id of each pair
-    pair_fn = minhash_lsh_pairs if use_lsh else ngram_jaccard_pairs
-    pairs = pair_fn(kept, threshold=jaccard_threshold)
+    if use_lsh:
+        # portable mode takes the fused one-Arrow-pass fast path
+        pairs = minhash_lsh_pairs(
+            kept, threshold=jaccard_threshold, hash_mode="portable"
+        )
+    else:
+        pairs = ngram_jaccard_pairs(kept, threshold=jaccard_threshold)
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return kept.join(losers, "doc_id", "left_anti")
 

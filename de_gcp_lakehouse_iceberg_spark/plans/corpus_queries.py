@@ -72,3 +72,44 @@ def q44_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("kept_docs"))
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# q64 — the SAME corpus-cleaning pipeline through the LSH scale route
+# (use_lsh=True). The oracle is IDENTICAL to q44's exact-Jaccard oracle:
+# with b=32/r=2 banding, P(candidate | J≥0.5) ≈ 1−(1−0.25)^32 ≈ 1-1e-4
+# and the planted dups sit far above threshold, so LSH's verified pair
+# set equals the exact pair set (pinned by test_lsh_pairs_equal_exact_
+# pairs) — making the hash gate a live end-to-end proof that the scale
+# path loses nothing on this corpus.
+# --------------------------------------------------------------------------
+_Q44_FN = q44_corpus_clean
+
+
+def _q64_oracle() -> str:
+    from .queries import ORACLE_SQL
+
+    return ORACLE_SQL["q44_corpus_clean"]
+
+
+@register("q64_corpus_clean_lsh", oracle=None)
+def q64_corpus_clean_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    cleaned = clean_corpus(
+        docs,
+        quality_threshold=_QUALITY_T,
+        langs=list(_LANGS),
+        jaccard_threshold=_JACCARD_T,
+        use_lsh=True,
+    )
+    return (
+        cleaned.groupBy("lang")
+        .agg(F.count("*").alias("kept_docs"))
+        .orderBy("lang")
+    )
+
+
+# same oracle as q44 — registered after both exist
+from .queries import ORACLE_SQL as _OSQL
+
+_OSQL["q64_corpus_clean_lsh"] = _OSQL["q44_corpus_clean"]
