@@ -89,3 +89,41 @@ def stratified_sample(
         .filter(F.col("_srn") <= n_per_stratum)
         .drop("_srn")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.5,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-flattened source mixing — the published multilingual
+    sampling rule (sample source s ∝ n_s^α, α<1 upweights small
+    sources). Realized as per-source deterministic keep rates
+    r_s = (n_min/n_s)^(1-α), so the smallest source keeps everything
+    and larger sources flatten toward it.
+
+    Determinism: α=0.5 evaluates the rate with sqrt — IEEE-754 requires
+    sqrt correctly rounded, so Spark and any SQL oracle produce the
+    bit-identical threshold. Other α use pow(), which engines do NOT
+    guarantee to the last ulp — fine for production, not hash-gated.
+
+    Shape: one count aggregate (rows = #sources), a global window min
+    over it, then a broadcast join + scan-time hash filter — nothing
+    corpus-sized shuffles.
+    """
+    counts = df.groupBy(key_col).agg(F.count("*").alias("_n"))
+    counts = counts.withColumn(
+        "_nmin", F.min("_n").over(W.partitionBy())
+    )
+    ratio = F.col("_nmin").cast("double") / F.col("_n")
+    rate = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    th = counts.select(
+        key_col,
+        F.floor(rate * F.lit(SAMPLE_P) + F.lit(0.5)).cast("long").alias("_th"),
+    )
+    return (
+        df.join(F.broadcast(th), key_col)
+        .filter(id_hash(id_col) < F.col("_th"))
+        .drop("_th")
+    )

@@ -166,3 +166,28 @@ def test_chunk_text_overlap_and_tail(spark):
         (2, "w6 w7 w8 w9", 4),
         (3, "w9", 1),
     }
+
+
+def test_temperature_mix_flattens_sources(spark, sf_dir_medium):
+    """α=0.5 keeps the smallest source whole and samples a larger
+    source at ~sqrt(n_min/n_s) — the published flattening rule."""
+    from de_gcp_lakehouse_iceberg_spark.operators.sampling import (
+        temperature_mix,
+    )
+    from de_gcp_lakehouse_iceberg_spark.tables import table
+
+    docs = table(spark, sf_dir_medium, "documents")
+    orig = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    kept = {
+        r.source: r.n
+        for r in temperature_mix(docs, alpha=0.5)
+        .groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    n_min = min(orig.values())
+    smallest = min(orig, key=orig.get)
+    assert kept[smallest] == orig[smallest]  # rate 1.0 keeps everything
+    for s, n in orig.items():
+        expect = (n_min / n) ** 0.5 * n
+        # hash sampling is deterministic but not exact-count: allow
+        # binomial-ish slack around the target
+        assert abs(kept.get(s, 0) - expect) <= max(5, 0.35 * expect), (s, kept.get(s), expect)
