@@ -30,6 +30,23 @@ def main() -> None:
         QUERIES["q01_global_count"](spark, sf_dir).collect()
     except Exception as exc:  # noqa: BLE001 — warm-up is best-effort
         print(f"# warm-up failed: {exc}", file=sys.stderr)
+    # Spin up the Python/Arrow worker pool too (one trivial pandas UDF
+    # across all cores): otherwise the FIRST UDF-bearing query is
+    # charged ~5s of interpreter+numpy import per worker — a fixed
+    # session cost, not that query's cost.
+    try:
+        import pandas as _pd
+        from pyspark.sql.functions import col, pandas_udf
+
+        @pandas_udf("long")
+        def _warm(s: _pd.Series) -> _pd.Series:
+            return s
+
+        spark.range(1_000_000).repartition(64).select(
+            _warm(col("id"))
+        ).count()
+    except Exception as exc:  # noqa: BLE001 — warm-up is best-effort
+        print(f"# udf warm-up failed: {exc}", file=sys.stderr)
 
     # Cache the shared base tables (Spark in-memory columnar cache): the
     # corpus reads the same parquet dozens of times; a real deployment
