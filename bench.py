@@ -99,6 +99,10 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001 — survive any failure
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                 print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+                # A query is either timed or errored, never both: drop
+                # any timing from earlier repeat runs so the JSON is
+                # unambiguous (an erroring query contributes 0 to value).
+                best = None
                 break
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)

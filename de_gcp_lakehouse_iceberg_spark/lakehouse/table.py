@@ -53,8 +53,12 @@ def _stat_value(v):
     if isinstance(v, (int, float, str)):
         return v
     if isinstance(v, _dt.datetime):
+        # Exact integer micros: float total_seconds() loses ULPs for
+        # ~1% of microsecond values, which can round a file bound
+        # differently from a predicate bound and prune a file that
+        # contains matching rows. timedelta floordiv is exact.
         epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-        return int((v - epoch).total_seconds() * 1_000_000)
+        return (v - epoch) // _dt.timedelta(microseconds=1)
     return None
 
 
@@ -555,6 +559,14 @@ class LakeTable:
         row-group pruning still applies inside each survivor). `where`
         predicates are ALSO applied exactly to the result, so the
         returned rows are identical with or without stats."""
+        import datetime as _dt
+
+        if any(isinstance(v, _dt.datetime) for _, _, v in (where or [])):
+            # Manifest pruning treats naive datetimes as UTC; Spark
+            # interprets naive literals in the session timezone. Pin
+            # UTC (the engine-wide convention — tables.py:38) so the
+            # exact row filter below can never disagree with pruning.
+            self.spark.conf.set("spark.sql.session.timeZone", "UTC")
         snap, files = self.plan_files(version, as_of_ms, partition_filter, where)
         df = self._read_files(snap, [f.path for f in files])
         for col, op, value in where or []:

@@ -75,7 +75,9 @@ class Transform:
             if not isinstance(v, dt.datetime):
                 return None
             epoch = dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-            us = int((v - epoch).total_seconds() * 1_000_000)
+            # Exact integer micros (float total_seconds() truncates
+            # ~1% of microsecond values, mispruning boundary files).
+            us = (v - epoch) // dt.timedelta(microseconds=1)
             if self.kind == "days":
                 return us // _US_PER_DAY
             if self.kind == "hours":

@@ -40,7 +40,17 @@ def write_bucketed(
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    stale = os.path.join(wh.removeprefix("file:"), table_name.lower())
+    # Managed-table layout: unqualified → <wh>/<tbl>; qualified db.tbl →
+    # <wh>/<db>.db/<tbl> (a naive name.lower() join never matches the
+    # qualified form, silently skipping the crash-leftover cleanup).
+    parts = table_name.lower().split(".")
+    if parts and parts[0] == "spark_catalog":
+        parts = parts[1:]  # strip explicit catalog
+    if len(parts) == 2 and parts[0] != "default":
+        rel = os.path.join(f"{parts[0]}.db", parts[1])
+    else:
+        rel = parts[-1]
+    stale = os.path.join(wh.removeprefix("file:"), rel)
     if os.path.isdir(stale):
         shutil.rmtree(stale, ignore_errors=True)
     writer = (

@@ -723,7 +723,7 @@ def minhash_lsh_pairs(
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
-    return (
+    verified = (
         candidates.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
@@ -733,3 +733,17 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    # Materialize the verified pairs (small by construction — banding's
+    # whole point) with truncated lineage, then RELEASE every block we
+    # pinned above. Without this a long-lived session accumulates
+    # corpus-sized cached keys/signatures on every call; the lineage-free
+    # result lets unpersist run with zero recompute risk, and the
+    # checkpoint blocks themselves are ContextCleaner-collected when the
+    # returned DataFrame goes out of scope.
+    verified = verified.localCheckpoint(eager=True)
+    candidates.unpersist()
+    if sets_src is not None:
+        dk.unpersist()
+    else:
+        keyed.unpersist()
+    return verified

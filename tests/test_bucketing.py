@@ -48,3 +48,30 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_write_bucketed_qualified_name_cleans_stale_location(spark):
+    """Regression: db.tbl resolves to <wh>/<db>.db/<tbl> — the stale-
+    location cleanup must target that path (the old name.lower() join
+    produced <wh>/db.tbl, never matching), so overwrite after a crash
+    leftover succeeds instead of LOCATION_ALREADY_EXISTS."""
+    import os
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS bktdb")
+    try:
+        df = spark.range(100).select(
+            (F.col("id") % 10).alias("k"), F.col("id").alias("v")
+        )
+        write_bucketed(df, "bktdb.qual_tbl", ["k"], num_buckets=4)
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        loc = os.path.join(wh, "bktdb.db", "qual_tbl")
+        assert os.path.isdir(loc)
+        # simulate a crashed writer: catalog entry gone, directory left
+        spark.sql("DROP TABLE bktdb.qual_tbl")
+        os.makedirs(loc, exist_ok=True)
+        open(os.path.join(loc, "leftover"), "w").close()
+        write_bucketed(df, "bktdb.qual_tbl", ["k"], num_buckets=4)
+        assert spark.table("bktdb.qual_tbl").count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bktdb.qual_tbl")
+        spark.sql("DROP DATABASE IF EXISTS bktdb")
