@@ -22,11 +22,11 @@ Scale posture: per iteration, assignment is a broadcast of k·d doubles
 against a narrow projection (no shuffle), and the update is ONE
 shuffle of (k·d) integer partial sums — map-side combine reduces each
 partition to ≤ k·d rows before the exchange. The Catalyst fold is
-interpreted (not codegen); for bulk scoring at 100 TB swap the
-assignment expression for the Arrow pandas-UDF path used by
-operators/similarity.py (numpy matmul) — kept out of the default
-because SIMD summation order can flip argmin on near-ties, breaking
-oracle parity.
+interpreted (not codegen); ``kmeans(..., fast=True)`` swaps the
+assignment for the Arrow numpy-matmul path (same vectorized shape as
+operators/similarity.py) for bulk scoring at 100 TB — kept out of the
+default because SIMD summation order can flip argmin on near-ties,
+and the driver oracle (q58) pins fold semantics.
 """
 
 from __future__ import annotations
@@ -63,6 +63,7 @@ def kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quant: int = QUANT,
+    fast: bool = False,
 ) -> DataFrame:
     """Lloyd's k-means on the quantized vectors; returns the final
     assignment (id_col, cluster_id, dist) after `iters` update rounds.
@@ -70,7 +71,16 @@ def kmeans(
     Init: centroids = the k lowest-id vectors (deterministic and
     engine-independent; at scale swap for a seeded hash-sample — the
     published k-means|| init is a drop-in here).
-    """
+
+    fast=True swaps the per-row Catalyst fold for the Arrow-batched
+    numpy path (``||x||² − 2·X·Cᵀ + ||c||²`` matmul per batch — the
+    same vectorized shape operators/similarity.py uses): one
+    mapInPandas pass, centroids shipped to workers as a k·d closure
+    array, still zero shuffle for assignment. This is the bulk-scoring
+    route for 100 TB; the default stays on the fold because BLAS
+    summation order can flip argmin on exact near-ties, and the driver
+    oracle (q58) pins fold semantics. Parity on non-degenerate data is
+    asserted in tests/test_clustering.py."""
     qv = vectors.select(
         F.col(id_col).alias("vec_id"), quantize(vec_col, quant).alias("q")
     )
@@ -84,7 +94,7 @@ def kmeans(
         )
     )
 
-    def assign(cents: DataFrame) -> DataFrame:
+    def assign_fold(cents: DataFrame) -> DataFrame:
         scored = qv.join(F.broadcast(cents)).select(
             "vec_id", "q", "cid", _sq_dist(F.col("q"), F.col("c")).alias("dist")
         )
@@ -94,6 +104,42 @@ def kmeans(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+
+    def assign_fast(cents: DataFrame) -> DataFrame:
+        # k·d doubles to the driver (bounded by k, like the IVF build),
+        # then one Arrow pass: n×k distances per batch via matmul,
+        # argmin ties break to the lowest cid for free (rows are
+        # cid-sorted and numpy argmin takes the first minimum).
+        import numpy as np
+        import pandas as pd
+
+        rows = cents.orderBy("cid").collect()
+        C = np.array([r["c"] for r in rows], dtype=np.float64)
+        cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+        cn = (C * C).sum(axis=1)
+
+        def score(batches):
+            for pdf in batches:
+                X = np.array(pdf["q"].tolist(), dtype=np.float64)
+                d2 = np.maximum(
+                    (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + cn[None, :],
+                    0.0,
+                )
+                j = d2.argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "q": pdf["q"],
+                        "cid": cids[j],
+                        "dist": d2[np.arange(len(j)), j],
+                    }
+                )
+
+        return qv.mapInPandas(
+            score, schema="vec_id long, q array<long>, cid int, dist double"
+        )
+
+    assign = assign_fast if fast else assign_fold
 
     for _ in range(iters):
         assigned = assign(centroids)

@@ -2,12 +2,15 @@
 columns with typed metadata, processed by Arrow-batched Pandas
 functions (SURVEY.md §7.1 step 10).
 
-The decode step is STUBBED (this container has no image/audio codecs):
-`decode_stub=True` derives deterministic fake features from the bytes
-themselves, and the real-codec path raises NotImplementedError with the
-integration point documented. Everything AROUND the decode — schema,
-binary packing, partition-parallel mapInPandas plumbing, batch shapes,
-feature schema — is real and tested.
+The decode step parses real container headers in pure Python (PNG
+IHDR / JPEG SOF / GIF screen descriptor → format, width, height);
+unrecognized payloads are treated as opaque bytes with null
+dimensions. Pixel/audio-frame decode remains the documented
+integration point for a real codec library (none installed in this
+container). Everything around it — schema, binary packing,
+partition-parallel mapInPandas plumbing, batch shapes, byte-level
+features — is real and tested, and q42 hash-gates the header parser
+against planted PNG/JPEG payloads with known dimensions.
 
 Scale posture: binary payloads ride in the same parquet row groups as
 their metadata (no side files to keep consistent); mapInPandas streams
@@ -30,8 +33,16 @@ MEDIA_SCHEMA = (
 
 FEATURE_SCHEMA = (
     "media_id bigint, kind string, n_bytes bigint, "
-    "byte_mean double, byte_entropy double, head_hash bigint"
+    "byte_mean double, byte_entropy double, head_hash bigint, "
+    "format string, width int, height int"
 )
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# JPEG start-of-frame markers carrying dimensions (C0-CF minus
+# DHT C4 / JPG C8 / DAC CC, per ITU T.81 table B.1)
+_JPEG_SOF = {
+    m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC)
+}
 
 
 def pack_media(
@@ -62,24 +73,71 @@ def pack_media(
     )
 
 
-def decode_media(payload: bytes, kind: str):
-    """REAL decode integration point — wire an image/audio codec here
-    (PIL / torchaudio / ffmpeg). Not available in this container."""
-    raise NotImplementedError(
-        "media codecs are not installed in this environment; "
-        "run extract_features(decode_stub=True) for the deterministic "
-        "byte-level fake, or plug a codec into decode_media()"
+def decode_media(payload: bytes, kind: str | None = None) -> dict:
+    """Header-level decode for public image container formats — pure
+    Python over the documented byte layouts (PNG IHDR, JPEG SOF
+    markers per ITU T.81, GIF logical screen descriptor). Returns
+    {"format", "width", "height"}; raises ValueError for payloads that
+    are not a recognized container (callers treat that as
+    "opaque bytes" and carry null dimensions).
+
+    Deeper decode (pixel data, audio frames) is the integration point
+    for a real codec (PIL / torchaudio / ffmpeg — not installed in
+    this container); header parsing needs no codec and covers the
+    metadata a curation pipeline filters on (resolution gates,
+    aspect-ratio buckets)."""
+    b = payload
+    if len(b) >= 24 and b[:8] == _PNG_SIG and b[12:16] == b"IHDR":
+        return {
+            "format": "png",
+            "width": int.from_bytes(b[16:20], "big"),
+            "height": int.from_bytes(b[20:24], "big"),
+        }
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                break
+            if marker in _JPEG_SOF:
+                if i + 9 <= len(b):
+                    return {
+                        "format": "jpeg",
+                        "height": int.from_bytes(b[i + 5 : i + 7], "big"),
+                        "width": int.from_bytes(b[i + 7 : i + 9], "big"),
+                    }
+                break
+            i += 2 + seg_len
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        return {
+            "format": "gif",
+            "width": int.from_bytes(b[6:8], "little"),
+            "height": int.from_bytes(b[8:10], "little"),
+        }
+    raise ValueError(
+        "unrecognized media payload (header decode supports PNG/JPEG/GIF)"
     )
 
 
-def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+def extract_features(media: DataFrame, decode_stub: bool = False) -> DataFrame:
     """Per-payload feature extraction over mapInPandas (Arrow batches).
 
-    Stub features are pure functions of the payload bytes — byte mean,
-    byte entropy, and a 64-bit FNV-1a hash of the first 64 bytes — so
-    tests are deterministic and the plumbing (batch iteration, schema,
-    null payloads) is exercised for real.
-    """
+    Byte-level features are pure functions of the payload bytes — byte
+    mean, byte entropy, and a 64-bit FNV-1a hash of the first 64 bytes
+    — deterministic in any engine. With decode_stub=False (default)
+    the real header decode also runs: recognized PNG/JPEG/GIF payloads
+    carry (format, width, height); anything else is opaque bytes with
+    null dimensions. decode_stub=True skips the decode entirely (the
+    byte-only mode earlier rounds gated)."""
 
     def _batches(it: Iterator) -> Iterator:
         import math
@@ -94,14 +152,22 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                 "byte_mean": [],
                 "byte_entropy": [],
                 "head_hash": [],
+                "format": [],
+                "width": [],
+                "height": [],
             }
             for mid, kind, payload in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
                 if payload is None:
                     continue
+                fmt = width = height = None
                 if not decode_stub:
-                    decode_media(bytes(payload), kind)  # raises: no codecs
+                    try:
+                        d = decode_media(bytes(payload), kind)
+                        fmt, width, height = d["format"], d["width"], d["height"]
+                    except ValueError:
+                        pass  # opaque bytes — dims stay null
                 b = bytes(payload)
                 n = len(b)
                 counts: dict[int, int] = {}
@@ -129,6 +195,9 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                 out["byte_mean"].append(total / n if n else 0.0)
                 out["byte_entropy"].append(ent)
                 out["head_hash"].append(h - 2**63)  # signed long
+                out["format"].append(fmt)
+                out["width"].append(width)
+                out["height"].append(height)
             yield pd.DataFrame(out)
 
     return media.select("media_id", "kind", "payload").mapInPandas(

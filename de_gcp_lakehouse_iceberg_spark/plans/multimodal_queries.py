@@ -62,15 +62,26 @@ def q41_media_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q42 — Pandas-UDF feature extraction (stub decode): corpus-level feature
-# aggregates. FULL oracle: the stub features are pure byte arithmetic, so
-# DuckDB recomputes them from hex(encode(text)) — per-byte extraction via
-# substring/strpos, entropy as a byte-value-ordered list_sum fold (the
-# Python side folds in the same order → bit-identical doubles), and the
-# FNV-1a head hash as a HUGEINT list_reduce mod 2^64. Per-doc entropy is
-# quantized to 6dp then decimal-summed so the corpus average is exact and
-# order-independent in both engines.
+# q42 — Pandas-UDF feature extraction WITH the real header decode:
+# corpus-level feature aggregates. FULL oracle: the byte features are pure
+# byte arithmetic, so DuckDB recomputes them from hex(encode(text)) —
+# per-byte extraction via substring/strpos, entropy as a byte-value-ordered
+# list_sum fold (the Python side folds in the same order → bit-identical
+# doubles), and the FNV-1a head hash as a HUGEINT list_reduce mod 2^64.
+# Per-doc entropy is quantized to 6dp then decimal-summed so the corpus
+# average is exact and order-independent in both engines.
+#
+# The header PARSER is gated by planting, per document, a synthetic PNG
+# (IHDR width/height from doc_id formulas, built byte-by-byte with
+# unhex/concat) and a minimal JPEG (SOF0 segment) — the engine parses the
+# actual bytes back out of the binary payloads; the oracle states the
+# planted formulas. A parser that misreads endianness, offsets, or marker
+# walk breaks the hash.
 # --------------------------------------------------------------------------
+_PNG_W = "100 + doc_id % 37"
+_PNG_H = "50 + doc_id % 23"
+_JPG_W = "64 + doc_id % 100"
+_JPG_H = "32 + doc_id % 50"
 _Q42_ORACLE = """
     WITH hx AS (
       SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
@@ -118,20 +129,88 @@ _Q42_ORACLE = """
            CAST(sum(n) AS BIGINT) AS total_bytes,
            floor(CAST(sum(CAST(ent_q AS DECIMAL(28,6))) AS DOUBLE) / count(*)
                  * 10000 + 0.5) / 10000 AS avg_entropy,
-           CAST(count(DISTINCT hh) AS BIGINT) AS distinct_head_hashes
+           CAST(count(DISTINCT hh) AS BIGINT) AS distinct_head_hashes,
+           CAST((SELECT count(*) FROM documents) AS BIGINT) AS png_decoded,
+           CAST((SELECT sum({png_w}) FROM documents) AS BIGINT) AS png_w_sum,
+           CAST((SELECT sum({png_h}) FROM documents) AS BIGINT) AS png_h_sum,
+           CAST((SELECT count(*) FROM documents) AS BIGINT) AS jpg_decoded,
+           CAST((SELECT sum({jpg_w}) FROM documents) AS BIGINT) AS jpg_w_sum,
+           CAST((SELECT sum({jpg_h}) FROM documents) AS BIGINT) AS jpg_h_sum
     FROM per_doc
-"""
+""".format(png_w=_PNG_W, png_h=_PNG_H, jpg_w=_JPG_W, jpg_h=_JPG_H)
+
+
+def _planted_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc synthetic PNG + JPEG payloads with doc_id-derived
+    dimensions, built byte-exactly with unhex/concat (JVM-side)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    hx = lambda e, n: F.unhex(F.lpad(F.hex(F.expr(e)), n, "0"))  # noqa: E731
+    png = docs.select(
+        "doc_id",
+        F.lit("png").alias("kind"),
+        F.concat(
+            # signature + IHDR length(13) + "IHDR"
+            F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")),
+            hx(_PNG_W, 8),  # width,  big-endian uint32
+            hx(_PNG_H, 8),  # height, big-endian uint32
+            # bit depth 8, color type 2, compression/filter/interlace 0,
+            # CRC placeholder (header parse does not validate CRCs)
+            F.unhex(F.lit("08020000001C0D6A24")),
+        ).alias("payload"),
+    )
+    jpg = docs.select(
+        "doc_id",
+        F.lit("jpeg").alias("kind"),
+        F.concat(
+            # SOI + SOF0 marker + segment length 17 + precision 8
+            F.unhex(F.lit("FFD8FFC0001108")),
+            hx(_JPG_H, 4),  # height, big-endian uint16 (before width!)
+            hx(_JPG_W, 4),
+            # 3 components (id, sampling, qtable) + EOI
+            F.unhex(F.lit("03011100021101031101FFD9")),
+        ).alias("payload"),
+    )
+    return png.unionByName(jpg)
 
 
 @register("q42_media_features", oracle=_Q42_ORACLE)
 def q42_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats = extract_features(_media_df(spark, sf_dir), decode_stub=True)
+    text_media = _media_df(spark, sf_dir)
+    # pack_media fixes one kind per call → pack png/jpeg separately
+    imgs = _planted_images(spark, sf_dir)
+    png_media = pack_media(
+        imgs.filter(F.col("kind") == "png"), "doc_id", F.col("payload"), "png"
+    )
+    jpg_media = pack_media(
+        imgs.filter(F.col("kind") == "jpeg"), "doc_id", F.col("payload"), "jpeg"
+    )
+    media = text_media.unionByName(png_media).unionByName(jpg_media)
+    feats = extract_features(media, decode_stub=False)
     ent_q = _r(F.col("byte_entropy"), 6)
+    is_text = F.col("kind") == "text"
     return feats.agg(
-        F.count("*").alias("media_count"),
-        F.sum("n_bytes").alias("total_bytes"),
+        F.count_if(is_text).alias("media_count"),
+        F.sum(F.when(is_text, F.col("n_bytes"))).alias("total_bytes"),
         _r(
-            F.sum(ent_q.cast("decimal(28,6)")).cast("double") / F.count("*"), 4
+            F.sum(F.when(is_text, ent_q.cast("decimal(28,6)"))).cast("double")
+            / F.count_if(is_text),
+            4,
         ).alias("avg_entropy"),
-        F.countDistinct("head_hash").alias("distinct_head_hashes"),
+        F.count_distinct(F.when(is_text, F.col("head_hash"))).alias(
+            "distinct_head_hashes"
+        ),
+        F.count_if(F.col("format") == "png").alias("png_decoded"),
+        F.sum(F.when(F.col("format") == "png", F.col("width"))).alias(
+            "png_w_sum"
+        ),
+        F.sum(F.when(F.col("format") == "png", F.col("height"))).alias(
+            "png_h_sum"
+        ),
+        F.count_if(F.col("format") == "jpeg").alias("jpg_decoded"),
+        F.sum(F.when(F.col("format") == "jpeg", F.col("width"))).alias(
+            "jpg_w_sum"
+        ),
+        F.sum(F.when(F.col("format") == "jpeg", F.col("height"))).alias(
+            "jpg_h_sum"
+        ),
     )

@@ -34,6 +34,37 @@ def test_kmeans_deterministic_across_runs(spark, sf_dir):
     assert a == b and len(a) == emb.count()
 
 
+def test_kmeans_fast_path_matches_fold_path(spark, sf_dir):
+    """fast=True (Arrow numpy matmul assignment) must produce the SAME
+    assignment as the Catalyst fold on the fixture corpus — quantized
+    integer inputs keep every squared distance well inside double's
+    exact-integer range, so only a true tie could differ, and the
+    fixtures have none."""
+    from de_gcp_lakehouse_iceberg_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    slow = {(r.vec_id, r.cid) for r in kmeans(emb, k=4, iters=2).collect()}
+    fast_rows = kmeans(emb, k=4, iters=2, fast=True).collect()
+    fast = {(r.vec_id, r.cid) for r in fast_rows}
+    assert slow == fast
+    # distances agree to float tolerance as well
+    slow_d = {r.vec_id: r.dist for r in kmeans(emb, k=4, iters=2).collect()}
+    for r in fast_rows:
+        assert abs(slow_d[r.vec_id] - r.dist) <= 1e-6 * max(1.0, slow_d[r.vec_id])
+
+
+def test_kmeans_fast_separates_obvious_clusters(spark):
+    rows = [(i, [0.0 + i * 0.001, 0.0]) for i in range(10)] + [
+        (100 + i, [50.0, 50.0 + i * 0.001]) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans(df, k=2, iters=3, fast=True).collect()
+    by_cluster: dict[int, set[int]] = {}
+    for r in out:
+        by_cluster.setdefault(r.cid, set()).add(r.vec_id)
+    assert sorted(len(v) for v in by_cluster.values()) == [10, 10]
+
+
 def test_kmeans_empty_cluster_keeps_centroid(spark):
     # k=3 over two distinct points: one init centroid never wins a row;
     # the run must not crash and every row must still be assigned

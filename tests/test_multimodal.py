@@ -50,12 +50,70 @@ def test_stub_features_deterministic(spark):
     assert r1.head_hash == h - 2**63
 
 
-def test_real_decode_path_is_gated(spark):
-    with pytest.raises(Exception) as exc_info:
-        multimodal.extract_features(_media(spark), decode_stub=False).collect()
-    assert "NotImplementedError" in str(exc_info.value) or isinstance(
-        exc_info.value, NotImplementedError
+def _png(w: int, h: int) -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])
+        + b"\x00\x00\x00\x00"  # CRC not validated by header parse
     )
+
+
+def _jpeg(w: int, h: int, app0_pad: int = 0) -> bytes:
+    app0 = b""
+    if app0_pad:
+        # an APP0 segment before the SOF — the walker must skip it
+        app0 = b"\xff\xe0" + (2 + app0_pad).to_bytes(2, "big") + b"\x00" * app0_pad
+    sof = (
+        b"\xff\xc0"
+        + (17).to_bytes(2, "big")
+        + bytes([8])
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + bytes([3]) + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+def test_decode_media_png_jpeg_gif():
+    d = multimodal.decode_media(_png(640, 480))
+    assert d == {"format": "png", "width": 640, "height": 480}
+    d = multimodal.decode_media(_jpeg(1920, 1080))
+    assert d == {"format": "jpeg", "width": 1920, "height": 1080}
+    # marker walk: APP0 before the SOF, and a progressive SOF2
+    d = multimodal.decode_media(_jpeg(33, 44, app0_pad=14))
+    assert (d["width"], d["height"]) == (33, 44)
+    prog = _jpeg(12, 34).replace(b"\xff\xc0", b"\xff\xc2")
+    assert multimodal.decode_media(prog)["width"] == 12
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    d = multimodal.decode_media(gif)
+    assert d == {"format": "gif", "width": 320, "height": 200}
+
+
+def test_decode_media_rejects_opaque_and_truncated():
+    for bad in (b"", b"hello world", _png(1, 1)[:20], b"\xff\xd8\xff"):
+        with pytest.raises(ValueError):
+            multimodal.decode_media(bad)
+
+
+def test_real_decode_in_extract_features(spark):
+    df = spark.createDataFrame(
+        [(1, _png(11, 22)), (2, _jpeg(33, 44)), (3, b"not an image")],
+        "id long, data binary",
+    )
+    media = multimodal.pack_media(df, "id", F.col("data"), "image")
+    feats = {
+        r.media_id: r
+        for r in multimodal.extract_features(media, decode_stub=False).collect()
+    }
+    assert (feats[1].format, feats[1].width, feats[1].height) == ("png", 11, 22)
+    assert (feats[2].format, feats[2].width, feats[2].height) == ("jpeg", 33, 44)
+    assert feats[3].format is None and feats[3].width is None
+    # byte-level features still computed for every payload
+    assert all(feats[i].n_bytes > 0 for i in (1, 2, 3))
 
 
 def test_sample_frames(spark):
