@@ -599,26 +599,30 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
+    fast_base = None
     if hash_mode == "portable" and max_df is None:
         # Fast path: ONE Arrow pass per doc computes the distinct shingle
         # keys AND the full signature (numpy, bit-identical to the
         # exploded expression form — asserted in tests). No explode, no
         # per-shingle shuffle, no collect_set: the only shuffles left in
         # the whole operator are the banding self-join and the verify
-        # joins. Persisted MEMORY_AND_DISK — per-doc key arrays are the
-        # same order of bytes as the text itself, so this spills, not
-        # OOMs, at corpus scale.
-        dk = (
-            docs.select(
-                F.col(id_col).alias("doc_id"),
-                doc_keys_sig_udf(n, num_hashes)(F.col(text_col)).alias("ks"),
-            )
-            .select("doc_id", "ks.keys", "ks.sig")
-            .filter(F.size("keys") > 0)
-            .persist()
+        # joins. NOTHING corpus-sized is persisted: signatures feed the
+        # (persisted, narrow) banding table once, and the verify stage
+        # re-derives shingle keys with a SECOND Arrow pass over the
+        # candidate docs only — bounded by banding's selectivity, so a
+        # long-lived session accumulates no corpus-scale cached blocks.
+        fast_base = docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
         )
-        sig = dk.select("doc_id", F.col("sig").alias("signature"))
-        sets_src = dk.select("doc_id", F.col("keys").alias("sh"))
+        sig = (
+            fast_base.select(
+                "doc_id",
+                doc_keys_sig_udf(n, num_hashes)(F.col("_text")).alias("ks"),
+            )
+            .filter(F.size("ks.keys") > 0)
+            .select("doc_id", F.col("ks.sig").alias("signature"))
+        )
+        sets_src = None
     else:
         # General path (xxhash mode / max_df cap): explode+hash once,
         # shared by the signature agg AND the verify stage. Persisted —
@@ -708,10 +712,20 @@ def minhash_lsh_pairs(
         .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    if sets_src is not None:
-        # fast path: the per-doc key array IS the distinct set already —
-        # no explode, no collect_set, just a semi-join to scope it
-        sets = sets_src.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    if fast_base is not None:
+        # fast path: recompute the per-doc key arrays for CANDIDATE docs
+        # only (second Arrow pass, bounded by banding selectivity) — the
+        # array IS the distinct shingle set, no explode, no collect_set
+        sets = (
+            fast_base.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+            .select(
+                "doc_id",
+                doc_keys_sig_udf(n, num_hashes)(F.col("_text"))["keys"].alias(
+                    "sh"
+                ),
+            )
+            .filter(F.size("sh") > 0)
+        )
     else:
         sets = (
             keyed.join(F.broadcast(cand_ids), "doc_id", "left_semi")
@@ -733,17 +747,15 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    # Materialize the verified pairs (small by construction — banding's
-    # whole point) with truncated lineage, then RELEASE every block we
-    # pinned above. Without this a long-lived session accumulates
-    # corpus-sized cached keys/signatures on every call; the lineage-free
-    # result lets unpersist run with zero recompute risk, and the
-    # checkpoint blocks themselves are ContextCleaner-collected when the
-    # returned DataFrame goes out of scope.
-    verified = verified.localCheckpoint(eager=True)
-    candidates.unpersist()
-    if sets_src is not None:
-        dk.unpersist()
-    else:
+    if fast_base is None:
+        # General path pinned the corpus-sized exploded keys: materialize
+        # the (small) verified pairs with truncated lineage, then RELEASE
+        # every pinned block — without this a long-lived session
+        # accumulates corpus-scale cached keys on every call. The
+        # fast path pins only `candidates` (narrow id pairs, bounded by
+        # banding) and stays lazy — zero materialization overhead on the
+        # hot route.
+        verified = verified.localCheckpoint(eager=True)
         keyed.unpersist()
+        candidates.unpersist()
     return verified
