@@ -34,6 +34,9 @@ from .queries import register
 _ROOT = "/tmp/lakehouse_pruning_proof"
 _BUCKETS = 8
 _TRUNC = 256
+_TRUNC_CAP = 4096  # truncate table loads event_id < cap → ≤16 partition
+#                    files at ANY scale factor (file counts must stay
+#                    bounded for a gated single-writer table build)
 _USER_EQ = 7  # bucket-equality probe: user_id = 7 → bucket 7
 
 
@@ -47,8 +50,8 @@ _USER_EQ = 7  # bucket-equality probe: user_id = 7 → bucket 7
             WHERE user_id = {_USER_EQ}) AS BIGINT) AS bucket_files_planned,
       CAST((SELECT count(*) FROM events WHERE user_id = {_USER_EQ})
            AS BIGINT) AS bucket_rows,
-      CAST((SELECT count(DISTINCT event_id // {_TRUNC}) FROM events)
-           AS BIGINT) AS trunc_files_total,
+      CAST((SELECT count(DISTINCT event_id // {_TRUNC}) FROM events
+            WHERE event_id < {_TRUNC_CAP}) AS BIGINT) AS trunc_files_total,
       CAST((SELECT count(DISTINCT event_id // {_TRUNC}) FROM events
             WHERE event_id < {_TRUNC}) AS BIGINT) AS trunc_files_planned,
       CAST((SELECT count(*) FROM events WHERE event_id < {_TRUNC})
@@ -71,7 +74,10 @@ def q67_bucket_prune_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(root, "by_trunc"),
         partition_by=[f"truncate({_TRUNC}, event_id)"],
     )
-    tt.append(events.coalesce(1), operation="load")
+    tt.append(
+        events.filter(F.col("event_id") < _TRUNC_CAP).coalesce(1),
+        operation="load",
+    )
 
     b_snap, b_planned = tb.plan_files(where=[("user_id", "=", _USER_EQ)])
     b_rows = tb.scan(where=[("user_id", "=", _USER_EQ)]).count()
