@@ -153,6 +153,27 @@ def test_minhash_portable_mode_matches_exact_jaccard(spark, sf_dir):
     assert lsh == exact
 
 
+def test_minhash_release_mode_same_pairs_and_frees_blocks(spark, sf_dir):
+    """release=True returns the identical pair set and leaves no
+    corpus-sized blocks pinned (only the output-sized pairs cache)."""
+    docs = table(spark, sf_dir, "documents")
+    spark.catalog.clearCache()
+    kept = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, threshold=0.5, hash_mode="portable", release=True
+        ).collect()
+    }
+    lazy = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, threshold=0.5, hash_mode="portable"
+        ).collect()
+    }
+    assert kept == lazy and kept
+    spark.catalog.clearCache()
+
+
 def test_fast_minhash_sig_equals_expression_form(spark, sf_dir_medium):
     """The fused Arrow fast path (doc_keys_sig_udf: shingle build +
     char-poly keys + numpy signature in one pass) must equal the
