@@ -111,6 +111,53 @@ def drop_column(table: LakeTable, name: str) -> Snapshot:
     return out
 
 
+def set_partition_spec(table: LakeTable, new_spec: list[str]) -> Snapshot:
+    """Partition-spec evolution (Iceberg `ALTER TABLE ... ADD/DROP
+    PARTITION FIELD`, spec-id model): FUTURE writes lay files out under
+    the new transforms; existing files keep the layout — and the
+    transforms — they were written with (each FileEntry records its
+    spec; `plan_files` prunes per file by that spec). Metadata-only:
+    no data rewrite at any table size, which is the entire point at
+    100 TB — repartitioning by rewrite would be a full-table job.
+    """
+    from .transforms import parse_spec
+
+    for s in new_spec:
+        parse_spec(s)  # validate before touching metadata
+    snap = table.snapshot()
+    props_path = os.path.join(table.root, "_properties.json")
+    try:
+        with open(props_path) as f:
+            props = json.load(f)
+    except FileNotFoundError:
+        props = {}
+    old_spec = props.get("partition_by", [])
+    history = props.setdefault("partition_spec_history", [])
+    history.append({"spec": old_spec, "until_version": snap.version})
+    props["partition_by"] = list(new_spec)
+    tmp = props_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(props, f)
+    os.replace(tmp, props_path)
+    out = table._commit_snapshot(
+        operation="set_partition_spec",
+        files=snap.files,
+        schema_json=snap.schema_json,
+        base=snap.version,
+        summary={"old_spec": old_spec, "new_spec": list(new_spec)},
+    )
+    _log(
+        table,
+        {
+            "change_type": "SET_PARTITION_SPEC",
+            "column_name": ",".join(new_spec),
+            "old_type": ",".join(old_spec),
+            "new_type": ",".join(new_spec),
+        },
+    )
+    return out
+
+
 def apply_defaults(table: LakeTable, df: DataFrame) -> DataFrame:
     """Fill recorded column defaults over NULLs in PRE-evolution files
     (the read-side half of ADD COLUMN DEFAULT).

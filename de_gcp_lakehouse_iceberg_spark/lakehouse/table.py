@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
 POINTER = "_current"
+REFS = "_refs.json"
 
 
 def _stat_value(v):
@@ -141,15 +142,23 @@ class FileEntry:
     # strings verbatim; timestamps as epoch micros. Missing column ⇒
     # stats unavailable ⇒ never pruned on it.
     stats: dict[str, list] = field(default_factory=dict)
+    # partition spec the file was written under (Iceberg's per-file
+    # spec_id): after partition-spec evolution, each file is pruned by
+    # ITS OWN transforms, never the table's current ones. None ⇒
+    # pre-evolution manifest; falls back to the current spec.
+    spec: list[str] | None = None
 
     def to_json(self) -> dict[str, Any]:
-        return {
+        d = {
             "path": self.path,
             "rows": self.rows,
             "bytes": self.bytes,
             "partition": self.partition,
             "stats": self.stats,
         }
+        if self.spec is not None:
+            d["spec"] = self.spec
+        return d
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "FileEntry":
@@ -159,6 +168,7 @@ class FileEntry:
             d["bytes"],
             d.get("partition", {}),
             d.get("stats", {}),
+            d.get("spec"),
         )
 
 
@@ -285,6 +295,181 @@ class LakeTable:
             raise ValueError(f"no snapshot at or before {timestamp_ms}")
         return best
 
+    # ------------------------------------------------------------------
+    # named refs (tags) + rollback — Iceberg snapshot-ref surface
+    # ------------------------------------------------------------------
+    def _read_refs(self) -> dict[str, Any]:
+        try:
+            with open(os.path.join(self.root, REFS)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"tags": {}}
+
+    def _write_refs(self, refs: dict[str, Any]) -> None:
+        p = os.path.join(self.root, REFS)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(refs, f)
+        os.replace(tmp, p)
+
+    def tags(self) -> dict[str, int]:
+        """Named immutable snapshot refs (Iceberg tags,
+        `ALTER TABLE ... CREATE TAG`). A tagged snapshot — and every
+        data file it references — survives `expire_snapshots` until
+        the tag is dropped."""
+        return dict(self._read_refs().get("tags", {}))
+
+    def set_tag(self, name: str, version: int | None = None) -> int:
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                raise FileNotFoundError("table has no snapshots")
+        self.snapshot(version)  # must exist
+        refs = self._read_refs()
+        refs.setdefault("tags", {})[name] = version
+        self._write_refs(refs)
+        return version
+
+    def delete_tag(self, name: str) -> None:
+        refs = self._read_refs()
+        refs.get("tags", {}).pop(name, None)
+        self._write_refs(refs)
+
+    def resolve_tag(self, name: str) -> int:
+        tags = self.tags()
+        if name not in tags:
+            raise KeyError(f"no tag {name!r} on table {self.root}")
+        return tags[name]
+
+    def rollback_to(self, version: int) -> Snapshot:
+        """Revert the table to an earlier snapshot's file set WITHOUT
+        rewriting history (Iceberg `rollback_to_snapshot`): commits a
+        NEW snapshot whose files/schema equal the target's, so the bad
+        commits stay time-travelable and the changelog shows the
+        revert. O(#files) manifest work, zero data movement."""
+        target = self.snapshot(version)
+        return self._commit_snapshot(
+            operation="rollback",
+            files=target.files,
+            schema_json=target.schema_json,
+            base=self.current_version(),
+            summary={"rolled_back_to": version},
+        )
+
+    # ------------------------------------------------------------------
+    # write-audit-publish (WAP) — staged commits
+    # ------------------------------------------------------------------
+    def _staged_path(self, wap_id: str) -> str:
+        return os.path.join(self.root, MANIFEST_DIR, f"staged-{wap_id}.json")
+
+    def staged_ids(self) -> list[str]:
+        mdir = os.path.join(self.root, MANIFEST_DIR)
+        return sorted(
+            fn[len("staged-"):-len(".json")]
+            for fn in os.listdir(mdir)
+            if fn.startswith("staged-") and fn.endswith(".json")
+        )
+
+    def stage_append(self, df: DataFrame) -> str:
+        """WAP step 1 (write): materialize `df` as data files plus a
+        STAGED manifest, without moving the table pointer — readers
+        never see the rows. Returns the wap_id for audit/publish.
+        Staged files are protected from `remove_orphans` until the
+        stage is published or discarded."""
+        base = self.current_version()
+        prev = self.snapshot(base)
+        if prev.schema_json:
+            df = self._align_to_schema(df, prev.schema_json)
+            schema_json = prev.schema_json
+        else:
+            schema_json = df.schema.json()
+        new_files = self._write_files(df)
+        wap_id = uuid.uuid4().hex[:12]
+        staged = {
+            "wap_id": wap_id,
+            "base": base,
+            "timestamp_ms": int(time.time() * 1000),
+            "files": [f.to_json() for f in new_files],
+            "schema_json": schema_json,
+        }
+        tmp = self._staged_path(wap_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(staged, f)
+        os.replace(tmp, self._staged_path(wap_id))
+        return wap_id
+
+    def _read_staged(self, wap_id: str) -> dict[str, Any]:
+        with open(self._staged_path(wap_id)) as f:
+            return json.load(f)
+
+    def scan_staged(self, wap_id: str, include_base: bool = True) -> DataFrame:
+        """WAP step 2 (audit): read the table AS IF the stage were
+        published (base snapshot + staged files), or the staged rows
+        alone (`include_base=False`) — without any commit."""
+        d = self._read_staged(wap_id)
+        staged_files = [FileEntry.from_json(x) for x in d["files"]]
+        base_snap = self.snapshot(d["base"])
+        files = (list(base_snap.files) if include_base else []) + staged_files
+        snap = Snapshot(
+            version=d["base"],
+            timestamp_ms=d["timestamp_ms"],
+            operation="staged",
+            files=files,
+            schema_json=d["schema_json"] or base_snap.schema_json,
+        )
+        return self._read_files(snap, [f.path for f in files])
+
+    def publish(self, wap_id: str) -> Snapshot:
+        """WAP step 3 (publish): commit the staged files onto the
+        CURRENT head. File additions are commutative, so a stage
+        planned against an older base rebases cleanly (Iceberg
+        cherry-pick semantics for appends) — unless the table schema
+        changed incompatibly since staging."""
+        d = self._read_staged(wap_id)
+        base = self.current_version()
+        prev = self.snapshot(base)
+        if (
+            prev.schema_json
+            and d["schema_json"]
+            and prev.schema_json != d["schema_json"]
+        ):
+            staged_fields = {
+                f["name"]: f["type"]
+                for f in json.loads(d["schema_json"])["fields"]
+            }
+            cur_fields = {
+                f["name"]: f["type"]
+                for f in json.loads(prev.schema_json)["fields"]
+            }
+            bad = [
+                n for n, t in staged_fields.items() if cur_fields.get(n) != t
+            ]
+            if bad:
+                raise ValueError(
+                    f"cannot publish stage {wap_id}: columns {bad} no longer "
+                    "match the table schema (staged files would read wrong)"
+                )
+        staged_files = [FileEntry.from_json(x) for x in d["files"]]
+        snap = self._commit_snapshot(
+            operation="publish",
+            files=prev.files + staged_files,
+            schema_json=prev.schema_json or d["schema_json"],
+            base=base,
+            summary={
+                "wap_id": wap_id,
+                "staged_base": d["base"],
+                "added_files": len(staged_files),
+                "added_rows": sum(f.rows for f in staged_files),
+            },
+        )
+        os.remove(self._staged_path(wap_id))
+        return snap
+
+    def discard_staged(self, wap_id: str) -> None:
+        """Abandon a stage: drop its manifest; the data files become
+        orphans for `remove_orphans` to collect."""
+        os.remove(self._staged_path(wap_id))
+
     def _commit_snapshot(
         self,
         operation: str,
@@ -359,7 +544,13 @@ class LakeTable:
         if transforms:
             writer = writer.partitionBy(*[f"_p_{t.name}" for t in transforms])
         writer.parquet(out_dir)
-        return self._scan_written(out_dir)
+        entries = self._scan_written(out_dir)
+        # stamp the spec the files were laid out under (per-file spec_id:
+        # after spec evolution, pruning uses each file's OWN transforms)
+        spec = [t.spec for t in transforms]
+        for e in entries:
+            e.spec = spec
+        return entries
 
     def _scan_written(self, out_dir: str) -> list[FileEntry]:
         import pyarrow.parquet as pq
@@ -514,35 +705,54 @@ class LakeTable:
         as_of_ms: int | None = None,
         partition_filter: Callable[[dict[str, str]], bool] | None = None,
         where: list[tuple[str, str, Any]] | None = None,
+        tag: str | None = None,
     ) -> tuple[Snapshot, list[FileEntry]]:
         """Manifest-level scan planning: partition pruning plus
         Iceberg-style column-stats file skipping (per-file min/max from
         parquet footers). `where` is a conjunction of
         (column, op, value) with op ∈ {=, <, <=, >, >=}; a file is
         dropped only when its stats PROVE no row can match."""
-        if as_of_ms is not None:
+        if tag is not None:
+            snap = self.snapshot(self.resolve_tag(tag))
+        elif as_of_ms is not None:
             snap = self.snapshot_as_of(as_of_ms)
         else:
             snap = self.snapshot(version)
         files = snap.files
         if partition_filter is not None:
             files = [f for f in files if partition_filter(f.partition)]
-        transforms = self.partition_transforms
+        from .transforms import parse_spec
+
+        current_spec = self.partition_by
+
+        def _transforms_for(f: FileEntry):
+            # per-file spec (Iceberg spec_id): a file written before a
+            # partition-spec evolution is pruned by the transforms it
+            # was actually laid out under, never the current ones
+            # (bucket(8,..)→bucket(16,..) would otherwise misprune).
+            return [parse_spec(s) for s in (
+                f.spec if f.spec is not None else current_spec
+            )]
+
         for col, op, value in where or []:
             if op not in _PRUNE_OPS:
                 raise ValueError(f"unsupported prune op {op!r}")
-            files = [f for f in files if _file_may_match(f, col, op, value)]
-            # hidden-partition pruning: map the RAW-column predicate
-            # through every transform of that column (days/bucket/...)
-            for t in transforms:
-                if t.source != col:
+            kept = []
+            for f in files:
+                if not _file_may_match(f, col, op, value):
                     continue
-                files = [
-                    f
-                    for f in files
-                    if t.name not in f.partition
-                    or t.prune(op, value, f.partition[t.name])
-                ]
+                # hidden-partition pruning: map the RAW-column predicate
+                # through every transform of that column (days/bucket/…)
+                ok = True
+                for t in _transforms_for(f):
+                    if t.source != col or t.name not in f.partition:
+                        continue
+                    if not t.prune(op, value, f.partition[t.name]):
+                        ok = False
+                        break
+                if ok:
+                    kept.append(f)
+            files = kept
         return snap, files
 
     def scan(
@@ -551,6 +761,7 @@ class LakeTable:
         as_of_ms: int | None = None,
         partition_filter: Callable[[dict[str, str]], bool] | None = None,
         where: list[tuple[str, str, Any]] | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Snapshot-isolated read, optionally time-traveled (S5),
         manifest-partition-pruned, and column-stats file-skipped (§4:
@@ -567,7 +778,9 @@ class LakeTable:
             # UTC (the engine-wide convention — tables.py:38) so the
             # exact row filter below can never disagree with pruning.
             self.spark.conf.set("spark.sql.session.timeZone", "UTC")
-        snap, files = self.plan_files(version, as_of_ms, partition_filter, where)
+        snap, files = self.plan_files(
+            version, as_of_ms, partition_filter, where, tag=tag
+        )
         df = self._read_files(snap, [f.path for f in files])
         for col, op, value in where or []:
             from pyspark.sql import functions as F
@@ -650,9 +863,13 @@ class LakeTable:
         snapshot references (iceberg_maintenance.py:73-93)."""
         snaps = self.snapshots()
         cur = self.current_version()
+        tagged = set(self.tags().values())
         retained: list[Snapshot] = []
         for s in snaps:
             if s.version == cur or s.version > cur - keep_last:
+                retained.append(s)
+            elif s.version in tagged:
+                # tags pin snapshots (and their files) regardless of age
                 retained.append(s)
             elif older_than_ms is None or s.timestamp_ms >= older_than_ms:
                 retained.append(s)
@@ -683,6 +900,12 @@ class LakeTable:
         """M4: delete data files referenced by NO snapshot and older than
         the cutoff (iceberg_maintenance.py:129-152, incl. dry_run)."""
         referenced = {f.path for s in self.snapshots() for f in s.files}
+        # staged-but-unpublished WAP files are NOT orphans
+        for wap_id in self.staged_ids():
+            referenced.update(
+                FileEntry.from_json(x).path
+                for x in self._read_staged(wap_id)["files"]
+            )
         orphans: list[str] = []
         data_root = os.path.join(self.root, DATA_DIR)
         for dirpath, _d, filenames in os.walk(data_root):

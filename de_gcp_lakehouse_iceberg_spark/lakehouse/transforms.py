@@ -18,6 +18,7 @@ Iceberg's murmur3 — same capability, engine-local layout.
 from __future__ import annotations
 
 import datetime as dt
+import functools
 import re
 from dataclasses import dataclass
 
@@ -119,6 +120,7 @@ class Transform:
         return True
 
 
+@functools.lru_cache(maxsize=1024)
 def parse_spec(spec: str) -> Transform:
     m = _SPEC_RE.match(spec)
     if not m:

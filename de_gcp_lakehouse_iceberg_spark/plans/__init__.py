@@ -21,6 +21,7 @@ from . import cdc_queries  # noqa: F401  (registers q63)
 from . import temperature_query  # noqa: F401  (registers q65)
 from . import pii_queries  # noqa: F401  (registers q66)
 from . import pruning_proof_queries  # noqa: F401  (registers q67)
+from . import refs_queries  # noqa: F401  (registers q68-q69)
 
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The driver's CORRECTNESS check covers the FIRST
@@ -41,6 +42,7 @@ _GATE_PRIORITY = [
     "q63_cdc_replica_sync", "q65_temperature_mix",
     # (b) new this round
     "q66_pii_scrub", "q67_bucket_prune_proof",
+    "q68_spec_evolution_prune", "q69_wap_rollback",
     # verified in r02 only (code unchanged, cheap to re-prove)
     "q50_source_mix",
     # (c) implementation files touched this round:
@@ -59,7 +61,6 @@ _GATE_PRIORITY = [
     "q25_streaming_tumbling", "q29_sessionization", "q30_token_stats",
     "q31_quality_score", "q32_lang_id", "q33_fingerprint",
     "q34_exact_dedup", "q36_simhash", "q38_cosine_topk",
-    "q40_lsh_ann", "q45_ivf_ann",
 ]
 
 
