@@ -166,3 +166,70 @@ def kmeans(
             .select("cid", F.coalesce("new.c", "old.c").alias("c"))
         ).localCheckpoint()
     return assign(centroids).select("vec_id", "cid", "dist")
+
+
+def semdedup(
+    vectors: DataFrame,
+    k: int = 8,
+    tau: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fast: bool = False,
+    iters: int = 0,
+) -> DataFrame:
+    """SemDeDup-style clustered embedding near-dedup (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): assign every vector to its nearest of k seed
+    centroids (one broadcast pass, `kmeans(iters=0)`), then compare
+    pairs ONLY within a cluster — pair volume is Σ c_i² instead of n²,
+    and k scales with the corpus so clusters stay bounded at 100 TB.
+
+    Returns (vec_id, cid, is_dup): `is_dup` marks vectors that appear
+    as the HIGHER id in any same-cluster pair with cosine ≥ tau. This
+    keep-the-lowest-id rule is order-independent (unlike greedy
+    scan-order dedup), so shuffle order can't change the result — the
+    property that lets a SQL oracle replay it exactly.
+
+    Shuffle shape: assignment is broadcast-only; the pair stage
+    shuffles each side once on cid (skewed clusters fall to AQE), and
+    cosine runs as the same sequential fold the q38/q39 oracles pin.
+    """
+    assigned = kmeans(
+        vectors, k=k, iters=iters, id_col=id_col, vec_col=vec_col, fast=fast
+    )
+    from .similarity import cosine, with_norm
+
+    n = with_norm(
+        vectors.select(F.col(id_col).alias("vec_id"), vec_col), vec_col
+    )
+    m = assigned.select("vec_id", "cid").join(n, "vec_id")
+    a = m.select(
+        F.col("cid"),
+        F.col("vec_id").alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("_norm").alias("na"),
+    )
+    b = m.select(
+        F.col("cid"),
+        F.col("vec_id").alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("_norm").alias("nb"),
+    )
+    dups = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+            >= F.lit(tau)
+        )
+        .select("id_b")
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        assigned.select("vec_id", "cid")
+        .join(dups, assigned.vec_id == dups.id_b, "left")
+        .select(
+            "vec_id", "cid", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
+        )
+    )

@@ -22,6 +22,7 @@ from . import temperature_query  # noqa: F401  (registers q65)
 from . import pii_queries  # noqa: F401  (registers q66)
 from . import pruning_proof_queries  # noqa: F401  (registers q67)
 from . import refs_queries  # noqa: F401  (registers q68-q69)
+from . import semdedup_queries  # noqa: F401  (registers q70)
 
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The driver's CORRECTNESS check covers the FIRST
@@ -42,7 +43,7 @@ _GATE_PRIORITY = [
     "q63_cdc_replica_sync", "q65_temperature_mix",
     # (b) new this round
     "q66_pii_scrub", "q67_bucket_prune_proof",
-    "q68_spec_evolution_prune", "q69_wap_rollback",
+    "q68_spec_evolution_prune", "q69_wap_rollback", "q70_semdedup",
     # verified in r02 only (code unchanged, cheap to re-prove)
     "q50_source_mix",
     # (c) implementation files touched this round:

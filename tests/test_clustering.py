@@ -73,3 +73,45 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     out = kmeans(df, k=3, iters=2).collect()
     assert len(out) == 3
     assert {r.vec_id for r in out} == {1, 2, 3}
+
+
+def test_semdedup_flags_planted_near_duplicates(spark):
+    from de_gcp_lakehouse_iceberg_spark.operators.clustering import semdedup
+
+    # two well-separated groups (seed centroids = the two lowest ids,
+    # one per group); 12/14 are near-copies of 10 (cos ≈ 1), 21/22
+    # near-copies of 11; 30 is an outlier duplicate of nothing
+    rows = [
+        (10, [1.0, 0.0, 0.0, 0.0]),
+        (12, [0.999, 0.01, 0.0, 0.0]),
+        (14, [0.998, -0.01, 0.0, 0.0]),
+        (11, [0.0, 0.0, 1.0, 0.0]),
+        (21, [0.0, 0.01, 0.999, 0.0]),
+        (22, [0.0, -0.01, 0.998, 0.0]),
+        (30, [0.0, 0.7, 0.0, -0.7]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = semdedup(df, k=2, tau=0.95).collect()
+    flags = {r.vec_id: r.is_dup for r in out}
+    # lowest id of each near-dup group survives; higher ids flagged
+    assert flags[10] is False and flags[12] and flags[14]
+    assert flags[11] is False and flags[21] and flags[22]
+    assert flags[30] is False
+    # both eras of the pair stage respected cluster boundaries: the
+    # outlier landed somewhere but matched nothing
+    assert sum(1 for v in flags.values() if v) == 4
+
+
+def test_semdedup_fast_assignment_matches_fold(spark, sf_dir):
+    from de_gcp_lakehouse_iceberg_spark.operators.clustering import semdedup
+    from de_gcp_lakehouse_iceberg_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    slow = {(r.vec_id, r.cid, r.is_dup)
+            for r in semdedup(emb, k=8, tau=0.35).collect()}
+    fast = {(r.vec_id, r.cid, r.is_dup)
+            for r in semdedup(emb, k=8, tau=0.35, fast=True).collect()}
+    assert slow == fast
