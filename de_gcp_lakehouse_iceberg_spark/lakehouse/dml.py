@@ -97,6 +97,7 @@ def merge(
     on: list[str],
     when_matched_update: dict[str, Column | str] | None = None,
     when_not_matched_insert: bool = True,
+    evolve_schema: bool = False,
 ) -> Snapshot:
     """MERGE INTO target USING source ON keys (D3, PRD.md:769-779).
 
@@ -108,7 +109,36 @@ def merge(
     matched by MORE than one source row is an error, not a silent
     row duplication — BigQuery MERGE raises in that case, and the
     left-join rewrite below would otherwise fan matched rows out.
+
+    `evolve_schema=True` (Delta/Iceberg `mergeSchema` behavior): source
+    columns missing from the target are first added via metadata-only
+    ADD COLUMN commits — pre-existing files read them as NULL; inserted
+    rows then carry the source values automatically, matched rows via
+    an explicit `when_matched_update` assignment (UPDATE SET * is the
+    caller spelling out the map). Without the flag, unknown source
+    columns raise at write alignment.
     """
+    cur = table.snapshot()
+    if cur.schema_json:
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        known = set(
+            StructType.fromJson(_json.loads(cur.schema_json)).fieldNames()
+        )
+        extra = [f for f in source.schema.fields if f.name not in known]
+        if extra and not evolve_schema:
+            raise ValueError(
+                f"MERGE source columns {[f.name for f in extra]} not in "
+                "table schema — evolve the schema first or pass "
+                "evolve_schema=True"
+            )
+        for f in extra:
+            from .evolution import add_column
+
+            add_column(table, f.name, f.dataType.simpleString())
+
     snap = table.snapshot()  # pin the base BEFORE planning (OCC)
     target = _with_file(table.scan(version=snap.version))
     src = source.alias("source")

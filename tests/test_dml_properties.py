@@ -179,3 +179,39 @@ def test_apply_changelog_is_idempotent(spark, tmp_path):
     dml.apply_changelog(replica, feed, key_cols=["id"])
     twice = sorted(map(tuple, replica.scan().collect()))
     assert once == twice == sorted(map(tuple, src.scan().collect()))
+
+
+def test_merge_evolve_schema_adds_source_columns(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from de_gcp_lakehouse_iceberg_spark.lakehouse import LakeTable
+    from de_gcp_lakehouse_iceberg_spark.lakehouse.dml import merge
+
+    t = LakeTable.create(spark, str(tmp_path / "t"))
+    t.append(
+        spark.range(0, 5).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    src = spark.createDataFrame(
+        [(3, 999, "upd"), (7, 70, "new")], "k long, v long, note string"
+    )
+    # without the flag: unknown column is an error, table untouched
+    import pytest
+
+    with pytest.raises(ValueError, match="evolve the schema"):
+        merge(t, src, on=["k"], when_matched_update={"v": "source.v"})
+    assert t.scan().columns == ["k", "v"]
+
+    merge(
+        t,
+        src,
+        on=["k"],
+        when_matched_update={"v": "source.v", "note": "source.note"},
+        evolve_schema=True,
+    )
+    rows = {r.k: (r.v, r.note) for r in t.scan().collect()}
+    assert rows[3] == (999, "upd")       # matched row took source values
+    assert rows[7] == (70, "new")        # insert carries new column
+    assert rows[0] == (0, None)          # pre-existing rows read NULL
+    assert t.scan().columns == ["k", "v", "note"]
