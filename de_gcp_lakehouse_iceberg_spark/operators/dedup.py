@@ -771,3 +771,85 @@ def minhash_lsh_pairs(
         candidates.unpersist()
         (dk if dk is not None else keyed).unpersist()
     return verified
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact duplicated-span coverage (the span-level exact-substring
+    dedup metric of Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better"): a position's n-gram is *duplicated* when
+    the identical n-gram occurs anywhere else in the corpus (another
+    doc or another position of the same doc); a token is *covered* when
+    at least one duplicated n-gram overlaps it. Returns per-doc
+    (doc_id, n_tokens, covered_tokens).
+
+    Interval-union without a range join: per doc, sort the duplicated
+    start positions and fold with a window `lead` — each start
+    contributes min(next_start − start, n) covered tokens (the last
+    contributes n). One narrow shuffle on the n-gram key for the
+    global occurrence count, one on doc_id for the window; the
+    corpus-sized range join a naive formulation needs never happens.
+
+    The occurrence count groups by the 8-byte ``xxhash64`` of the
+    n-gram (q35's scale pattern — shuffles integers, not strings);
+    the q72 oracle replays the same grouping on the strings, identical
+    barring 64-bit collisions.
+    """
+    from ..functions.text import tokens
+
+    t = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("t")
+    )
+    # (start position, n-gram) pairs; docs shorter than n have none
+    grams = t.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.when(
+            F.size("t") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - n),
+                lambda i: F.struct(
+                    i.cast("long").alias("p"),
+                    F.xxhash64(F.concat_ws(" ", F.slice("t", i + 1, n))).alias(
+                        "g"
+                    ),
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<struct<p:long,g:long>>"))
+        .alias("pg"),
+    )
+    pos = grams.select(
+        "doc_id", F.explode("pg").alias("x")
+    ).select("doc_id", F.col("x.p").alias("p"), F.col("x.g").alias("g"))
+    dup_grams = (
+        pos.groupBy("g").agg(F.count("*").alias("_c")).filter(F.col("_c") >= 2)
+    )
+    dup = pos.join(dup_grams.select("g"), "g").select("doc_id", "p")
+    w = W.partitionBy("doc_id").orderBy("p")
+    cov = (
+        dup.withColumn("np", F.lead("p").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("np").isNull(), F.lit(n)).otherwise(
+                    F.least(F.col("np") - F.col("p"), F.lit(n))
+                )
+            ).alias("covered_tokens")
+        )
+    )
+    return (
+        grams.select("doc_id", "n_tokens")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("covered_tokens", F.lit(0))
+            .cast("long")
+            .alias("covered_tokens"),
+        )
+    )

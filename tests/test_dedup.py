@@ -205,3 +205,35 @@ def test_fast_minhash_sig_equals_expression_form(spark, sf_dir_medium):
         .collect()
     )
     assert sorted(set(exploded)) == fast[some_doc][0]
+
+
+def test_dup_span_stats_interval_union(spark):
+    from de_gcp_lakehouse_iceberg_spark.operators.dedup import dup_span_stats
+
+    # doc 1 and doc 2 share the 5-token run "a b c d e" → with n=3,
+    # duplicated starts at positions 0,1,2 cover tokens 0..4 (5 tokens,
+    # overlapping intervals union — not 3·n=9). doc 3 shares nothing.
+    rows = [
+        (1, "a b c d e x y z"),
+        (2, "q q q a b c d e"),
+        (3, "u v w t s r"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.n_tokens, r.covered_tokens)
+           for r in dup_span_stats(df, n=3).collect()}
+    assert out[1] == (8, 5)
+    # doc 2: "q q q" also repeats nothing globally (single occurrence),
+    # so only the shared run counts: starts 3,4,5 → tokens 3..7
+    assert out[2] == (8, 5)
+    assert out[3] == (6, 0)
+
+
+def test_dup_span_stats_within_doc_repeat(spark):
+    from de_gcp_lakehouse_iceberg_spark.operators.dedup import dup_span_stats
+
+    # the trigram "a b c" occurs twice WITHIN one doc → both spans covered
+    df = spark.createDataFrame(
+        [(1, "a b c z z a b c")], "doc_id long, text string"
+    )
+    out = dup_span_stats(df, n=3).collect()[0]
+    assert (out.n_tokens, out.covered_tokens) == (8, 6)
