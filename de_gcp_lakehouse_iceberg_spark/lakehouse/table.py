@@ -734,12 +734,19 @@ class LakeTable:
                 f.spec if f.spec is not None else current_spec
             )]
 
+        from .bloom import bloom_may_contain
+
         for col, op, value in where or []:
             if op not in _PRUNE_OPS:
                 raise ValueError(f"unsupported prune op {op!r}")
+            eq = op in ("=", "==")
             kept = []
             for f in files:
                 if not _file_may_match(f, col, op, value):
+                    continue
+                # bloom skipping: equality probes on high-cardinality
+                # columns where [min,max] can't prune (lakehouse/bloom.py)
+                if eq and not bloom_may_contain(f, col, value):
                     continue
                 # hidden-partition pruning: map the RAW-column predicate
                 # through every transform of that column (days/bucket/…)
@@ -835,6 +842,40 @@ class LakeTable:
             rows,
             "version long, timestamp_ms long, operation string, "
             "file_count long, total_rows long, total_bytes long",
+        )
+
+    def refs_df(self) -> DataFrame:
+        """Iceberg `t.refs` analog: named refs with their pinned
+        snapshot and its commit metadata."""
+        rows = []
+        for name, version in sorted(self.tags().items()):
+            s = self.snapshot(version)
+            rows.append((name, "tag", version, s.timestamp_ms, s.operation))
+        return self.spark.createDataFrame(
+            rows,
+            "name string, type string, version long, "
+            "timestamp_ms long, operation string",
+        )
+
+    def history_df(self) -> DataFrame:
+        """Iceberg `t.history` analog: the commit log with per-commit
+        summary (rows/files added or removed, WAP ids, rollback
+        targets) — the audit surface of the snapshot chain."""
+        rows = [
+            (
+                s.version,
+                s.timestamp_ms,
+                s.operation,
+                len(s.files),
+                s.total_rows,
+                json.dumps(s.summary, sort_keys=True),
+            )
+            for s in self.snapshots()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "version long, timestamp_ms long, operation string, "
+            "file_count long, total_rows long, summary string",
         )
 
     def partitions_df(self) -> DataFrame:

@@ -1,0 +1,114 @@
+"""Bloom-filter equality file skipping (lakehouse/bloom.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from de_gcp_lakehouse_iceberg_spark.lakehouse import LakeTable
+from de_gcp_lakehouse_iceberg_spark.lakehouse.bloom import (
+    _h_str_py,
+    _positions_py,
+    add_bloom_filters,
+    positions_col,
+)
+
+
+def _interleaved_table(spark, tmp_path, n_files=8, rows_per_file=200):
+    """High-cardinality ids striped across files: every file's
+    [min, max] spans nearly the full range, so stats NEVER prune an
+    equality probe — the bloom's exact target shape."""
+    t = LakeTable.create(spark, str(tmp_path / "t"))
+    n = n_files * rows_per_file
+    for i in range(n_files):
+        df = spark.range(0, n).filter(F.col("id") % n_files == i).select(
+            F.col("id").alias("uid"),
+            F.concat(F.lit("user_"), F.col("id")).alias("name"),
+        )
+        t.append(df.coalesce(1))
+    return t, n
+
+
+def test_bloom_prunes_interleaved_equality(spark, tmp_path):
+    t, n = _interleaved_table(spark, tmp_path)
+    probe = 1237                       # lives in exactly one file
+
+    # without blooms: stats keep every file
+    _s, before = t.plan_files(where=[("uid", "=", probe)])
+    assert len(before) == 8
+
+    add_bloom_filters(t, ["uid", "name"])
+    _s, after = t.plan_files(where=[("uid", "=", probe)])
+    assert 1 <= len(after) < 8         # most files provably lack the id
+    assert t.scan(where=[("uid", "=", probe)]).count() == 1
+
+    # string-column probe prunes too
+    _s, after_s = t.plan_files(where=[("name", "=", f"user_{probe}")])
+    assert 1 <= len(after_s) < 8
+    assert (
+        t.scan(where=[("name", "=", f"user_{probe}")]).count() == 1
+    )
+
+    # no false negatives anywhere: every present id's file is kept
+    for uid in (0, 7, n - 1):
+        _s, kept = t.plan_files(where=[("uid", "=", uid)])
+        assert t.scan(where=[("uid", "=", uid)]).count() == 1, uid
+        assert kept
+
+
+def test_bloom_absent_value_can_prune_everything(spark, tmp_path):
+    t, n = _interleaved_table(spark, tmp_path, n_files=4, rows_per_file=100)
+    add_bloom_filters(t, ["uid"])
+    _s, kept = t.plan_files(where=[("uid", "=", n + 999_983)])
+    # absent value: usually 0 files survive (bloom FPR may keep a few)
+    assert len(kept) <= 1
+    assert t.scan(where=[("uid", "=", n + 999_983)]).count() == 0
+
+
+def test_bloom_hash_parity_python_vs_spark(spark):
+    df = spark.createDataFrame(
+        [(7,), (123456789,), (0,)], "v long"
+    ).select(positions_col(F.col("v"), False, 4096, 5).alias("p"), "v")
+    for r in df.collect():
+        assert list(r.p) == _positions_py(r.v, 4096, 5)
+
+    sdf = spark.createDataFrame(
+        [("user_1237",), ("",), ("héllo wörld",)], "s string"
+    ).select(positions_col(F.col("s"), True, 4096, 5).alias("p"), "s")
+    for r in sdf.collect():
+        assert list(r.p) == _positions_py(r.s, 4096, 5), r.s
+
+
+def test_bloom_survives_append_and_other_predicates(spark, tmp_path):
+    t, n = _interleaved_table(spark, tmp_path, n_files=4, rows_per_file=100)
+    add_bloom_filters(t, ["uid"])
+    # a later append's files simply have no bloom → never pruned by it
+    t.append(
+        spark.range(n, n + 50)
+        .select(F.col("id").alias("uid"),
+                F.concat(F.lit("user_"), F.col("id")).alias("name"))
+        .coalesce(1)
+    )
+    probe = n + 25
+    _s, kept = t.plan_files(where=[("uid", "=", probe)])
+    assert t.scan(where=[("uid", "=", probe)]).count() == 1
+    # range predicates ignore blooms entirely
+    assert (
+        t.scan(where=[("uid", ">=", n)]).count() == 50
+    )
+
+
+def test_bloom_rejects_unsupported_column_type(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"))
+    t.append(spark.range(3).select(F.col("id").cast("double").alias("x")))
+    with pytest.raises(ValueError, match="only integer/string"):
+        add_bloom_filters(t, ["x"])
+    with pytest.raises(ValueError, match="no column"):
+        add_bloom_filters(t, ["nope"])
+
+
+def test_str_hash_handles_unicode(spark):
+    # non-ASCII codepoints fold identically on both sides
+    a = _h_str_py("héllo")
+    b = _h_str_py("hello")
+    assert a != b

@@ -219,3 +219,23 @@ def test_partition_spec_evolution_add_transform(spark, tmp_path):
     assert t.scan(
         where=[("ts", ">=", dt.datetime(2024, 1, 3)), ("uid", "=", 2)]
     ).count() == 2
+
+
+def test_refs_and_history_metadata_tables(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))
+    t.set_tag("v1")
+    t.append(_df(spark, 5, 8))
+    t.rollback_to(1)
+
+    refs = {r.name: (r.type, r.version) for r in t.refs_df().collect()}
+    assert refs == {"v1": ("tag", 1)}
+
+    hist = t.history_df().orderBy("version").collect()
+    assert [h.operation for h in hist] == [
+        "create", "append", "append", "rollback"
+    ]
+    assert hist[-1].total_rows == 5
+    import json as _json
+
+    assert _json.loads(hist[-1].summary)["rolled_back_to"] == 1
