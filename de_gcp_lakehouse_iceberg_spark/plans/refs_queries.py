@@ -77,14 +77,25 @@ def q68_spec_evolution_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(_ROOT, "q68_" + os.path.basename(os.path.normpath(sf_dir)))
     shutil.rmtree(root, ignore_errors=True)
 
+    # repartition on the partition-value expressions: each partition
+    # value lands in exactly one task → still ONE file per partition
+    # value (the oracle's counting model), but written in parallel
+    # instead of a single coalesce(1) task.
+    from ..lakehouse.transforms import parse_spec
+
+    day = parse_spec("days(ts)").expr()
+    bucket = parse_spec("bucket(8, user_id)").expr()
+
     t = LakeTable.create(spark, root, partition_by=["days(ts)"])
     t.append(
-        events.filter(F.col("event_id") % 2 == 0).coalesce(1),
+        events.filter(F.col("event_id") % 2 == 0).repartition(8, day),
         operation="load_v1_spec",
     )
     set_partition_spec(t, ["days(ts)", "bucket(8, user_id)"])
     t.append(
-        events.filter(F.col("event_id") % 2 == 1).coalesce(1),
+        events.filter(F.col("event_id") % 2 == 1).repartition(
+            16, day, bucket
+        ),
         operation="load_v2_spec",
     )
 

@@ -112,3 +112,38 @@ def test_str_hash_handles_unicode(spark):
     a = _h_str_py("héllo")
     b = _h_str_py("hello")
     assert a != b
+
+
+def test_bloom_no_false_negatives_property(spark, tmp_path):
+    """Hypothesis: for ANY id set and probe drawn from it, the bloom
+    never prunes the file holding the probe (false positives allowed,
+    false negatives never)."""
+    from hypothesis import given, settings, strategies as st
+
+    from de_gcp_lakehouse_iceberg_spark.lakehouse.bloom import (
+        _bitset_to_b64,
+        _b64_has,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        ids=st.lists(
+            st.integers(min_value=0, max_value=2**62),
+            min_size=1,
+            max_size=50,
+            unique=True,
+        ),
+        data=st.data(),
+    )
+    def check(ids, data):
+        bits, k = 512, 4
+        probe = data.draw(st.sampled_from(ids))
+        all_pos = sorted(
+            {p for v in ids for p in _positions_py(v, bits, k)}
+        )
+        b64 = _bitset_to_b64(all_pos, bits)
+        assert all(
+            _b64_has(b64, p) for p in _positions_py(probe, bits, k)
+        )
+
+    check()
