@@ -27,6 +27,7 @@ from . import sharding_queries  # noqa: F401  (registers q71)
 from . import span_queries  # noqa: F401  (registers q72)
 from . import bloom_queries  # noqa: F401  (registers q73)
 from . import pipeline_e2e_query  # noqa: F401  (registers q74)
+from . import sketch_queries  # noqa: F401  (registers q75)
 
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The driver's CORRECTNESS check covers the FIRST
@@ -49,7 +50,7 @@ _GATE_PRIORITY = [
     "q66_pii_scrub", "q67_bucket_prune_proof",
     "q68_spec_evolution_prune", "q69_wap_rollback", "q70_semdedup",
     "q71_shuffle_shard", "q72_dup_span_coverage", "q73_bloom_prune_proof",
-    "q74_corpus_build_e2e",
+    "q74_corpus_build_e2e", "q75_kmv_distinct",
     # verified in r02 only (code unchanged, cheap to re-prove)
     "q50_source_mix",
     # (c) implementation files touched this round:
@@ -66,7 +67,7 @@ _GATE_PRIORITY = [
     "q10_daily_stats", "q13_rank_selfjoin", "q14_lag_rolling",
     "q15_median_per_group", "q22_tumbling_window", "q23_approx_median",
     "q25_streaming_tumbling", "q29_sessionization", "q30_token_stats",
-    "q31_quality_score", "q32_lang_id",
+    "q31_quality_score",
 ]
 
 
