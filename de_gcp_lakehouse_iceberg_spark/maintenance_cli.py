@@ -16,6 +16,13 @@ Actions (M1-M10 in SURVEY.md §2.11):
   full       — stats → compact → sort → expire → orphans → health (M9)
   schedule   — long-running loop: hourly compact, daily 02:00 full,
                weekly Sun 01:00 optimize (M10), MV staleness sweep
+  tag        — pin a named snapshot ref (--tag-name [--version])
+  rollback   — revert to an earlier snapshot (--version)
+  refs       — list tags + staged WAP ids
+  history    — the commit log (version/operation/summary)
+  wap-publish / wap-discard — publish or abandon a staged commit (--wap-id)
+  bloom      — build per-file bloom filters (--bloom-columns a,b)
+  cdc-export — export new commits to the streaming changelog feed
 """
 
 from __future__ import annotations
@@ -73,6 +80,46 @@ def run_action(args: argparse.Namespace) -> dict:
         return maintenance.collect_statistics(t)
     if args.action == "health":
         return {"recommendations": maintenance.analyze_partitions(t)}
+    if args.action == "tag":
+        if not args.tag_name:
+            raise ValueError("--tag-name required")
+        v = t.set_tag(args.tag_name, args.version)
+        return {"action": "tag", "name": args.tag_name, "version": v}
+    if args.action == "rollback":
+        if args.version is None:
+            raise ValueError("--version required")
+        snap = t.rollback_to(args.version)
+        return {"action": "rollback", "new_version": snap.version,
+                "rolled_back_to": args.version}
+    if args.action == "refs":
+        return {"tags": t.tags(), "staged": t.staged_ids()}
+    if args.action == "history":
+        return {"history": [r.asDict() for r in t.history_df().collect()]}
+    if args.action == "wap-publish":
+        if not args.wap_id:
+            raise ValueError("--wap-id required")
+        snap = t.publish(args.wap_id)
+        return {"action": "wap-publish", "version": snap.version,
+                "summary": snap.summary}
+    if args.action == "wap-discard":
+        if not args.wap_id:
+            raise ValueError("--wap-id required")
+        t.discard_staged(args.wap_id)
+        return {"action": "wap-discard", "wap_id": args.wap_id}
+    if args.action == "bloom":
+        from .lakehouse.bloom import add_bloom_filters
+
+        cols = [c for c in args.bloom_columns.split(",") if c]
+        if not cols:
+            raise ValueError("--bloom-columns required")
+        snap = add_bloom_filters(t, cols)
+        return {"action": "bloom", "version": snap.version,
+                "columns": cols}
+    if args.action == "cdc-export":
+        from .streaming.cdc_stream import export_changelog
+
+        n = export_changelog(t)
+        return {"action": "cdc-export", "exported_versions": n}
     if args.action == "full":
         report = maintenance.run_full_maintenance(
             t,
@@ -134,9 +181,21 @@ def build_parser() -> argparse.ArgumentParser:
             "mv-refresh",
             "full",
             "schedule",
+            "tag",
+            "rollback",
+            "refs",
+            "history",
+            "wap-publish",
+            "wap-discard",
+            "bloom",
+            "cdc-export",
         ],
         default="full",
     )
+    p.add_argument("--tag-name", default="")
+    p.add_argument("--version", type=int, default=None)
+    p.add_argument("--wap-id", default="")
+    p.add_argument("--bloom-columns", default="")
     p.add_argument("--table", default="taxi_trips")
     p.add_argument("--retention-days", type=float, default=7.0)
     p.add_argument("--orphan-age-days", type=float, default=3.0)

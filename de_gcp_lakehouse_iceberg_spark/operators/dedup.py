@@ -826,6 +826,9 @@ def dup_span_stats(
     pos = grams.select(
         "doc_id", F.explode("pg").alias("x")
     ).select("doc_id", F.col("x.p").alias("p"), F.col("x.g").alias("g"))
+    # two consumers (occurrence count + the dup join) would otherwise
+    # each re-tokenize and re-explode the corpus — materialize once
+    pos = pos.localCheckpoint()
     dup_grams = (
         pos.groupBy("g").agg(F.count("*").alias("_c")).filter(F.col("_c") >= 2)
     )

@@ -48,7 +48,10 @@ _GATE_PRIORITY = [
     "q57_token_budget_selection", "q58_kmeans", "q59_click_attribution",
     "q60_stats_pruned_scan", "q61_overlap_chunking", "q62_token_rarity",
     "q63_cdc_replica_sync", "q65_temperature_mix",
-    # (b) new this round
+    # (b) new in round 4: PII scrub, bucket/truncate + spec-evolution +
+    # bloom pruning proofs, WAP/rollback, SemDeDup, shuffle-shard,
+    # span dedup, composed e2e build, KMV sketch, resample, funnel,
+    # retention
     "q66_pii_scrub", "q67_bucket_prune_proof",
     "q68_spec_evolution_prune", "q69_wap_rollback", "q70_semdedup",
     "q71_shuffle_shard", "q72_dup_span_coverage", "q73_bloom_prune_proof",

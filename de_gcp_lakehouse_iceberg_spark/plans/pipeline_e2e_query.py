@@ -100,12 +100,25 @@ _N_SHARDS = 4
 )
 def q74_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
+    # use_lsh=True: the composed pipeline runs the SCALE route for its
+    # near-dup stage. The oracle stays the exact-Jaccard CTE — valid by
+    # the q64 argument (b=32/r=2 banding: P(candidate | J≥0.5) ≈
+    # 1−1e-4, and the corpus's qualifying pairs sit far above
+    # threshold; equality of the two pair sets is test-pinned), so the
+    # gate is a live proof the LSH route loses nothing end-to-end.
     cleaned = clean_corpus(
         docs,
         quality_threshold=_QUALITY_T,
         langs=list(_LANGS),
         jaccard_threshold=_JACCARD_T,
+        use_lsh=True,
     )
+    # Materialize the cleaned corpus once: three downstream consumers
+    # (eval split, contamination shingles, final anti-joins) would each
+    # replay the full cleaning plan otherwise. At 100 TB this is the
+    # standard inter-stage write-to-storage point; in-session,
+    # localCheckpoint is its equivalent.
+    cleaned = cleaned.localCheckpoint()
     eval_ids = cleaned.filter(
         F.col("doc_id") % _EVAL_MOD == 0
     ).select("doc_id")

@@ -88,3 +88,49 @@ def test_mv_refresh_action(spark, warehouse):
     assert res["refreshed"] == ["zone_counts"]
     got = {r.zone: r.c for r in wh.table("zone_counts").scan().collect()}
     assert got[9] == 10
+
+
+def test_refs_rollback_wap_bloom_cdc_actions(spark, warehouse):
+    base = ["--warehouse", warehouse, "--table", "taxi_trips"]
+
+    out = _run(base + ["--action", "tag", "--tag-name", "stable"])
+    assert out["name"] == "stable" and out["version"] >= 1
+
+    t = LakeTable.load(spark, warehouse + "/taxi_trips")
+    v_before = t.current_version()
+    t.append(
+        spark.range(5).select(
+            (F.col("id") + 1000).alias("trip_id"),
+            F.lit(0).alias("zone"),
+            F.lit(9.9).alias("amount"),
+        )
+    )
+    out = _run(base + ["--action", "rollback", "--version", str(v_before)])
+    assert out["rolled_back_to"] == v_before
+    assert t.scan().count() == 100
+
+    wap = t.stage_append(
+        spark.range(3).select(
+            (F.col("id") + 2000).alias("trip_id"),
+            F.lit(1).alias("zone"),
+            F.lit(1.0).alias("amount"),
+        )
+    )
+    refs = _run(base + ["--action", "refs"])
+    assert refs["tags"] == {"stable": out["rolled_back_to"]}
+    assert wap in refs["staged"]
+    out = _run(base + ["--action", "wap-publish", "--wap-id", wap])
+    assert out["summary"]["wap_id"] == wap
+    assert t.scan().count() == 103
+
+    out = _run(base + ["--action", "bloom", "--bloom-columns", "trip_id"])
+    assert out["columns"] == ["trip_id"]
+    _snap, kept = t.plan_files(where=[("trip_id", "=", 2001)])
+    assert t.scan(where=[("trip_id", "=", 2001)]).count() == 1
+
+    out = _run(base + ["--action", "cdc-export"])
+    assert out["exported_versions"] == t.current_version()
+
+    hist = _run(base + ["--action", "history"])
+    ops = [h["operation"] for h in hist["history"]]
+    assert "rollback" in ops and "publish" in ops
