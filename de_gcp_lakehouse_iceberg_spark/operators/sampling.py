@@ -127,3 +127,49 @@ def temperature_mix(
         .filter(id_hash(id_col) < F.col("_th"))
         .drop("_th")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test split — every corpus build's last
+    labeling step. Each row gets a `split` label by carving [0, P) into
+    contiguous hash ranges proportional to `weights` (default
+    80/10/10). Row-local and engine-portable like every sampler here:
+    no shuffle, stable under repartitioning, disjoint and exhaustive by
+    construction (the ranges partition [0, P)), and a row's split
+    never changes when other rows come or go — the property that keeps
+    eval sets leak-free across corpus versions."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    h = id_hash(id_col)
+    expr = None
+    acc = 0.0
+    items = sorted(weights.items())
+    for name, wt in items[:-1]:
+        acc += wt / total
+        cond = h < F.lit(threshold(acc))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def split_assign_sql(
+    weights: dict[str, float] | None = None, id_expr: str = "doc_id"
+) -> str:
+    """The identical CASE in ANSI/DuckDB SQL (oracle generation)."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    h = id_hash_sql(id_expr)
+    acc = 0.0
+    branches = []
+    items = sorted(weights.items())
+    for name, wt in items[:-1]:
+        acc += wt / total
+        branches.append(f"WHEN {h} < {threshold(acc)} THEN '{name}'")
+    return (
+        "CASE " + " ".join(branches) + f" ELSE '{items[-1][0]}' END"
+    )

@@ -147,3 +147,30 @@ def test_bloom_no_false_negatives_property(spark, tmp_path):
         )
 
     check()
+
+
+def test_bloom_conservative_after_compaction(spark, tmp_path):
+    """Compaction rewrites files WITHOUT blooms — the new files simply
+    have none and are never pruned by a probe (conservative, correct);
+    re-running add_bloom_filters restores the pruning."""
+    from de_gcp_lakehouse_iceberg_spark.lakehouse.bloom import (
+        add_bloom_filters,
+    )
+    from de_gcp_lakehouse_iceberg_spark.lakehouse.maintenance import (
+        compact,
+    )
+
+    t, n = _interleaved_table(spark, tmp_path, n_files=4, rows_per_file=100)
+    add_bloom_filters(t, ["uid"])
+    probe = 137
+    _s, before = t.plan_files(where=[("uid", "=", probe)])
+    assert len(before) < 4
+
+    compact(t, target_file_size=1 << 30)      # everything into one file
+    assert t.scan().count() == n              # rows intact
+    assert t.scan(where=[("uid", "=", probe)]).count() == 1
+    # rebuilt blooms prune again on the compacted layout
+    add_bloom_filters(t, ["uid"])
+    _s, after = t.plan_files(where=[("uid", "=", probe)])
+    assert t.scan(where=[("uid", "=", probe)]).count() == 1
+    assert len(after) >= 1

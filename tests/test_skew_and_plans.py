@@ -114,3 +114,44 @@ def test_plan_q56_asof_single_shuffle(spark, sf_dir):
 def test_plan_q58_kmeans_broadcasts_centroids(spark, sf_dir):
     plan = _plan(spark, "q58_kmeans", sf_dir)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_plan_q70_semdedup_broadcasts_centroids(spark, sf_dir):
+    """SemDeDup's assignment stage must broadcast the k seed centroids
+    (no corpus-sized shuffle before the pair stage)."""
+    from de_gcp_lakehouse_iceberg_spark.plans import QUERIES
+
+    plan = (
+        QUERIES["q70_semdedup"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan
+
+
+def test_plan_q79_split_is_scan_time(spark, sf_dir):
+    """Split assignment is a row-local expression: the labeling itself
+    adds NO exchange (only the census aggregation shuffles)."""
+    from de_gcp_lakehouse_iceberg_spark.operators.sampling import (
+        split_assign,
+    )
+    from de_gcp_lakehouse_iceberg_spark.tables import table
+
+    df = split_assign(table(spark, sf_dir, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_plan_q76_resample_two_windows_one_agg(spark, sf_dir):
+    """Resample: hourly agg shuffle + the (g) window partitioning —
+    no unbounded extra exchanges from the grid join."""
+    from de_gcp_lakehouse_iceberg_spark.plans import QUERIES
+
+    plan = (
+        QUERIES["q76_resample_gapfill"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 5
