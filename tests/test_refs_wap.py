@@ -239,3 +239,35 @@ def test_refs_and_history_metadata_tables(spark, tmp_path):
     import json as _json
 
     assert _json.loads(hist[-1].summary)["rolled_back_to"] == 1
+
+
+def test_two_staged_commits_publish_independently(spark, tmp_path):
+    """Two writers stage concurrently; both publishes land (append
+    files are commutative) and the combined table is exact."""
+    t = LakeTable.create(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10))
+    w1 = t.stage_append(_df(spark, 100, 105))
+    w2 = t.stage_append(_df(spark, 200, 203))
+    t.publish(w2)                          # later stage publishes first
+    t.publish(w1)
+    assert t.scan().count() == 18
+    assert t.staged_ids() == []
+    ks = {r.k for r in t.scan().collect()}
+    assert {100, 101, 102, 103, 104, 200, 201, 202} <= ks
+
+
+def test_publish_after_rollback_rebases_onto_reverted_head(spark, tmp_path):
+    """A stage planned against a later-reverted base still publishes
+    onto the CURRENT (rolled-back) head — file additions rebase, they
+    don't resurrect the reverted files."""
+    t = LakeTable.create(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10))            # v1
+    good = t.current_version()
+    t.append(_df(spark, 10, 30))           # v2 (will be reverted)
+    wap = t.stage_append(_df(spark, 100, 104))  # staged against v2
+    t.rollback_to(good)                    # v3: back to 10 rows
+    t.publish(wap)                         # v4
+    assert t.scan().count() == 14          # v1 rows + staged; v2 gone
+    assert {r.k for r in t.scan().filter(F.col("k") >= 100).collect()} == {
+        100, 101, 102, 103
+    }
