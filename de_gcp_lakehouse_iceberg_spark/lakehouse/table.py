@@ -42,6 +42,9 @@ MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
 POINTER = "_current"
 REFS = "_refs.json"
+# snapshots with at least this many files also get a columnar
+# (parquet) manifest sidecar for Spark-distributed scan planning
+PARQUET_MANIFEST_MIN = 2000
 
 
 def _stat_value(v):
@@ -128,6 +131,42 @@ def _file_may_match(entry: "FileEntry", col: str, op: str, value) -> bool:
         return hi > v
     if op == ">=":
         return hi >= v
+    return True
+
+
+def _file_survives(
+    entry: "FileEntry",
+    where: list[tuple[str, str, Any]] | None,
+    current_spec: list[str],
+) -> bool:
+    """The complete per-file pruning decision — column-stats skipping,
+    bloom equality probes, and hidden-partition transform mapping under
+    the file's OWN spec (Iceberg spec_id semantics). Pure function of
+    one manifest entry, which is what lets `plan_files_distributed`
+    evaluate it inside a Spark job for million-file snapshots."""
+    from .bloom import bloom_may_contain
+    from .transforms import parse_spec
+
+    for col, op, value in where or []:
+        if op not in _PRUNE_OPS:
+            raise ValueError(f"unsupported prune op {op!r}")
+        if not _file_may_match(entry, col, op, value):
+            return False
+        # bloom skipping: equality probes on high-cardinality columns
+        # where [min,max] can't prune (lakehouse/bloom.py)
+        if op in ("=", "==") and not bloom_may_contain(entry, col, value):
+            return False
+        # hidden-partition pruning: map the RAW-column predicate
+        # through every transform of that column (days/bucket/…) —
+        # a file written before a partition-spec evolution is pruned
+        # by the transforms it was actually laid out under, never the
+        # current ones (bucket(8,..)→bucket(16,..) would misprune).
+        spec = entry.spec if entry.spec is not None else current_spec
+        for t in (parse_spec(s) for s in spec):
+            if t.source != col or t.name not in entry.partition:
+                continue
+            if not t.prune(op, value, entry.partition[t.name]):
+                return False
     return True
 
 
@@ -509,6 +548,12 @@ class LakeTable:
         with open(tmp, "w") as f:
             json.dump(snap, f)
         os.replace(tmp, mpath)
+        # manifest-as-a-table: large snapshots ALSO get a columnar
+        # manifest sidecar so planning can run as a Spark job
+        # (plan_files_distributed) instead of a driver loop — the
+        # Iceberg manifest-list posture for million-file tables.
+        if len(files) >= PARQUET_MANIFEST_MIN:
+            self._write_parquet_manifest(version, files)
         # atomic pointer swap — the "catalog commit"
         ptmp = os.path.join(self.root, POINTER + ".tmp")
         with open(ptmp, "w") as f:
@@ -721,45 +766,98 @@ class LakeTable:
         files = snap.files
         if partition_filter is not None:
             files = [f for f in files if partition_filter(f.partition)]
-        from .transforms import parse_spec
+        current_spec = self.partition_by
+        files = [
+            f for f in files if _file_survives(f, where, current_spec)
+        ]
+        return snap, files
+
+    # -- manifest-as-a-table (million-file snapshots) -------------------
+    def _parquet_manifest_path(self, version: int) -> str:
+        return os.path.join(
+            self.root, MANIFEST_DIR, f"v{version:08d}.files.parquet"
+        )
+
+    def _write_parquet_manifest(
+        self, version: int, files: list[FileEntry]
+    ) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.table(
+            {
+                "path": [f.path for f in files],
+                "rows": [f.rows for f in files],
+                "bytes": [f.bytes for f in files],
+                "partition": [json.dumps(f.partition) for f in files],
+                "stats": [json.dumps(f.stats) for f in files],
+                "spec": [
+                    None if f.spec is None else json.dumps(f.spec)
+                    for f in files
+                ],
+            }
+        )
+        out = self._parquet_manifest_path(version)
+        pq.write_table(tbl, out + ".tmp")
+        os.replace(out + ".tmp", out)
+
+    def plan_files_distributed(
+        self,
+        version: int | None = None,
+        where: list[tuple[str, str, Any]] | None = None,
+    ) -> tuple[Snapshot, list[FileEntry]]:
+        """`plan_files` as a Spark job: the pruning decision
+        (`_file_survives` — stats + bloom + per-spec transforms) runs
+        over the columnar manifest sidecar with mapInPandas, so a
+        million-entry manifest never materializes as Python objects on
+        the driver — only the SURVIVING entries come back (the file
+        list Spark needs anyway). Falls back to the driver loop when
+        the snapshot is below the sidecar threshold. Results are
+        identical to `plan_files` by construction (same per-entry
+        function)."""
+        snap = self.snapshot(version)
+        pq_path = self._parquet_manifest_path(snap.version)
+        if not os.path.exists(pq_path):
+            return self.plan_files(version=version, where=where)
 
         current_spec = self.partition_by
+        preds = list(where or [])
 
-        def _transforms_for(f: FileEntry):
-            # per-file spec (Iceberg spec_id): a file written before a
-            # partition-spec evolution is pruned by the transforms it
-            # was actually laid out under, never the current ones
-            # (bucket(8,..)→bucket(16,..) would otherwise misprune).
-            return [parse_spec(s) for s in (
-                f.spec if f.spec is not None else current_spec
-            )]
+        def prune(batches):
+            import pandas as pd
 
-        from .bloom import bloom_may_contain
+            for pdf in batches:
+                keep = []
+                for i in range(len(pdf)):
+                    e = FileEntry(
+                        path=pdf["path"].iat[i],
+                        rows=int(pdf["rows"].iat[i]),
+                        bytes=int(pdf["bytes"].iat[i]),
+                        partition=json.loads(pdf["partition"].iat[i]),
+                        stats=json.loads(pdf["stats"].iat[i]),
+                        spec=(
+                            None
+                            if pdf["spec"].iat[i] is None
+                            else json.loads(pdf["spec"].iat[i])
+                        ),
+                    )
+                    keep.append(_file_survives(e, preds, current_spec))
+                yield pdf[pd.Series(keep, index=pdf.index)]
 
-        for col, op, value in where or []:
-            if op not in _PRUNE_OPS:
-                raise ValueError(f"unsupported prune op {op!r}")
-            eq = op in ("=", "==")
-            kept = []
-            for f in files:
-                if not _file_may_match(f, col, op, value):
-                    continue
-                # bloom skipping: equality probes on high-cardinality
-                # columns where [min,max] can't prune (lakehouse/bloom.py)
-                if eq and not bloom_may_contain(f, col, value):
-                    continue
-                # hidden-partition pruning: map the RAW-column predicate
-                # through every transform of that column (days/bucket/…)
-                ok = True
-                for t in _transforms_for(f):
-                    if t.source != col or t.name not in f.partition:
-                        continue
-                    if not t.prune(op, value, f.partition[t.name]):
-                        ok = False
-                        break
-                if ok:
-                    kept.append(f)
-            files = kept
+        mdf = self.spark.read.parquet(pq_path)
+        survivors = mdf.mapInPandas(prune, schema=mdf.schema).collect()
+        files = [
+            FileEntry(
+                path=r["path"],
+                rows=r["rows"],
+                bytes=r["bytes"],
+                partition=json.loads(r["partition"]),
+                stats=json.loads(r["stats"]),
+                spec=None if r["spec"] is None else json.loads(r["spec"]),
+            )
+            for r in survivors
+        ]
+        files.sort(key=lambda e: e.path)
         return snap, files
 
     def scan(
@@ -931,6 +1029,9 @@ class LakeTable:
             os.remove(
                 os.path.join(self.root, MANIFEST_DIR, f"v{s.version:08d}.json")
             )
+            side = self._parquet_manifest_path(s.version)
+            if os.path.exists(side):
+                os.remove(side)
             removed_manifests += 1
         return {
             "expired_snapshots": removed_manifests,
