@@ -29,7 +29,7 @@ import base64
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .table import FileEntry, LakeTable, Snapshot
+from .table import FILE_COL, FileEntry, LakeTable, Snapshot
 
 _P = 2147483647          # 2^31 - 1 (shared with operators/sampling.py)
 _A1, _B1 = 1103515245, 12345
@@ -116,8 +116,18 @@ def add_bloom_filters(
     snap = table.snapshot()
     if not snap.files:
         return snap
-    df = table._read_files(snap, [f.path for f in snap.files])
-    schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    # with_file_col: resolves the provenance column on the raw file
+    # relation, so the build also works under pending MOR deletes
+    # (bits are computed for LIVE rows only — correct: a pruned file
+    # provably lacks the live value)
+    df = table._read_files(
+        snap, [f.path for f in snap.files], with_file_col=True
+    )
+    schema = {
+        f.name: f.dataType.simpleString()
+        for f in df.schema.fields
+        if f.name != FILE_COL
+    }
     for col in columns:
         if col not in schema:
             raise ValueError(f"no column {col!r}")
@@ -133,9 +143,7 @@ def add_bloom_filters(
         ).alias(f"_pos_{c}")
         for c in columns
     ]
-    exploded = df.select(
-        F.col("_metadata.file_path").alias("_file"), *pos_cols
-    )
+    exploded = df.select(F.col(FILE_COL).alias("_file"), *pos_cols)
     per_file: dict[str, dict[str, list[int]]] = {}
     for c in columns:
         rows = (

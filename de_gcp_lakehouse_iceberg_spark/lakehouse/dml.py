@@ -19,17 +19,12 @@ import os
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .table import FILE_COL as _FILE
 from .table import LakeTable, Snapshot
-
-_FILE = "__file_path"
 
 
 def _as_col(pred: Column | str) -> Column:
     return F.expr(pred) if isinstance(pred, str) else pred
-
-
-def _with_file(df: DataFrame) -> DataFrame:
-    return df.withColumn(_FILE, F.col("_metadata.file_path"))
 
 
 def _rel_paths(table: LakeTable, abs_paths: list[str]) -> list[str]:
@@ -56,7 +51,7 @@ def delete(table: LakeTable, predicate: Column | str) -> Snapshot:
     """DELETE FROM t WHERE pred (D5)."""
     pred = _as_col(predicate)
     snap = table.snapshot()  # pin the base BEFORE planning (OCC)
-    df = _with_file(table.scan(version=snap.version))
+    df = table.scan(version=snap.version, with_file_path=True)
     affected = _affected_files(table, df, pred)
     if not affected:
         return snap
@@ -76,7 +71,7 @@ def update(
     expressions evaluated per-row (CASE recodes, anonymization, etc.)."""
     pred = _as_col(predicate)
     snap = table.snapshot()  # pin the base BEFORE planning (OCC)
-    df = _with_file(table.scan(version=snap.version))
+    df = table.scan(version=snap.version, with_file_path=True)
     affected = _affected_files(table, df, pred)
     if not affected:
         return snap
@@ -140,7 +135,7 @@ def merge(
             add_column(table, f.name, f.dataType.simpleString())
 
     snap = table.snapshot()  # pin the base BEFORE planning (OCC)
-    target = _with_file(table.scan(version=snap.version))
+    target = table.scan(version=snap.version, with_file_path=True)
     src = source.alias("source")
 
     # duplicate source keys are only fatal if they MATCH a target row
@@ -235,6 +230,26 @@ def changelog(table: LakeTable, from_version: int, to_version: int) -> DataFrame
     for v in range(from_version + 1, to_version + 1):
         prev = table.snapshot(v - 1)
         cur = table.snapshot(v)
+        if cur.operation == "delete_mor":
+            # merge-on-read delete: no file changes, but rows leave the
+            # table LOGICALLY at this commit — emit them as DELETEs by
+            # reading the pre-delete state (prior deletes applied) and
+            # filtering with this commit's predicate. Materialization
+            # later diffs to nothing, so rows are emitted exactly once.
+            pred = cur.summary.get("predicate")
+            if not prev.files or pred is None:
+                continue
+            rows = table._read_files(
+                prev, [f.path for f in prev.files]
+            ).filter(F.coalesce(F.expr(pred), F.lit(False)))
+            tagged = rows.select(
+                "*",
+                F.lit("DELETE").alias("_change_type"),
+                F.lit(v).alias("_change_version"),
+                F.lit(cur.timestamp_ms).alias("_change_timestamp"),
+            )
+            out = tagged if out is None else out.unionByName(tagged)
+            continue
         pf = {f.path for f in prev.files}
         cf = {f.path for f in cur.files}
         removed = sorted(pf - cf)
@@ -306,7 +321,7 @@ def apply_changelog(
     touched_keys = last.select(*key_cols)
 
     snap = replica.snapshot()  # pin base (OCC)
-    target = _with_file(replica.scan(version=snap.version))
+    target = replica.scan(version=snap.version, with_file_path=True)
     hit = target.join(touched_keys, on=key_cols, how="left_semi")
     affected = _rel_paths(
         replica, [r[0] for r in hit.select(_FILE).distinct().collect()]
@@ -323,5 +338,67 @@ def apply_changelog(
         add_df,
         operation="apply_changelog",
         summary={"upserts": upserts.count(), "keys": touched_keys.count()},
+        expected_base=snap.version,
+    )
+
+
+def delete_mor(table: LakeTable, predicate: str) -> Snapshot:
+    """Merge-on-read DELETE (Iceberg v2 equality-delete model): commits
+    ONLY a delete entry — a SQL predicate plus the commit's sequence
+    number — touching zero data files. Readers anti-filter files whose
+    seq predates the delete (`LakeTable._read_files` applies this on
+    every path: scans, CoW rewrites, compaction, changelog), and rows
+    appended AFTER the delete are never retro-deleted.
+
+    This is the O(1)-commit delete for 100 TB tables — copy-on-write
+    `delete()` rewrites every affected file at commit time; `delete_mor`
+    defers that cost to reads until a compaction materializes it (the
+    delete entry auto-expires once no live file predates it).
+
+    `predicate` is a SQL boolean over data columns, stored verbatim in
+    the manifest; rows where it evaluates NULL are kept (SQL DELETE
+    semantics). Validated against the current schema before commit.
+    """
+    snap = table.snapshot()
+    # validate: must parse and resolve against the table schema
+    probe = table._read_files(snap, [f.path for f in snap.files[:1]]) \
+        if snap.files else None
+    if probe is not None:
+        probe.filter(F.expr(predicate)).schema  # raises on bad predicate
+    new_version_seq = snap.version + 1
+    return table._commit_snapshot(
+        operation="delete_mor",
+        files=snap.files,
+        schema_json=snap.schema_json,
+        base=snap.version,
+        summary={"predicate": predicate},
+        deletes=snap.deletes + [
+            {"predicate": predicate, "seq": new_version_seq}
+        ],
+    )
+
+
+def materialize_deletes(table: LakeTable) -> Snapshot:
+    """Compaction-style MOR materialization: rewrite ONLY the files
+    that have applicable delete entries (seq predates a delete),
+    physically dropping the logically deleted rows; untouched files
+    keep their entries. The commit's auto-GC then drops delete entries
+    that no longer apply to any live file."""
+    snap = table.snapshot()
+    if not snap.deletes:
+        return snap
+    affected = [
+        f.path
+        for f in snap.files
+        if any(f.seq < d["seq"] for d in snap.deletes)
+    ]
+    if not affected:
+        return snap
+    rewritten = table._read_files(snap, affected)  # deletes applied here
+    return table.replace_files(
+        affected,
+        rewritten,
+        operation="materialize_deletes",
+        summary={"applied_deletes": len(snap.deletes)},
         expected_base=snap.version,
     )

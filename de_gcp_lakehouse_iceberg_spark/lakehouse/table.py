@@ -42,6 +42,7 @@ MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
 POINTER = "_current"
 REFS = "_refs.json"
+FILE_COL = "__file_path"  # hidden provenance column (scan(with_file_path=True))
 # snapshots with at least this many files also get a columnar
 # (parquet) manifest sidecar for Spark-distributed scan planning
 PARQUET_MANIFEST_MIN = 2000
@@ -186,6 +187,10 @@ class FileEntry:
     # ITS OWN transforms, never the table's current ones. None ⇒
     # pre-evolution manifest; falls back to the current spec.
     spec: list[str] | None = None
+    # commit sequence the file entered the table at (Iceberg's data
+    # sequence number): merge-on-read deletes apply only to files with
+    # seq < the delete's seq. 0 ⇒ pre-MOR manifest.
+    seq: int = 0
 
     def to_json(self) -> dict[str, Any]:
         d = {
@@ -197,6 +202,8 @@ class FileEntry:
         }
         if self.spec is not None:
             d["spec"] = self.spec
+        if self.seq:
+            d["seq"] = self.seq
         return d
 
     @staticmethod
@@ -208,6 +215,7 @@ class FileEntry:
             d.get("partition", {}),
             d.get("stats", {}),
             d.get("spec"),
+            d.get("seq", 0),
         )
 
 
@@ -219,6 +227,10 @@ class Snapshot:
     files: list[FileEntry]
     schema_json: str
     summary: dict[str, Any] = field(default_factory=dict)
+    # merge-on-read delete entries: [{"predicate": sql, "seq": n}] —
+    # each applies to files whose seq < its seq (Iceberg v2 equality
+    # deletes; see dml.delete_mor)
+    deletes: list[dict] = field(default_factory=list)
 
     @property
     def total_rows(self) -> int:
@@ -311,6 +323,7 @@ class LakeTable:
             files=[FileEntry.from_json(x) for x in d["files"]],
             schema_json=d.get("schema_json", ""),
             summary=d.get("summary", {}),
+            deletes=d.get("deletes", []),
         )
 
     def snapshots(self) -> list[Snapshot]:
@@ -393,6 +406,7 @@ class LakeTable:
             schema_json=target.schema_json,
             base=self.current_version(),
             summary={"rolled_back_to": version},
+            deletes=target.deletes,
         )
 
     # ------------------------------------------------------------------
@@ -488,7 +502,9 @@ class LakeTable:
                     f"cannot publish stage {wap_id}: columns {bad} no longer "
                     "match the table schema (staged files would read wrong)"
                 )
-        staged_files = [FileEntry.from_json(x) for x in d["files"]]
+        staged_files = self._stamp_seq(
+            [FileEntry.from_json(x) for x in d["files"]]
+        )
         snap = self._commit_snapshot(
             operation="publish",
             files=prev.files + staged_files,
@@ -516,6 +532,7 @@ class LakeTable:
         schema_json: str,
         base: int | None,
         summary: dict[str, Any] | None = None,
+        deletes: list[dict] | None = None,
     ) -> Snapshot:
         cur = self.current_version()
         if base is not None and cur != base:
@@ -523,6 +540,16 @@ class LakeTable:
                 f"concurrent modification: expected base v{base}, found v{cur}"
             )
         version = 0 if cur is None else cur + 1
+        # merge-on-read delete entries: inherit unless the caller sets
+        # them explicitly (delete_mor adds one; rollback restores the
+        # target's). Auto-GC: an entry applying to NO live file (every
+        # file's seq >= its seq — e.g. after a full compaction rewrote
+        # everything) is dropped.
+        if deletes is None:
+            deletes = self.snapshot(cur).deletes if cur is not None else []
+        deletes = [
+            d for d in deletes if any(f.seq < d["seq"] for f in files)
+        ]
         # carry streaming high-watermarks forward through EVERY commit
         # (maintenance, DML, …) so the exactly-once check in
         # streaming/pipeline.py stays O(1): read the latest snapshot
@@ -542,6 +569,7 @@ class LakeTable:
             "files": [f.to_json() for f in files],
             "schema_json": schema_json,
             "summary": summary or {},
+            "deletes": deletes,
         }
         mpath = os.path.join(self.root, MANIFEST_DIR, f"v{version:08d}.json")
         tmp = mpath + ".tmp"
@@ -595,6 +623,17 @@ class LakeTable:
         spec = [t.spec for t in transforms]
         for e in entries:
             e.spec = spec
+        return entries
+
+    def _stamp_seq(self, entries: list[FileEntry]) -> list[FileEntry]:
+        """Data sequence number: new files carry the version of the
+        commit that adds them — merge-on-read deletes apply only to
+        files with a SMALLER seq (rows added after a delete are never
+        retro-deleted)."""
+        cur = self.current_version()
+        nxt = 0 if cur is None else cur + 1
+        for e in entries:
+            e.seq = nxt
         return entries
 
     def _scan_written(self, out_dir: str) -> list[FileEntry]:
@@ -672,7 +711,7 @@ class LakeTable:
             schema_json = prev.schema_json
         else:
             schema_json = df.schema.json()
-        new_files = self._write_files(df)
+        new_files = self._stamp_seq(self._write_files(df))
         return self._commit_snapshot(
             operation=operation,
             files=prev.files + new_files,
@@ -691,7 +730,7 @@ class LakeTable:
     ) -> Snapshot:
         """Full-table replace (INSERT OVERWRITE / CTAS refresh, D8/D9)."""
         base = self.current_version()
-        new_files = self._write_files(df)
+        new_files = self._stamp_seq(self._write_files(df))
         return self._commit_snapshot(
             operation=operation,
             files=new_files,
@@ -727,7 +766,11 @@ class LakeTable:
         kept = [f for f in prev.files if f.path not in removed]
         if add_df is not None and prev.schema_json:
             add_df = self._align_to_schema(add_df, prev.schema_json)
-        new_files = self._write_files(add_df) if add_df is not None else []
+        new_files = (
+            self._stamp_seq(self._write_files(add_df))
+            if add_df is not None
+            else []
+        )
         return self._commit_snapshot(
             operation=operation,
             files=kept + new_files,
@@ -795,6 +838,7 @@ class LakeTable:
                     None if f.spec is None else json.dumps(f.spec)
                     for f in files
                 ],
+                "seq": [f.seq for f in files],
             }
         )
         out = self._parquet_manifest_path(version)
@@ -840,6 +884,7 @@ class LakeTable:
                             if pdf["spec"].iat[i] is None
                             else json.loads(pdf["spec"].iat[i])
                         ),
+                        seq=int(pdf["seq"].iat[i]),
                     )
                     keep.append(_file_survives(e, preds, current_spec))
                 yield pdf[pd.Series(keep, index=pdf.index)]
@@ -854,6 +899,7 @@ class LakeTable:
                 partition=json.loads(r["partition"]),
                 stats=json.loads(r["stats"]),
                 spec=None if r["spec"] is None else json.loads(r["spec"]),
+                seq=r["seq"],
             )
             for r in survivors
         ]
@@ -867,6 +913,7 @@ class LakeTable:
         partition_filter: Callable[[dict[str, str]], bool] | None = None,
         where: list[tuple[str, str, Any]] | None = None,
         tag: str | None = None,
+        with_file_path: bool = False,
     ) -> DataFrame:
         """Snapshot-isolated read, optionally time-traveled (S5),
         manifest-partition-pruned, and column-stats file-skipped (§4:
@@ -886,7 +933,9 @@ class LakeTable:
         snap, files = self.plan_files(
             version, as_of_ms, partition_filter, where, tag=tag
         )
-        df = self._read_files(snap, [f.path for f in files])
+        df = self._read_files(
+            snap, [f.path for f in files], with_file_col=with_file_path
+        )
         for col, op, value in where or []:
             from pyspark.sql import functions as F
 
@@ -897,7 +946,13 @@ class LakeTable:
             )
         return df
 
-    def _read_files(self, snap: Snapshot, rel_paths: list[str]) -> DataFrame:
+    def _read_files(
+        self,
+        snap: Snapshot,
+        rel_paths: list[str],
+        with_file_col: bool = False,
+    ) -> DataFrame:
+        from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
         reader = self.spark.read
@@ -911,8 +966,44 @@ class LakeTable:
                     [], StructType.fromJson(json.loads(snap.schema_json))
                 )
             raise ValueError("empty table with no recorded schema")
-        paths = [os.path.join(self.root, p) for p in rel_paths]
-        return reader.option("recursiveFileLookup", "true").parquet(*paths)
+
+        def _raw(rels: list[str]) -> DataFrame:
+            paths = [os.path.join(self.root, p) for p in rels]
+            df = reader.option("recursiveFileLookup", "true").parquet(*paths)
+            if with_file_col:
+                # the _metadata pseudo-column resolves only directly on
+                # a file-source relation — attach it BEFORE any MOR
+                # filter/union wraps the scan
+                df = df.select(
+                    "*", F.col("_metadata.file_path").alias(FILE_COL)
+                )
+            return df
+
+        if not snap.deletes:
+            return _raw(rel_paths)
+        # merge-on-read: a delete entry applies to files whose seq is
+        # SMALLER than its own. Group the requested files by their
+        # applicable predicate set (usually 1-2 groups) and anti-filter
+        # each group at read time. EVERY consumer goes through here —
+        # scans, CoW rewrites, compaction, changelog — so rewritten
+        # files (new seq) can never resurrect logically deleted rows.
+        seq_of = {f.path: f.seq for f in snap.files}
+        groups: dict[tuple[str, ...], list[str]] = {}
+        for p in rel_paths:
+            seq = seq_of.get(p, 0)
+            key = tuple(
+                d["predicate"] for d in snap.deletes if seq < d["seq"]
+            )
+            groups.setdefault(key, []).append(p)
+        out: DataFrame | None = None
+        for preds, rels in groups.items():
+            df = _raw(rels)
+            for pred in preds:
+                # NULL-safe anti-filter: rows where the predicate is
+                # NULL are NOT deleted (SQL DELETE semantics)
+                df = df.filter(~F.coalesce(F.expr(pred), F.lit(False)))
+            out = df if out is None else out.unionByName(df)
+        return out
 
     def files_df(self) -> DataFrame:
         """Metadata table analog of Iceberg `t.files` (S7/S8)."""

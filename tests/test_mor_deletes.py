@@ -1,0 +1,128 @@
+"""Merge-on-read deletes (lakehouse/dml.delete_mor) — Iceberg v2
+equality-delete semantics on the LakeTable snapshot layer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from de_gcp_lakehouse_iceberg_spark.lakehouse import LakeTable
+from de_gcp_lakehouse_iceberg_spark.lakehouse.dml import (
+    changelog,
+    delete,
+    delete_mor,
+    materialize_deletes,
+    update,
+)
+
+
+def _t(spark, tmp_path, n=20):
+    t = LakeTable.create(spark, str(tmp_path / "t"))
+    t.append(
+        spark.range(n).select(
+            F.col("id").alias("k"), (F.col("id") % 4).alias("cat")
+        )
+    )
+    return t
+
+
+def test_mor_delete_is_metadata_only_and_filters_reads(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    files_before = {f.path for f in t.snapshot().files}
+    snap = delete_mor(t, "cat = 1")
+    assert snap.operation == "delete_mor"
+    # zero data movement: identical file set
+    assert {f.path for f in t.snapshot().files} == files_before
+    assert t.scan().count() == 15
+    assert t.scan().filter("cat = 1").count() == 0
+    # time travel still sees the pre-delete rows
+    assert t.scan(version=snap.version - 1).count() == 20
+
+
+def test_mor_delete_not_retroactive_for_new_appends(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    delete_mor(t, "cat = 1")
+    # rows appended AFTER the delete survive even when they match it
+    t.append(
+        spark.createDataFrame([(100, 1), (101, 2)], "k long, cat long")
+    )
+    ks = {r.k for r in t.scan().collect()}
+    assert 100 in ks and 101 in ks
+    assert t.scan().count() == 17
+
+
+def test_mor_stacked_deletes_and_materialization(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    delete_mor(t, "cat = 1")
+    delete_mor(t, "k >= 16")
+    assert t.scan().count() == 20 - 5 - 3   # cat1: 5 (k<16), k>=16: 4, overlap k=17
+    assert len(t.snapshot().deletes) == 2
+
+    snap = materialize_deletes(t)
+    assert snap.operation == "materialize_deletes"
+    # entries GC'd: every surviving file now postdates the deletes
+    assert t.snapshot().deletes == []
+    assert t.scan().count() == 12
+    assert t.scan().filter("cat = 1 AND k < 100").count() == 0
+
+
+def test_mor_then_cow_rewrite_does_not_resurrect(spark, tmp_path):
+    """A CoW UPDATE rewriting a file with pending MOR deletes must not
+    resurrect the logically deleted rows (rewritten file gets a new
+    seq, so the delete no longer applies to it — the rewrite must have
+    applied it physically)."""
+    t = _t(spark, tmp_path)
+    delete_mor(t, "cat = 1")
+    update(t, {"cat": F.lit(9).cast("long")}, F.col("k") == 0)
+    assert t.scan().filter("cat = 1").count() == 0
+    assert t.scan().count() == 15
+    assert t.scan().filter("k = 0").collect()[0].cat == 9
+
+    # CoW delete composes the same way
+    delete(t, F.col("cat") == 2)
+    assert t.scan().count() == 10
+
+
+def test_mor_delete_null_predicate_rows_kept(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, 5), (2, None), (3, 50)], "k long, v long"
+        )
+    )
+    delete_mor(t, "v > 10")
+    ks = {r.k for r in t.scan().collect()}
+    assert ks == {1, 2}                    # NULL predicate ⇒ kept
+
+
+def test_mor_delete_rejects_bad_predicate(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    with pytest.raises(Exception):
+        delete_mor(t, "no_such_column = 1")
+    assert t.snapshot().deletes == []
+
+
+def test_mor_changelog_emits_deletes_once(spark, tmp_path):
+    """DELETE rows surface at the delete_mor commit itself (the
+    logical deletion point); the later materialization rewrite diffs
+    to no net change, so nothing is double-emitted."""
+    t = _t(spark, tmp_path, n=8)
+    delete_mor(t, "cat = 1")               # v2
+    materialize_deletes(t)                 # v3
+    ch = changelog(t, 1, t.current_version()).collect()
+    dels = [(r.k, r._change_version) for r in ch
+            if r._change_type == "DELETE"]
+    assert sorted(dels) == [(1, 2), (5, 2)]
+    assert not [r for r in ch if r._change_type == "INSERT"]
+
+
+def test_mor_rollback_restores_delete_entries(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    v_clean = t.current_version()
+    delete_mor(t, "cat = 1")
+    v_deleted = t.current_version()
+    t.rollback_to(v_clean)
+    assert t.scan().count() == 20          # delete reverted
+    t.rollback_to(v_deleted)
+    assert t.scan().count() == 15          # delete restored with entry
+    assert len(t.snapshot().deletes) == 1
