@@ -31,6 +31,7 @@ from . import sketch_queries  # noqa: F401  (registers q75)
 from . import timeseries_queries  # noqa: F401  (registers q76)
 from . import behavior_queries  # noqa: F401  (registers q77-q78)
 from . import split_query  # noqa: F401  (registers q79)
+from . import mor_query  # noqa: F401  (registers q80)
 
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The driver's CORRECTNESS check covers the FIRST
@@ -58,6 +59,7 @@ _GATE_PRIORITY = [
     "q71_shuffle_shard", "q72_dup_span_coverage", "q73_bloom_prune_proof",
     "q74_corpus_build_e2e", "q75_kmv_distinct", "q76_resample_gapfill",
     "q77_funnel", "q78_retention_cohorts", "q79_split_census",
+    "q80_mor_delete_lifecycle",
     # verified in r02 only (code unchanged, cheap to re-prove)
     "q50_source_mix",
     # (c) implementation files touched this round:
@@ -73,7 +75,6 @@ _GATE_PRIORITY = [
     "q01_global_count", "q05_consistency_check", "q07_star_join_revenue",
     "q10_daily_stats", "q13_rank_selfjoin", "q14_lag_rolling",
     "q15_median_per_group", "q22_tumbling_window", "q23_approx_median",
-    "q25_streaming_tumbling",
 ]
 
 
