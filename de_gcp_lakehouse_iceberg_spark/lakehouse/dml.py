@@ -402,3 +402,45 @@ def materialize_deletes(table: LakeTable) -> Snapshot:
         summary={"applied_deletes": len(snap.deletes)},
         expected_base=snap.version,
     )
+
+
+def update_mor(
+    table: LakeTable,
+    assignments: dict[str, Column | str],
+    predicate: str,
+) -> Snapshot:
+    """Merge-on-read UPDATE in ONE atomic commit: write only the
+    UPDATED rows as new files (seq = this commit) and attach a delete
+    entry for the predicate in the same snapshot — the delete hides the
+    old versions (their files predate it) while the rewritten rows,
+    carrying the commit's own seq, pass through. Readers see the update
+    atomically; no pre-existing file is rewritten (CoW `update()`
+    rewrites every file containing a match — at 100 TB that's the whole
+    difference).
+
+    The predicate must be a SQL string (stored in the manifest). Rows
+    where it evaluates NULL are untouched, matching UPDATE semantics.
+    """
+    snap = table.snapshot()
+    if not snap.files:
+        return snap
+    pred = F.coalesce(F.expr(predicate), F.lit(False))
+    current = table._read_files(snap, [f.path for f in snap.files])
+    updated = current.filter(pred)
+    for name, expr in assignments.items():
+        updated = updated.withColumn(
+            name, _as_col(expr) if isinstance(expr, str) else expr
+        )
+    if snap.schema_json:
+        updated = table._align_to_schema(updated, snap.schema_json)
+    new_files = table._stamp_seq(table._write_files(updated))
+    new_seq = snap.version + 1
+    return table._commit_snapshot(
+        operation="update_mor",
+        files=snap.files + new_files,
+        schema_json=snap.schema_json,
+        base=snap.version,
+        summary={"predicate": predicate,
+                 "updated_rows": sum(f.rows for f in new_files)},
+        deletes=snap.deletes + [{"predicate": predicate, "seq": new_seq}],
+    )

@@ -126,3 +126,50 @@ def test_mor_rollback_restores_delete_entries(spark, tmp_path):
     t.rollback_to(v_deleted)
     assert t.scan().count() == 15          # delete restored with entry
     assert len(t.snapshot().deletes) == 1
+
+
+def test_mor_update_single_atomic_commit(spark, tmp_path):
+    from de_gcp_lakehouse_iceberg_spark.lakehouse.dml import update_mor
+
+    t = _t(spark, tmp_path)
+    v_before = t.current_version()
+    files_before = {f.path for f in t.snapshot().files}
+
+    update_mor(t, {"cat": F.lit(99).cast("long")}, "k >= 15")
+    assert t.current_version() == v_before + 1      # ONE commit
+    # no pre-existing file rewritten — only additions
+    assert files_before <= {f.path for f in t.snapshot().files}
+
+    rows = {r.k: r.cat for r in t.scan().collect()}
+    assert len(rows) == 20                          # count preserved
+    assert all(rows[k] == 99 for k in range(15, 20))
+    assert all(rows[k] == k % 4 for k in range(15))
+
+    # appends after the update are untouched by its delete entry
+    t.append(spark.createDataFrame([(15, 1)], "k long, cat long"))
+    vals = sorted(
+        r.cat for r in t.scan().filter("k = 15").collect()
+    )
+    assert vals == [1, 99]
+
+    # materialization folds everything down with no logical change
+    materialize_deletes(t)
+    assert t.snapshot().deletes == []
+    assert sorted(
+        r.cat for r in t.scan().filter("k = 15").collect()
+    ) == [1, 99]
+    assert t.scan().count() == 21
+
+
+def test_mor_update_null_predicate_rows_untouched(spark, tmp_path):
+    from de_gcp_lakehouse_iceberg_spark.lakehouse.dml import update_mor
+
+    t = LakeTable.create(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, 5), (2, None), (3, 50)], "k long, v long"
+        )
+    )
+    update_mor(t, {"v": F.lit(0).cast("long")}, "v > 10")
+    rows = {r.k: r.v for r in t.scan().collect()}
+    assert rows == {1: 5, 2: None, 3: 0}
