@@ -1033,6 +1033,26 @@ class LakeTable:
             "file_count long, total_rows long, total_bytes long",
         )
 
+    def fast_count(
+        self,
+        version: int | None = None,
+        partition_filter: Callable[[dict[str, str]], bool] | None = None,
+    ) -> int | None:
+        """COUNT(*) answered from the manifest alone — O(#files) driver
+        arithmetic, ZERO data read (the Iceberg metadata-count
+        optimization; at 100 TB a full-scan count is a cluster job,
+        this is a sum over the snapshot's row counts). Returns None
+        when the manifest cannot answer exactly — i.e. pending
+        merge-on-read deletes (row counts are physical until
+        materialization); callers then fall back to `scan().count()`."""
+        snap = self.snapshot(version)
+        if snap.deletes:
+            return None
+        files = snap.files
+        if partition_filter is not None:
+            files = [f for f in files if partition_filter(f.partition)]
+        return sum(f.rows for f in files)
+
     def refs_df(self) -> DataFrame:
         """Iceberg `t.refs` analog: named refs with their pinned
         snapshot and its commit metadata."""

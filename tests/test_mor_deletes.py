@@ -173,3 +173,52 @@ def test_mor_update_null_predicate_rows_untouched(spark, tmp_path):
     update_mor(t, {"v": F.lit(0).cast("long")}, "v > 10")
     rows = {r.k: r.v for r in t.scan().collect()}
     assert rows == {1: 5, 2: None, 3: 0}
+
+
+def test_fast_count_metadata_only_and_mor_aware(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    assert t.fast_count() == 20                     # zero data read
+    assert t.fast_count(
+        partition_filter=lambda p: True
+    ) == 20
+    delete_mor(t, "cat = 1")
+    assert t.fast_count() is None                   # cannot answer exactly
+    assert t.scan().count() == 15                   # fallback path
+    materialize_deletes(t)
+    assert t.fast_count() == 15                     # exact again
+
+
+def test_mor_delete_equals_filter_property(spark, tmp_path):
+    """Property: for random data and random predicates, the MOR-deleted
+    table content equals the plain filtered content, and stacking the
+    delete with later appends keeps the partition: old rows filtered,
+    new rows verbatim."""
+    from hypothesis import given, settings, strategies as st
+
+    base = str(tmp_path)
+    counter = [0]
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        vals=st.lists(
+            st.tuples(st.integers(0, 50), st.integers(-5, 5)),
+            min_size=1, max_size=30, unique_by=lambda x: x[0],
+        ),
+        bound=st.integers(-5, 5),
+        late=st.lists(
+            st.tuples(st.integers(100, 120), st.integers(-5, 5)),
+            max_size=5, unique_by=lambda x: x[0],
+        ),
+    )
+    def check(vals, bound, late):
+        counter[0] += 1
+        t = LakeTable.create(spark, f"{base}/t{counter[0]}")
+        t.append(spark.createDataFrame(vals, "k long, v long"))
+        delete_mor(t, f"v >= {bound}")
+        t.append(spark.createDataFrame(late, "k long, v long")) if late \
+            else None
+        got = {(r.k, r.v) for r in t.scan().collect()}
+        want = {(k, v) for k, v in vals if not (v >= bound)} | set(late)
+        assert got == want
+
+    check()
