@@ -23,6 +23,8 @@ Actions (M1-M10 in SURVEY.md §2.11):
   wap-publish / wap-discard — publish or abandon a staged commit (--wap-id)
   bloom      — build per-file bloom filters (--bloom-columns a,b)
   cdc-export — export new commits to the streaming changelog feed
+  delete-mor — merge-on-read DELETE (--predicate), metadata-only commit
+  materialize-deletes — compaction pass applying pending MOR deletes
 """
 
 from __future__ import annotations
@@ -120,6 +122,20 @@ def run_action(args: argparse.Namespace) -> dict:
 
         n = export_changelog(t)
         return {"action": "cdc-export", "exported_versions": n}
+    if args.action == "delete-mor":
+        from .lakehouse.dml import delete_mor
+
+        if not args.predicate:
+            raise ValueError("--predicate required")
+        snap = delete_mor(t, args.predicate)
+        return {"action": "delete-mor", "version": snap.version,
+                "predicate": args.predicate}
+    if args.action == "materialize-deletes":
+        from .lakehouse.dml import materialize_deletes
+
+        snap = materialize_deletes(t)
+        return {"action": "materialize-deletes", "version": snap.version,
+                "remaining_deletes": len(t.snapshot().deletes)}
     if args.action == "full":
         report = maintenance.run_full_maintenance(
             t,
@@ -189,6 +205,8 @@ def build_parser() -> argparse.ArgumentParser:
             "wap-discard",
             "bloom",
             "cdc-export",
+            "delete-mor",
+            "materialize-deletes",
         ],
         default="full",
     )
@@ -196,6 +214,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--version", type=int, default=None)
     p.add_argument("--wap-id", default="")
     p.add_argument("--bloom-columns", default="")
+    p.add_argument("--predicate", default="")
     p.add_argument("--table", default="taxi_trips")
     p.add_argument("--retention-days", type=float, default=7.0)
     p.add_argument("--orphan-age-days", type=float, default=3.0)

@@ -134,3 +134,16 @@ def test_refs_rollback_wap_bloom_cdc_actions(spark, warehouse):
     hist = _run(base + ["--action", "history"])
     ops = [h["operation"] for h in hist["history"]]
     assert "rollback" in ops and "publish" in ops
+
+
+def test_mor_cli_actions(spark, warehouse):
+    base = ["--warehouse", warehouse, "--table", "taxi_trips"]
+    out = _run(base + ["--action", "delete-mor",
+                       "--predicate", "zone = 1"])
+    assert out["predicate"] == "zone = 1"
+    t = LakeTable.load(spark, warehouse + "/taxi_trips")
+    assert t.scan().filter("zone = 1").count() == 0
+    n_after_delete = t.scan().count()
+    out = _run(base + ["--action", "materialize-deletes"])
+    assert out["remaining_deletes"] == 0
+    assert t.scan().count() == n_after_delete
