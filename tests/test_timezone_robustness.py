@@ -15,6 +15,11 @@ _TZ_SENSITIVE = [
     "q29_sessionization",
     "q56_asof_error_context",
     "q60_stats_pruned_scan",
+    # round-4 time-based queries
+    "q67_bucket_prune_proof",
+    "q68_spec_evolution_prune",
+    "q76_resample_gapfill",
+    "q78_retention_cohorts",
 ]
 
 
