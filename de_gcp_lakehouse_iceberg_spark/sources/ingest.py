@@ -130,10 +130,31 @@ def read_nyc_csv(spark: SparkSession, path_glob: str) -> DataFrame:
 
 def export_parquet(df: DataFrame, uri: str, partition_by: list[str] | None = None) -> None:
     """S14: EXPORT DATA ... format='PARQUET' (PRD.md:1379-1393)."""
+    _export(df, uri, "parquet", partition_by)
+
+
+def export_jsonl(df: DataFrame, uri: str, partition_by: list[str] | None = None) -> None:
+    """S14 family: newline-delimited JSON export (EXPORT DATA
+    format='JSON') — the interchange format the ingest side reads."""
+    _export(df, uri, "json", partition_by)
+
+
+def export_orc(df: DataFrame, uri: str, partition_by: list[str] | None = None) -> None:
+    """S14 family: ORC export — Spark-native columnar alternative for
+    consumers standardized on the Hive/ORC stack."""
+    _export(df, uri, "orc", partition_by)
+
+
+def _export(
+    df: DataFrame,
+    uri: str,
+    fmt: str,
+    partition_by: list[str] | None = None,
+) -> None:
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(uri)
+    writer.format(fmt).save(uri)
 
 
 def _parse_ts(col: str):

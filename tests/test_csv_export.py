@@ -138,3 +138,27 @@ def test_classifier_matches_python_reference(spark, recs):
     }
     for i, r in enumerate(recs):
         assert got[f"t{i}"] == _expected_class(r), (i, r)
+
+
+def test_multi_format_export_round_trip(spark, tmp_path):
+    """S14 family: parquet / JSONL / ORC exports all round-trip the
+    documents sample losslessly (JSONL via schema-pinned re-read)."""
+    from de_gcp_lakehouse_iceberg_spark.sources.ingest import (
+        export_jsonl,
+        export_orc,
+        export_parquet,
+    )
+    from de_gcp_lakehouse_iceberg_spark.tables import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    want = sorted(map(tuple, docs.collect()))
+
+    pq, js, oc = (str(tmp_path / n) for n in ("pq", "jsonl", "orc"))
+    export_parquet(docs, pq)
+    export_jsonl(docs, js)
+    export_orc(docs, oc)
+
+    assert sorted(map(tuple, spark.read.parquet(pq).collect())) == want
+    back_js = spark.read.schema(docs.schema).json(js)
+    assert sorted(map(tuple, back_js.collect())) == want
+    assert sorted(map(tuple, spark.read.orc(oc).collect())) == want
