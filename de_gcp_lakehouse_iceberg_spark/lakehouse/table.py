@@ -462,6 +462,16 @@ class LakeTable:
         d = self._read_staged(wap_id)
         staged_files = [FileEntry.from_json(x) for x in d["files"]]
         base_snap = self.snapshot(d["base"])
+        # The audit view must show what publish WILL produce: the base's
+        # merge-on-read delete entries still apply (a staged append must
+        # not resurrect logically deleted rows), while the staged files
+        # themselves — raw entries carry seq=0 — are stamped ABOVE every
+        # delete seq so the anti-filter can never touch the new rows.
+        stage_seq = max(
+            [d["base"] + 1] + [x["seq"] + 1 for x in base_snap.deletes]
+        )
+        for f in staged_files:
+            f.seq = stage_seq
         files = (list(base_snap.files) if include_base else []) + staged_files
         snap = Snapshot(
             version=d["base"],
@@ -469,6 +479,7 @@ class LakeTable:
             operation="staged",
             files=files,
             schema_json=d["schema_json"] or base_snap.schema_json,
+            deletes=base_snap.deletes if include_base else [],
         )
         return self._read_files(snap, [f.path for f in files])
 
@@ -925,21 +936,31 @@ class LakeTable:
         import datetime as _dt
 
         if any(isinstance(v, _dt.datetime) for _, _, v in (where or [])):
-            # Manifest pruning treats naive datetimes as UTC; Spark
-            # interprets naive literals in the session timezone. Pin
-            # UTC (the engine-wide convention — tables.py:38) so the
-            # exact row filter below can never disagree with pruning.
+            # Manifest pruning treats naive datetimes as UTC. Pin the
+            # session tz too so literal rendering agrees end-to-end.
             self.spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+        def _utc(v):
+            # Naive datetime literals are converted by PySpark with the
+            # PROCESS timezone (py4j DatetimeConverter / toInternal use
+            # time.mktime), NOT spark.sql.session.timeZone — a naive
+            # cut point silently shifts under a non-UTC TZ env. Stamp
+            # UTC on naive values so the exact row filter below always
+            # means the same instant manifest pruning used.
+            if isinstance(v, _dt.datetime) and v.tzinfo is None:
+                return v.replace(tzinfo=_dt.timezone.utc)
+            return v
+
         snap, files = self.plan_files(
             version, as_of_ms, partition_filter, where, tag=tag
         )
         df = self._read_files(
             snap, [f.path for f in files], with_file_col=with_file_path
         )
-        for col, op, value in where or []:
+        for col, op, raw in where or []:
             from pyspark.sql import functions as F
 
-            c = F.col(col)
+            c, value = F.col(col), _utc(raw)
             df = df.filter(
                 {"=": c == value, "==": c == value, "<": c < value,
                  "<=": c <= value, ">": c > value, ">=": c >= value}[op]

@@ -28,7 +28,14 @@ _N_BATCHES = 4
 
 
 def _us_to_dt(us: int) -> dt.datetime:
-    return dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=us)
+    # tz-AWARE UTC on purpose: PySpark converts a NAIVE datetime literal
+    # with the Python process's local TZ (TimestampType.toInternal uses
+    # time.mktime), so a naive cut point shifts with the driver's TZ env
+    # no matter what spark.sql.session.timeZone says. An aware datetime
+    # converts identically everywhere.
+    return dt.datetime(
+        1970, 1, 1, tzinfo=dt.timezone.utc
+    ) + dt.timedelta(microseconds=us)
 
 
 @register(

@@ -271,3 +271,31 @@ def test_publish_after_rollback_rebases_onto_reverted_head(spark, tmp_path):
     assert {r.k for r in t.scan().filter(F.col("k") >= 100).collect()} == {
         100, 101, 102, 103
     }
+
+
+def test_wap_audit_respects_mor_deletes(spark, tmp_path):
+    """A staged append audited AFTER a merge-on-read delete must show
+    the post-delete table + staged rows — never resurrect the logically
+    deleted rows (the audit validates exactly what publish produces)."""
+    from de_gcp_lakehouse_iceberg_spark.lakehouse.dml import delete_mor
+
+    t = LakeTable.create(spark, str(tmp_path / "wap_mor"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "keep"), (2, "gone"), (3, "keep")], "id long, s string"
+        ).coalesce(1)
+    )
+    delete_mor(t, "s = 'gone'")
+    assert sorted(r.id for r in t.scan().collect()) == [1, 3]
+
+    wap = t.stage_append(
+        spark.createDataFrame([(4, "gone")], "id long, s string").coalesce(1)
+    )
+    # audit view == publish result: deleted row 2 stays gone; the staged
+    # row 4 survives even though it MATCHES the old delete predicate
+    # (deletes never apply to rows added after them)
+    audited = sorted(r.id for r in t.scan_staged(wap).collect())
+    assert audited == [1, 3, 4]
+    assert sorted(r.id for r in t.scan_staged(wap, include_base=False).collect()) == [4]
+    t.publish(wap)
+    assert sorted(r.id for r in t.scan().collect()) == audited
