@@ -78,7 +78,12 @@ def _h_col(c: Column, is_string: bool) -> tuple[Column, Column]:
             lambda acc, x: (acc * _SPOLY + x) % _P,
         )
     else:
-        h = c.cast("long") % _P
+        # pmod, not %: SQL % follows the dividend's sign, so a negative
+        # key would hash negative here while the Python plan-time probe
+        # (_h_int_py) uses Python %, which is always non-negative — the
+        # mismatch produced bloom FALSE NEGATIVES (pruning files that
+        # contain the value). pmod matches Python % exactly.
+        h = F.pmod(c.cast("long"), F.lit(_P))
     return (h * _A1 + _B1) % _P, (h * _A2 + _B2) % _P
 
 
@@ -93,7 +98,29 @@ def positions_col(c: Column, is_string: bool, bits: int, k: int) -> Column:
 def _bitset_to_b64(positions: list[int], bits: int) -> str:
     buf = bytearray(bits // 8)
     for p in positions:
+        if not 0 <= p < bits:
+            # a negative/oversized position would silently corrupt the
+            # bitset via Python negative indexing — that failure mode
+            # shipped once (SQL % vs Python % on negative keys); fail
+            # loudly instead.
+            raise ValueError(f"bloom position {p} out of range [0, {bits})")
         buf[p // 8] |= 1 << (p % 8)
+    return base64.b64encode(bytes(buf)).decode("ascii")
+
+
+def _words_to_b64(words: list[tuple[int, int]], bits: int) -> str:
+    """Assemble the bitset from (word_index, int64 word) pairs — the
+    distributed build's per-file aggregate. Word w covers bit positions
+    [64w, 64w+64) with `1 << (p - 64w)`; little-endian packing makes the
+    byte layout IDENTICAL to _bitset_to_b64's `buf[p//8] |= 1<<(p%8)`."""
+    import struct
+
+    buf = bytearray(bits // 8)
+    n_words = bits // 64
+    for w, word in words:
+        if not 0 <= w < n_words:
+            raise ValueError(f"bloom word {w} out of range [0, {n_words})")
+        struct.pack_into("<q", buf, w * 8, word)
     return base64.b64encode(bytes(buf)).decode("ascii")
 
 
@@ -137,24 +164,49 @@ def add_bloom_filters(
                 f"(got {schema[col]})"
             )
 
-    pos_cols = [
-        positions_col(
-            F.col(c), schema[c] == "string", bits, k
-        ).alias(f"_pos_{c}")
-        for c in columns
-    ]
-    exploded = df.select(F.col(FILE_COL).alias("_file"), *pos_cols)
-    per_file: dict[str, dict[str, list[int]]] = {}
-    for c in columns:
-        rows = (
-            exploded.select("_file", F.explode(f"_pos_{c}").alias("p"))
-            .distinct()
-            .groupBy("_file")
-            .agg(F.collect_set("p").alias("ps"))
-            .collect()
+    if bits % 64:
+        raise ValueError(f"bits must be a multiple of 64 (got {bits})")
+
+    # ONE distributed pass for ALL columns: stack (column, positions)
+    # per row, explode to (file, column, position), then fold positions
+    # into int64 bitset WORDS with bit_or — the full bitset aggregation
+    # happens executor-side (partial aggregation before the exchange).
+    # The driver receives at most files x columns x (bits/64) tiny rows
+    # (words actually hit), NOT the old files x 4096 position sets —
+    # at 10^6 files this is what keeps the build driver-light.
+    stacked = (
+        df.select(
+            F.col(FILE_COL).alias("_file"),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        positions_col(
+                            F.col(c), schema[c] == "string", bits, k
+                        ).alias("ps"),
+                    )
+                    for c in columns
+                ])
+            ).alias("e"),
         )
-        for r in rows:
-            per_file.setdefault(r["_file"], {})[c] = r["ps"]
+        .select("_file", F.col("e.c").alias("c"), F.explode("e.ps").alias("p"))
+    )
+    word_rows = (
+        stacked
+        .withColumn("w", (F.col("p") / 64).cast("int"))
+        # F.shiftleft only takes a literal shift — SQL's accepts a column
+        .withColumn("m", F.expr("shiftleft(1L, p % 64)"))
+        .groupBy("_file", "c", "w")
+        .agg(F.bit_or("m").alias("word"))
+        .groupBy("_file", "c")
+        .agg(F.collect_list(F.struct("w", "word")).alias("words"))
+        .collect()
+    )
+    per_file: dict[str, dict[str, list]] = {}
+    for r in word_rows:
+        per_file.setdefault(r["_file"], {})[r["c"]] = [
+            (x["w"], x["word"]) for x in r["words"]
+        ]
 
     from .dml import _rel_paths
 
@@ -166,8 +218,8 @@ def add_bloom_filters(
     for f in snap.files:
         e = FileEntry.from_json(f.to_json())
         blooms = {
-            c: {"bits": bits, "k": k, "b64": _bitset_to_b64(ps, bits)}
-            for c, ps in rel_per_file.get(f.path, {}).items()
+            c: {"bits": bits, "k": k, "b64": _words_to_b64(ws, bits)}
+            for c, ws in rel_per_file.get(f.path, {}).items()
         }
         if blooms:
             e.stats = dict(e.stats, _blooms=blooms)  # rides the stats dict

@@ -174,3 +174,70 @@ def test_bloom_conservative_after_compaction(spark, tmp_path):
     _s, after = t.plan_files(where=[("uid", "=", probe)])
     assert t.scan(where=[("uid", "=", probe)]).count() == 1
     assert len(after) >= 1
+
+
+def test_bloom_negative_int_keys_no_false_negative(spark, tmp_path):
+    """SQL % follows the dividend's sign; the build must use pmod so a
+    negative key hashes identically to the Python plan-time probe —
+    the r4 bug was a bloom FALSE NEGATIVE (file with the value pruned)."""
+    t = LakeTable.create(spark, str(tmp_path / "neg"))
+    t.append(
+        spark.createDataFrame([(-5,), (3,), (-1000000007,)], "id long")
+        .coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame([(8,), (-42,)], "id long").coalesce(1)
+    )
+    add_bloom_filters(t, ["id"])
+    for probe in (-5, 3, -1000000007, 8, -42):
+        _s, kept = t.plan_files(where=[("id", "=", probe)])
+        assert kept, f"bloom false negative for {probe}"
+        assert t.scan(where=[("id", "=", probe)]).count() == 1, probe
+
+
+def test_bloom_hash_parity_negative_ints(spark):
+    df = spark.createDataFrame(
+        [(-1,), (-5,), (-2147483648,), (-9223372036854775808,)], "v long"
+    ).select(positions_col(F.col("v"), False, 4096, 5).alias("p"), "v")
+    for r in df.collect():
+        assert list(r.p) == _positions_py(r.v, 4096, 5), r.v
+        assert all(0 <= p < 4096 for p in r.p), r.v
+
+
+def test_bitset_word_assembly_byte_identical():
+    """The distributed build aggregates int64 words; its b64 must be
+    byte-identical to the per-position assembly for the same set."""
+    import random
+
+    from de_gcp_lakehouse_iceberg_spark.lakehouse.bloom import (
+        _bitset_to_b64,
+        _words_to_b64,
+    )
+
+    rng = random.Random(7)
+    for bits in (64, 512, 4096):
+        positions = sorted({rng.randrange(bits) for _ in range(bits // 3)})
+        words: dict[int, int] = {}
+        for p in positions:
+            w = p // 64
+            words[w] = words.get(w, 0) | (1 << (p % 64))
+        # sign-extend like a Spark long would arrive
+        signed = [
+            (w, v - (1 << 64) if v >= (1 << 63) else v)
+            for w, v in words.items()
+        ]
+        assert _words_to_b64(signed, bits) == _bitset_to_b64(positions, bits)
+
+
+def test_bitset_raises_on_out_of_range():
+    from de_gcp_lakehouse_iceberg_spark.lakehouse.bloom import (
+        _bitset_to_b64,
+        _words_to_b64,
+    )
+
+    with pytest.raises(ValueError):
+        _bitset_to_b64([-1], 4096)
+    with pytest.raises(ValueError):
+        _bitset_to_b64([4096], 4096)
+    with pytest.raises(ValueError):
+        _words_to_b64([(64, 1)], 4096)

@@ -80,3 +80,38 @@ def test_expire_removes_sidecars(spark, tmp_path, monkeypatch):
         older_than_ms=int(_time.time() * 1000) + 10_000, keep_last=1
     )
     assert not os.path.exists(side)
+
+
+def test_bloom_build_with_sidecar_manifest_and_distributed_plan(
+    spark, tmp_path, monkeypatch
+):
+    """Bloom maintenance at manifest scale: the distributed word-level
+    build commits blooms for a many-file snapshot, the commit writes
+    the parquet sidecar, and DISTRIBUTED planning applies the bloom
+    probe identically to driver planning (equality probe on an
+    interleaved high-cardinality key, where [min,max] can't prune)."""
+    from de_gcp_lakehouse_iceberg_spark.lakehouse.bloom import (
+        add_bloom_filters,
+    )
+
+    n_files = 16
+    monkeypatch.setattr(table_mod, "PARQUET_MANIFEST_MIN", n_files)
+    t = LakeTable.create(spark, str(tmp_path / "tb"))
+    n = n_files * 50
+    for i in range(n_files):
+        t.append(
+            spark.range(0, n)
+            .filter(F.col("id") % n_files == i)
+            .select(F.col("id").alias("k"))
+            .coalesce(1)
+        )
+    snap = add_bloom_filters(t, ["k"])
+    assert len(snap.files) == n_files
+    assert os.path.exists(t._parquet_manifest_path(snap.version))
+
+    probe = 777            # lives in exactly one file
+    _s, driver = t.plan_files(where=[("k", "=", probe)])
+    _s, dist = t.plan_files_distributed(where=[("k", "=", probe)])
+    assert [f.path for f in dist] == sorted(f.path for f in driver)
+    assert 1 <= len(dist) < n_files        # blooms actually pruned
+    assert t.scan(where=[("k", "=", probe)]).count() == 1
