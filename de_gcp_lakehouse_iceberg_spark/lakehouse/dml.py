@@ -230,26 +230,31 @@ def changelog(table: LakeTable, from_version: int, to_version: int) -> DataFrame
     for v in range(from_version + 1, to_version + 1):
         prev = table.snapshot(v - 1)
         cur = table.snapshot(v)
-        if cur.operation == "delete_mor":
-            # merge-on-read delete: no file changes, but rows leave the
-            # table LOGICALLY at this commit — emit them as DELETEs by
-            # reading the pre-delete state (prior deletes applied) and
-            # filtering with this commit's predicate. Materialization
-            # later diffs to nothing, so rows are emitted exactly once.
+        if cur.operation in ("delete_mor", "update_mor"):
+            # merge-on-read delete/update: rows leave the table
+            # LOGICALLY at this commit (the delete entry hides them) —
+            # emit them as DELETEs by reading the pre-commit state
+            # (prior deletes applied) and filtering with this commit's
+            # predicate. Materialization later diffs to nothing, so rows
+            # are emitted exactly once. update_mor ALSO adds files with
+            # the rewritten row versions; it falls through to the
+            # generic set-diff below, which emits those as INSERTs —
+            # without this branch a CDC consumer would double-count
+            # updated rows (new version inserted, old never deleted).
             pred = cur.summary.get("predicate")
-            if not prev.files or pred is None:
+            if prev.files and pred is not None:
+                rows = table._read_files(
+                    prev, [f.path for f in prev.files]
+                ).filter(F.coalesce(F.expr(pred), F.lit(False)))
+                tagged = rows.select(
+                    "*",
+                    F.lit("DELETE").alias("_change_type"),
+                    F.lit(v).alias("_change_version"),
+                    F.lit(cur.timestamp_ms).alias("_change_timestamp"),
+                )
+                out = tagged if out is None else out.unionByName(tagged)
+            if cur.operation == "delete_mor":
                 continue
-            rows = table._read_files(
-                prev, [f.path for f in prev.files]
-            ).filter(F.coalesce(F.expr(pred), F.lit(False)))
-            tagged = rows.select(
-                "*",
-                F.lit("DELETE").alias("_change_type"),
-                F.lit(v).alias("_change_version"),
-                F.lit(cur.timestamp_ms).alias("_change_timestamp"),
-            )
-            out = tagged if out is None else out.unionByName(tagged)
-            continue
         pf = {f.path for f in prev.files}
         cf = {f.path for f in cur.files}
         removed = sorted(pf - cf)
@@ -313,12 +318,20 @@ def apply_changelog(
         changes.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_change_version", "_change_timestamp")
+        # consumed 4x below (upserts, two key joins, summary counts):
+        # checkpoint once so the feed window never recomputes per action
+        .localCheckpoint(eager=True)
     )
     payload_cols = [c for c in last.columns if c != "_change_type"]
     upserts = last.filter(F.col("_change_type") == "INSERT").select(
         *payload_cols
     )
     touched_keys = last.select(*key_cols)
+    # ONE job for both summary counts (was two full-feed jobs)
+    n_keys, n_upserts = last.agg(
+        F.count(F.lit(1)),
+        F.count(F.when(F.col("_change_type") == "INSERT", 1)),
+    ).first()
 
     snap = replica.snapshot()  # pin base (OCC)
     target = replica.scan(version=snap.version, with_file_path=True)
@@ -337,7 +350,7 @@ def apply_changelog(
         affected,
         add_df,
         operation="apply_changelog",
-        summary={"upserts": upserts.count(), "keys": touched_keys.count()},
+        summary={"upserts": n_upserts, "keys": n_keys},
         expected_base=snap.version,
     )
 

@@ -222,3 +222,45 @@ def test_mor_delete_equals_filter_property(spark, tmp_path):
         assert got == want
 
     check()
+
+
+def test_update_mor_changelog_emits_delete_and_insert(spark, tmp_path):
+    """An update_mor commit must emit BOTH sides of the update: DELETE
+    for every pre-update row version and INSERT for every rewritten
+    version — a CDC consumer that only saw the INSERTs would
+    double-count updated rows, and key-changing updates would never
+    remove the old key downstream."""
+    from de_gcp_lakehouse_iceberg_spark.lakehouse.dml import update_mor
+
+    t = _t(spark, tmp_path, n=8)           # v1: k 0..7, cat = k % 4
+    update_mor(t, {"cat": F.lit(9)}, "cat = 1")          # v2: k 1, 5
+    v = t.current_version()
+    ch = changelog(t, 1, v).collect()
+    dels = sorted((r.k, r.cat) for r in ch if r._change_type == "DELETE")
+    ins = sorted((r.k, r.cat) for r in ch if r._change_type == "INSERT")
+    assert dels == [(1, 1), (5, 1)]        # old versions leave
+    assert ins == [(1, 9), (5, 9)]         # new versions arrive
+    # materialization adds nothing new
+    materialize_deletes(t)
+    ch2 = changelog(t, 1, t.current_version()).collect()
+    assert len(ch2) == len(ch)
+
+
+def test_update_mor_key_change_replicates(spark, tmp_path):
+    """apply_changelog on an update_mor feed converges even when the
+    update rewrites a KEY column (old-key row must disappear)."""
+    from de_gcp_lakehouse_iceberg_spark.lakehouse.dml import (
+        apply_changelog,
+        update_mor,
+    )
+
+    t = _t(spark, tmp_path, n=6)           # v1
+    replica = LakeTable.create(spark, str(tmp_path / "replica"))
+    replica.append(t.scan())               # bootstrap at v1
+    base = t.current_version()
+    update_mor(t, {"k": F.col("k") + 100}, "k = 2")      # key 2 -> 102
+    apply_changelog(replica, changelog(t, base, t.current_version()), ["k"])
+    src = sorted((r.k, r.cat) for r in t.scan().collect())
+    dst = sorted((r.k, r.cat) for r in replica.scan().collect())
+    assert src == dst
+    assert (102, 2) in dst and all(k != 2 for k, _ in dst)
