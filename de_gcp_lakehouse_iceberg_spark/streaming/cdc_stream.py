@@ -35,34 +35,66 @@ def _marker_path(table: LakeTable) -> str:
     return os.path.join(table.root, CHANGELOG_DIR, _MARKER)
 
 
-def exported_version(table: LakeTable) -> int:
-    """Highest snapshot version already exported (0 = none)."""
+def exported_version(table: LakeTable) -> int | None:
+    """Highest snapshot version already exported (None = never
+    exported — distinct from version 0, which IS a real snapshot)."""
     try:
         with open(_marker_path(table)) as f:
             return json.load(f)["version"]
     except FileNotFoundError:
-        return 0
+        return None
 
 
 def export_changelog(table: LakeTable) -> int:
     """Export row-level changes of every commit NEWER than the marker
     as one parquet batch; advance the marker. Returns the number of
     newly exported versions. Call after commits (or from a scheduler)
-    to keep the CDC feed current."""
-    cur = table.current_version() or 0
+    to keep the CDC feed current.
+
+    The FIRST export bootstraps the feed with snapshot v0's rows as
+    INSERTs (changelog() diffs v-1→v so it cannot express v0): a
+    consumer reading the stream alone must see the table's founding
+    rows. `LakeTable.create` commits v0 empty, so this usually adds
+    nothing — but a manifest written with data at v0 still feeds
+    correctly."""
+    cur = table.current_version()
+    if cur is None:
+        return 0
     last = exported_version(table)
-    if cur <= last:
+    first = last is None
+    base = 0 if first else last
+    if not first and cur <= base:
         return 0
     out_dir = os.path.join(table.root, CHANGELOG_DIR)
     os.makedirs(out_dir, exist_ok=True)
-    try:
-        delta = changelog(table, last, cur)
-    except ValueError:
-        # metadata-only commits (schema/spec changes) produce no rows
-        delta = None
-    if delta is not None:
-        from pyspark.sql import functions as F
 
+    from pyspark.sql import functions as F
+
+    pieces = []
+    v0_rows = False
+    if first:
+        snap0 = table.snapshot(0)
+        if snap0.files:
+            v0_rows = True
+            pieces.append(
+                table._read_files(
+                    snap0, [f.path for f in snap0.files]
+                ).select(
+                    "*",
+                    F.lit("INSERT").alias("_change_type"),
+                    F.lit(0).alias("_change_version"),
+                    F.lit(snap0.timestamp_ms).alias("_change_timestamp"),
+                )
+            )
+    if cur > base:
+        try:
+            pieces.append(changelog(table, base, cur))
+        except ValueError:
+            pass  # metadata-only commits produce no rows
+    delta = None
+    for p in pieces:
+        delta = p if delta is None else delta.unionByName(p)
+    if delta is not None:
         delta = delta.withColumn(
             "_change_version", F.col("_change_version").cast("long")
         ).withColumn(
@@ -73,7 +105,7 @@ def export_changelog(table: LakeTable) -> int:
     with open(tmp, "w") as f:
         json.dump({"version": cur}, f)
     os.replace(tmp, _marker_path(table))
-    return cur - last
+    return (cur - base) + (1 if v0_rows else 0)
 
 
 def read_changelog_stream(
