@@ -20,7 +20,7 @@ Relative error ≈ 1/√(k−2) (~13% at k=64, ~4% at k=1024).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .sampling import SAMPLE_P, id_hash, id_hash_sql
@@ -33,16 +33,27 @@ def kmv_sketch(
     k: int = 64,
 ) -> DataFrame:
     """Per-group KMV sketch: (group_cols…, hashes array<long> — the ≤k
-    smallest distinct hashes, ascending)."""
-    hashed = df.select(
-        *group_cols, id_hash(F.col(value_col)).alias("_h")
-    ).distinct()
-    w = W.partitionBy(*group_cols).orderBy(F.col("_h").asc())
-    topk = hashed.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= k
+    smallest distinct hashes, ascending).
+
+    Two-phase min-k (no global per-group sort): phase 1 keeps the min-k
+    per (group, input-partition) — every cell's rows live in ONE map
+    partition, so the set dedup happens map-side; phase 2 merges the
+    partial min-k arrays, whose total size is bounded by
+    k × #partitions per group instead of |distinct|. The old
+    single-window form shuffled EVERY distinct hash of a group to one
+    task — the exact skew hot-spot this removes (min-k of a union ==
+    min-k of per-part min-k's, so results are bit-identical)."""
+    minset = F.slice(F.array_sort(F.collect_set("_h")), 1, k)
+    partial = (
+        df.select(*group_cols, id_hash(F.col(value_col)).alias("_h"))
+        .withColumn("_pid", F.spark_partition_id())
+        .groupBy(*group_cols, "_pid")
+        .agg(minset.alias("_ph"))
     )
-    return topk.groupBy(*group_cols).agg(
-        F.array_sort(F.collect_list("_h")).alias("hashes")
+    return (
+        partial.select(*group_cols, F.explode("_ph").alias("_h"))
+        .groupBy(*group_cols)
+        .agg(minset.alias("hashes"))
     )
 
 
@@ -65,14 +76,11 @@ def merge_kmv(a: DataFrame, b: DataFrame, group_cols: list[str], k: int = 64) ->
         a.select(*group_cols, "hashes")
         .unionByName(b.select(*group_cols, "hashes"))
         .select(*group_cols, F.explode("hashes").alias("_h"))
-        .distinct()
     )
-    w = W.partitionBy(*group_cols).orderBy(F.col("_h").asc())
-    return (
-        merged.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .groupBy(*group_cols)
-        .agg(F.array_sort(F.collect_list("_h")).alias("hashes"))
+    # inputs are already ≤k per sketch row: one bounded set-agg, no
+    # window/global sort needed (collect_set dedups shared hashes)
+    return merged.groupBy(*group_cols).agg(
+        F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("hashes")
     )
 
 

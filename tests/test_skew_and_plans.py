@@ -155,3 +155,26 @@ def test_plan_q76_resample_two_windows_one_agg(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") <= 5
+
+
+def test_plan_kmv_two_phase_no_window_sort(spark):
+    """kmv_sketch must be the two-phase min-k: partial set aggregation
+    BEFORE every exchange and NO per-group window/sort (the old form
+    pushed every distinct hash of a group through one sort task)."""
+    from pyspark.sql import functions as F
+
+    from de_gcp_lakehouse_iceberg_spark.operators.sketches import (
+        kmv_sketch,
+    )
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 5).alias("g"), F.col("id").alias("v")
+    )
+    plan = (
+        kmv_sketch(df, ["g"], "v", k=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_collect_set" in plan       # map-side combine
+    assert "Window" not in plan and "Sort " not in plan
