@@ -89,9 +89,10 @@ def main() -> None:
     # stall masquerade as a query regression. The JSON declares `runs`.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "2")))
     errors: dict[str, str] = {}
+    first_run: dict[str, float] = {}
     for name in sorted(QUERIES):
         best = None
-        for _ in range(runs):
+        for i in range(runs):
             t0 = time.perf_counter()
             try:
                 df = QUERIES[name](spark, sf_dir)
@@ -103,8 +104,11 @@ def main() -> None:
                 # any timing from earlier repeat runs so the JSON is
                 # unambiguous (an erroring query contributes 0 to value).
                 best = None
+                first_run.pop(name, None)
                 break
             dt = time.perf_counter() - t0
+            if i == 0:
+                first_run[name] = round(dt, 3)
             best = dt if best is None else min(best, dt)
         if best is not None:
             timings[name] = round(best, 3)
@@ -120,6 +124,36 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+
+    # Diffable per-round ledger (judge-facing): BOTH timing modes —
+    # min-of-N steady state AND each query's FIRST execution this
+    # session — plus totals, so round-over-round regressions are a
+    # `diff`, not a truncated-stderr archaeology exercise. stdout stays
+    # the driver's ONE JSON line; the ledger goes to a sidecar file.
+    ledger = {
+        "sf": sf,
+        "runs": runs,
+        "cache": os.environ.get("SPARK_GRAFT_CACHE", "1") != "0",
+        "total_min": round(sum(timings.values()), 3),
+        "total_first": round(sum(first_run.values()), 3),
+        "worst_min": max(timings.values(), default=0.0),
+        "worst_first": max(first_run.values(), default=0.0),
+        "min": timings,
+        "first": first_run,
+        "errors": errors,
+    }
+    ledger_path = os.environ.get(
+        "SPARK_GRAFT_LEDGER",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_LEDGER.json"),
+    )
+    try:
+        with open(ledger_path, "w") as f:
+            json.dump(ledger, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as exc:
+        print(f"# ledger write failed: {exc}", file=sys.stderr)
+
     print(json.dumps(out))
 
 
