@@ -205,6 +205,171 @@ def extract_features(media: DataFrame, decode_stub: bool = False) -> DataFrame:
     )
 
 
+def resize_media(
+    media: DataFrame,
+    out_w: int,
+    out_h: int,
+    on_unsupported: str = "error",
+) -> DataFrame:
+    """Nearest-neighbor image resize over mapInPandas (Arrow batches).
+
+    REAL resample for uncompressed `raw_rgb` payloads (H x W x 3
+    uint8, row-major — the shape a decode stage emits): output pixel
+    (x, y) copies source pixel (x·W_in//W_out, y·H_in//H_out), the
+    textbook nearest-neighbor gather, vectorized with one numpy fancy
+    index per payload. Deterministic bytes → oracle-checkable (q81).
+
+    Compressed containers (png/jpeg/gif/...) need a pixel codec — NOT
+    installed in this container — so they are the documented stub:
+    `on_unsupported="error"` raises NotImplementedError naming the
+    integration point; "skip" drops those rows; "passthrough" forwards
+    them unchanged. The Spark-side plumbing (schema, Arrow batch shape,
+    partition parallelism, meta rewrite) is identical either way.
+
+    Scale: embarrassingly parallel, zero shuffle; peak memory is one
+    Arrow batch of payloads per core."""
+    if on_unsupported not in ("error", "skip", "passthrough"):
+        raise ValueError(f"bad on_unsupported {on_unsupported!r}")
+
+    def _batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = {"media_id": [], "kind": [], "payload": [], "meta": []}
+            for mid, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                w_in = meta.get("width") if meta is not None else None
+                h_in = meta.get("height") if meta is not None else None
+                supported = (
+                    kind == "raw_rgb"
+                    and payload is not None
+                    and w_in and h_in
+                    and len(payload) == w_in * h_in * 3
+                )
+                if not supported:
+                    if on_unsupported == "error":
+                        raise NotImplementedError(
+                            f"resize of kind={kind!r} needs a pixel codec "
+                            "(PIL/ffmpeg — integration point; this "
+                            "container has none). Decode to raw_rgb "
+                            "first, or pass on_unsupported='skip'."
+                        )
+                    if on_unsupported == "skip":
+                        continue
+                    out["media_id"].append(mid)
+                    out["kind"].append(kind)
+                    out["payload"].append(payload)
+                    out["meta"].append(meta)
+                    continue
+                img = np.frombuffer(bytes(payload), dtype=np.uint8).reshape(
+                    h_in, w_in, 3
+                )
+                ys = (np.arange(out_h) * h_in) // out_h
+                xs = (np.arange(out_w) * w_in) // out_w
+                resized = img[ys][:, xs]
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["payload"].append(resized.tobytes())
+                out["meta"].append(
+                    {
+                        "width": out_w,
+                        "height": out_h,
+                        "sample_rate": meta.get("sample_rate"),
+                        "n_bytes": out_w * out_h * 3,
+                    }
+                )
+            if out["media_id"]:
+                # an all-skipped batch would yield object columns pyarrow
+                # cannot map to the struct schema — yield nothing instead
+                yield pd.DataFrame(out)
+
+    return media.select("media_id", "kind", "payload", "meta").mapInPandas(
+        _batches, schema=MEDIA_SCHEMA
+    )
+
+
+def pcm_resample(
+    media: DataFrame, to_rate: int, on_unsupported: str = "error"
+) -> DataFrame:
+    """Audio resample over mapInPandas: REAL linear interpolation for
+    uncompressed `pcm16` payloads (mono int16 little-endian at
+    meta.sample_rate). Output sample t (t = 0 .. ceil(n·to/from)−1)
+    interpolates source position t·from/to — numpy interp, vectorized.
+    Compressed audio (mp3/ogg/...) is the codec stub, same policy knob
+    as resize_media."""
+    if on_unsupported not in ("error", "skip", "passthrough"):
+        raise ValueError(f"bad on_unsupported {on_unsupported!r}")
+
+    def _batches(it: Iterator) -> Iterator:
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = {"media_id": [], "kind": [], "payload": [], "meta": []}
+            for mid, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                rate = meta.get("sample_rate") if meta is not None else None
+                supported = (
+                    kind == "pcm16"
+                    and payload is not None
+                    and rate
+                    and len(payload) % 2 == 0
+                )
+                if not supported:
+                    if on_unsupported == "error":
+                        raise NotImplementedError(
+                            f"resample of kind={kind!r} needs an audio "
+                            "codec (integration point; none installed). "
+                            "Decode to pcm16 first, or pass "
+                            "on_unsupported='skip'."
+                        )
+                    if on_unsupported == "skip":
+                        continue
+                    out["media_id"].append(mid)
+                    out["kind"].append(kind)
+                    out["payload"].append(payload)
+                    out["meta"].append(meta)
+                    continue
+                x = np.frombuffer(bytes(payload), dtype="<i2").astype(
+                    np.float64
+                )
+                n = len(x)
+                m = max(1, math.ceil(n * to_rate / rate)) if n else 0
+                if n:
+                    pos = np.arange(m) * (rate / to_rate)
+                    y = np.interp(pos, np.arange(n), x)
+                    resampled = np.clip(np.rint(y), -32768, 32767).astype(
+                        "<i2"
+                    )
+                    pay = resampled.tobytes()
+                else:
+                    pay = b""
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["payload"].append(pay)
+                out["meta"].append(
+                    {
+                        "width": meta.get("width"),
+                        "height": meta.get("height"),
+                        "sample_rate": to_rate,
+                        "n_bytes": len(pay),
+                    }
+                )
+            if out["media_id"]:
+                # an all-skipped batch would yield object columns pyarrow
+                # cannot map to the struct schema — yield nothing instead
+                yield pd.DataFrame(out)
+
+    return media.select("media_id", "kind", "payload", "meta").mapInPandas(
+        _batches, schema=MEDIA_SCHEMA
+    )
+
+
 def sample_frames(
     media: DataFrame, every_n_bytes: int = 1024, frame_bytes: int = 16
 ) -> DataFrame:

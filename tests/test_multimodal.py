@@ -124,3 +124,99 @@ def test_sample_frames(spark):
     assert [r.frame_no for r in frames] == [0, 1]
     assert bytes(frames[0].frame) == bytes(range(16))
     assert len(bytes(frames[1].frame)) == 16
+
+
+def _raw_rgb(w, h, fn):
+    import numpy as np
+
+    idx = np.arange(w * h * 3, dtype=np.int64)
+    return fn(idx).astype(np.uint8).tobytes()
+
+
+def test_resize_media_nearest_neighbor_exact(spark):
+    """Resized bytes must equal the textbook nearest-neighbor gather
+    (out pixel (x,y) = in pixel (x*W//W2, y*H//H2)), down- AND
+    up-scaling."""
+    import numpy as np
+
+    w, h = 7, 5
+    payload = _raw_rgb(w, h, lambda i: (i * 11 + 3) % 256)
+    df = spark.createDataFrame([(1, payload)], "id long, data binary")
+    media = multimodal.pack_media(
+        df, "id", F.col("data"), "raw_rgb",
+        width=F.lit(w), height=F.lit(h),
+    )
+    for w2, h2 in ((4, 3), (14, 10), (1, 1)):
+        got = multimodal.resize_media(media, w2, h2).collect()[0]
+        img = np.frombuffer(payload, np.uint8).reshape(h, w, 3)
+        ys = (np.arange(h2) * h) // h2
+        xs = (np.arange(w2) * w) // w2
+        want = img[ys][:, xs].tobytes()
+        assert bytes(got.payload) == want, (w2, h2)
+        assert (got.meta.width, got.meta.height) == (w2, h2)
+        assert got.meta.n_bytes == w2 * h2 * 3
+
+
+def test_resize_media_unsupported_policies(spark):
+    df = spark.createDataFrame(
+        [(1, _png(4, 4)), (2, _raw_rgb(2, 2, lambda i: i))],
+        "id long, data binary",
+    )
+    png_media = multimodal.pack_media(
+        df.filter(F.col("id") == 1), "id", F.col("data"), "png"
+    )
+    raw_media = multimodal.pack_media(
+        df.filter(F.col("id") == 2), "id", F.col("data"), "raw_rgb",
+        width=F.lit(2), height=F.lit(2),
+    )
+    both = png_media.unionByName(raw_media)
+    # error: compressed container without a codec raises the documented stub
+    with pytest.raises(Exception, match="NotImplementedError|pixel codec"):
+        multimodal.resize_media(both, 1, 1, on_unsupported="error").collect()
+    skipped = multimodal.resize_media(both, 1, 1, on_unsupported="skip").collect()
+    assert [r.media_id for r in skipped] == [2]
+    passed = {
+        r.media_id: r
+        for r in multimodal.resize_media(
+            both, 1, 1, on_unsupported="passthrough"
+        ).collect()
+    }
+    assert bytes(passed[1].payload) == _png(4, 4)       # untouched
+    assert passed[2].meta.width == 1                     # resized
+
+
+def test_pcm_resample_linear_interp_exact(spark):
+    import numpy as np
+
+    rate = 8, 4  # from 8 Hz to 4 Hz (and back up below)
+    samples = np.array([0, 1000, -2000, 3000, 30000, -30000, 7, -7],
+                       dtype="<i2")
+    df = spark.createDataFrame([(1, samples.tobytes())], "id long, data binary")
+    media = multimodal.pack_media(
+        df, "id", F.col("data"), "pcm16", sample_rate=F.lit(8)
+    )
+    for to_rate in (4, 8, 16):
+        got = multimodal.pcm_resample(media, to_rate).collect()[0]
+        x = samples.astype(np.float64)
+        m = int(np.ceil(len(x) * to_rate / 8))
+        pos = np.arange(m) * (8 / to_rate)
+        want = np.clip(
+            np.rint(np.interp(pos, np.arange(len(x)), x)), -32768, 32767
+        ).astype("<i2")
+        assert np.array_equal(
+            np.frombuffer(bytes(got.payload), "<i2"), want
+        ), to_rate
+        assert got.meta.sample_rate == to_rate
+    # identity: same rate reproduces the exact samples
+    same = multimodal.pcm_resample(media, 8).collect()[0]
+    assert bytes(same.payload) == samples.tobytes()
+
+
+def test_pcm_resample_unsupported_stub(spark):
+    df = spark.createDataFrame([(1, b"\x00\x01")], "id long, data binary")
+    mp3ish = multimodal.pack_media(df, "id", F.col("data"), "mp3")
+    with pytest.raises(Exception, match="NotImplementedError|audio codec"):
+        multimodal.pcm_resample(mp3ish, 16000).collect()
+    assert multimodal.pcm_resample(
+        mp3ish, 16000, on_unsupported="skip"
+    ).count() == 0
