@@ -106,3 +106,229 @@ def kmv_sql(group_expr: str, value_expr: str, table: str, k: int = 64) -> str:
              END AS distinct_est
       FROM sk)
     """
+
+
+# ---------------------------------------------------------------------------
+# KMV set operations (Beyer et al. 2007): union & intersection estimates
+# from two sketch tables — no re-scan of the raw rows. The k-min-values
+# of A ∪ B are the min-k of the merged hash sets; the fraction of those
+# that appear in BOTH sketches estimates the Jaccard index, and
+# intersection ≈ jaccard · union. All integer arithmetic → bit-identical
+# across engines.
+# ---------------------------------------------------------------------------
+def kmv_overlap(
+    a: DataFrame, b: DataFrame, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Inner-join two sketch tables on group_cols and estimate
+    (union_est, intersect_est) per group. Pure array Column ops —
+    sketches are ≤k longs each, so this is metadata-scale compute no
+    matter how big the sketched tables were."""
+    ha, hb = F.col("_ha"), F.col("_hb")
+    joined = a.select(*group_cols, F.col("hashes").alias("_ha")).join(
+        b.select(*group_cols, F.col("hashes").alias("_hb")), group_cols
+    )
+    merged = F.slice(F.array_sort(F.array_union(ha, hb)), 1, k)
+    n = F.size(merged)
+    kth = F.element_at(merged, k)
+    union_est = F.when(n < k, n.cast("long")).otherwise(
+        F.floor(F.lit((k - 1) * SAMPLE_P) / kth).cast("long")
+    )
+    in_both = F.size(F.array_intersect(F.array_intersect(merged, ha), hb))
+    # floor(in_both · union_est / n) in exact integer math
+    inter_est = (in_both.cast("long") * union_est - F.pmod(
+        in_both.cast("long") * union_est, n.cast("long")
+    )) / n.cast("long")
+    return joined.select(
+        *group_cols,
+        union_est.alias("union_est"),
+        inter_est.cast("long").alias("intersect_est"),
+    )
+
+
+def kmv_overlap_sql(
+    a_cte: str, b_cte: str, k: int = 64
+) -> str:
+    """The identical estimator over two (g, hashes) CTEs in DuckDB SQL
+    (oracle generation; list ops mirror the Column ops 1:1)."""
+    return f"""
+    joined AS (
+      SELECT a.g, a.hashes AS ha, b.hashes AS hb
+      FROM {a_cte} a JOIN {b_cte} b USING (g)),
+    m AS (
+      SELECT g, ha, hb,
+             list_sort(list_distinct(list_concat(ha, hb)))[1:{k}] AS L
+      FROM joined),
+    est AS (
+      SELECT g,
+             CASE WHEN len(L) < {k} THEN len(L)
+                  ELSE CAST(floor(CAST({(k - 1) * SAMPLE_P} AS DOUBLE)
+                                  / L[{k}]) AS BIGINT)
+             END AS union_est,
+             len(list_intersect(list_intersect(L, ha), hb)) AS in_both,
+             len(L) AS n
+      FROM m),
+    overlap AS (
+      SELECT g, union_est,
+             (in_both * union_est) // n AS intersect_est
+      FROM est)
+    """
+
+
+def kmv_hashes_sql(
+    group_expr: str, value_expr: str, table: str, k: int, cte: str
+) -> str:
+    """(g, hashes) sketch CTE in DuckDB SQL — the list form kmv_sketch
+    emits (ascending ≤k smallest distinct hashes)."""
+    return f"""
+    {cte}_h AS (
+      SELECT DISTINCT {group_expr} AS g,
+             {id_hash_sql(value_expr)} AS h
+      FROM {table}),
+    {cte}_r AS (
+      SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+      FROM {cte}_h),
+    {cte} AS (
+      SELECT g, list(h ORDER BY h) AS hashes
+      FROM {cte}_r WHERE rn <= {k} GROUP BY g)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — sublinear frequency
+# table: depth hash rows x width counters; estimate(v) = min over rows
+# of counter[r][h_r(v)]. Overestimates only (collisions add, never
+# subtract) — the heavy-hitter screen at 100 TB where an exact
+# per-token groupBy would shuffle billions of keys. Counters are
+# ADDITIVE across shards/partitions (merge = elementwise sum), and the
+# portable double-hash family keeps estimates bit-identical to the
+# DuckDB oracle.
+# ---------------------------------------------------------------------------
+_CM_A2, _CM_B2 = 214013, 2531011  # second LCG pair (shared w/ bloom.py)
+_CM_SPOLY = 31
+
+
+def _cm_hash_cols(c, is_string: bool):
+    if is_string:
+        h = F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(c), F.lit(0))),
+                lambda i: F.ascii(F.substring(c, i, 1)),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * _CM_SPOLY + x) % SAMPLE_P,
+        )
+    else:
+        h = F.pmod(c.cast("long"), F.lit(SAMPLE_P))
+    from .sampling import SAMPLE_A, SAMPLE_B
+
+    h1 = (h * SAMPLE_A + SAMPLE_B) % SAMPLE_P
+    h2 = (h * _CM_A2 + _CM_B2) % SAMPLE_P
+    return h1, h2
+
+
+def cm_sketch(
+    df: DataFrame,
+    value_col: str,
+    width: int = 512,
+    depth: int = 3,
+    is_string: bool = True,
+) -> DataFrame:
+    """Build the counter table (r, b, cnt) in ONE aggregation:
+    depth x width cells max — a few KB regardless of input size."""
+    h1, h2 = _cm_hash_cols(F.col(value_col), is_string)
+    return (
+        df.select(h1.alias("_h1"), h2.alias("_h2"))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
+            "_h1",
+            "_h2",
+        )
+        .select("r", F.pmod(F.col("_h1") + F.col("r") * F.col("_h2"),
+                            F.lit(width)).alias("b"))
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_lookup(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    width: int = 512,
+    depth: int = 3,
+    is_string: bool = True,
+) -> DataFrame:
+    """Point-estimate each probe key: min over hash rows of its bucket
+    counter. The sketch is ≤ depth·width rows → broadcast join."""
+    h1, h2 = _cm_hash_cols(F.col(value_col), is_string)
+    cells = (
+        probes.select(value_col, h1.alias("_h1"), h2.alias("_h2"))
+        .select(
+            value_col,
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
+            "_h1",
+            "_h2",
+        )
+        .select(
+            value_col,
+            "r",
+            F.pmod(F.col("_h1") + F.col("r") * F.col("_h2"),
+                   F.lit(width)).alias("b"),
+        )
+    )
+    return (
+        cells.join(F.broadcast(sketch), ["r", "b"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cm_est"))
+    )
+
+
+def cm_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two counter tables (same width/depth): elementwise sum —
+    the shard-and-add property that makes count-min a rollup sketch."""
+    return (
+        a.unionByName(b).groupBy("r", "b").agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def _cm_hash_sql(value_expr: str) -> tuple[str, str]:
+    """(h1, h2) SQL expressions — char-polynomial fold then the two
+    affine maps, mirroring _cm_hash_cols exactly."""
+    from .sampling import SAMPLE_A, SAMPLE_B
+
+    hh = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({value_expr}, ''), "
+        f"x -> CAST(unicode(x) AS BIGINT))), "
+        f"(acc, x) -> (acc * {_CM_SPOLY} + x) % {SAMPLE_P})"
+    )
+    return (
+        f"({hh} * {SAMPLE_A} + {SAMPLE_B}) % {SAMPLE_P}",
+        f"({hh} * {_CM_A2} + {_CM_B2}) % {SAMPLE_P}",
+    )
+
+
+def cm_sql(source_cte: str, width: int, depth: int) -> str:
+    """Counter table + estimator in DuckDB SQL, mirroring
+    cm_sketch/cm_lookup 1:1. Expects CTEs `{source_cte}_all` (column v:
+    every occurrence) and `{source_cte}_probes` (column v: keys to
+    estimate); emits `cm_counts` (r, b, cnt) and `cm_est` (v, cm_est)."""
+    h1, h2 = _cm_hash_sql("v")
+    p1, p2 = _cm_hash_sql("p.v")
+    return f"""
+    cm_h AS (
+      SELECT {h1} AS h1, {h2} AS h2
+      FROM {source_cte}_all),
+    cm_counts AS (
+      SELECT r, (h1 + r * h2) % {width} AS b, CAST(count(*) AS BIGINT) AS cnt
+      FROM cm_h, unnest(range({depth})) AS t(r)
+      GROUP BY 1, 2),
+    cm_probe_cells AS (
+      SELECT p.v, t.r,
+             (({p1}) + t.r * ({p2})) % {width} AS b
+      FROM {source_cte}_probes p, unnest(range({depth})) AS t(r)),
+    cm_est AS (
+      SELECT c.v, CAST(min(coalesce(k.cnt, 0)) AS BIGINT) AS cm_est
+      FROM cm_probe_cells c LEFT JOIN cm_counts k USING (r, b)
+      GROUP BY c.v)
+    """

@@ -63,3 +63,93 @@ def test_kmv_merge_equals_sketch_of_union(spark):
     est_m = kmv_estimate(merged, k=k).collect()[0].distinct_est
     est_d = kmv_estimate(direct, k=k).collect()[0].distinct_est
     assert est_m == est_d
+
+
+def test_kmv_overlap_exact_below_k(spark):
+    """With < k distinct values per side, the merged min-k IS the union
+    and the overlap estimates are exact."""
+    from de_gcp_lakehouse_iceberg_spark.operators.sketches import (
+        kmv_overlap,
+    )
+
+    a = spark.createDataFrame(
+        [("g", v) for v in range(20)], "g string, v long"
+    )
+    b = spark.createDataFrame(
+        [("g", v) for v in range(10, 25)], "g string, v long"
+    )
+    ov = kmv_overlap(
+        kmv_sketch(a, ["g"], "v", k=64),
+        kmv_sketch(b, ["g"], "v", k=64),
+        ["g"],
+        k=64,
+    ).collect()[0]
+    assert ov.union_est == 25              # |0..24|
+    assert ov.intersect_est == 10          # |10..19|
+
+
+def test_kmv_overlap_reasonable_above_k(spark):
+    from de_gcp_lakehouse_iceberg_spark.operators.sketches import (
+        kmv_overlap,
+    )
+
+    n, half = 3000, 1500                   # 50% true overlap
+    a = spark.range(n).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    b = spark.range(half, n + half).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    ov = kmv_overlap(
+        kmv_sketch(a, ["g"], "v", k=256),
+        kmv_sketch(b, ["g"], "v", k=256),
+        ["g"],
+        k=256,
+    ).collect()[0]
+    assert abs(ov.union_est - (n + half)) / (n + half) < 0.25
+    assert abs(ov.intersect_est - half) / half < 0.45
+
+
+def test_cm_sketch_overestimates_never_under(spark):
+    """Count-min guarantee: estimate >= exact count, always."""
+    from de_gcp_lakehouse_iceberg_spark.operators.sketches import (
+        cm_lookup,
+        cm_sketch,
+    )
+
+    words = [f"w{i % 50}" for i in range(2000)] + ["hot"] * 500
+    df = spark.createDataFrame([(w,) for w in words], "v string")
+    sk = cm_sketch(df, "v", width=128, depth=3)
+    probes = spark.createDataFrame(
+        [(w,) for w in ["hot", "w0", "w49", "absent"]], "v string"
+    )
+    est = {r.v: r.cm_est for r in cm_lookup(
+        sk, probes, "v", width=128, depth=3).collect()}
+    exact = {"hot": 500, "w0": 40, "w49": 40, "absent": 0}
+    for wd, ex in exact.items():
+        assert est[wd] >= ex, wd
+    # the heavy key's estimate is close (low collision mass)
+    assert est["hot"] < 500 + len(words) // 4
+
+
+def test_cm_merge_is_additive(spark):
+    """cm(A ∪ B) == cm_merge(cm(A), cm(B)) cell-for-cell — the shard
+    property that lets per-day sketches roll up to months."""
+    from de_gcp_lakehouse_iceberg_spark.operators.sketches import (
+        cm_merge,
+        cm_sketch,
+    )
+
+    a = spark.createDataFrame([(f"x{i % 7}",) for i in range(300)], "v string")
+    b = spark.createDataFrame([(f"y{i % 5}",) for i in range(200)], "v string")
+    both = a.unionByName(b)
+    direct = {
+        (r.r, r.b): r.cnt
+        for r in cm_sketch(both, "v", width=64, depth=3).collect()
+    }
+    merged = {
+        (r.r, r.b): r.cnt
+        for r in cm_merge(
+            cm_sketch(a, "v", width=64, depth=3),
+            cm_sketch(b, "v", width=64, depth=3),
+        ).collect()
+    }
+    assert direct == merged
