@@ -1,0 +1,96 @@
+"""Bloom semi-join — pre-filter a huge probe side with a broadcast
+Bloom filter of the small side's keys BEFORE the exact join.
+
+At 100 TB the expensive part of `big ⋉ small` is shuffling (or even
+scanning+hashing) every big-side row; a Bloom filter of the small
+side's keys is a few KB–MB that drops the vast majority of non-matching
+rows AT THE SCAN, keeping the exact join's input tiny. This is the
+hand-rolled form of Spark's runtime row-group filtering, built on the
+engine's portable double-hash family (lakehouse/bloom.py) so behavior
+is deterministic and oracle-checkable: Bloom filters have NO false
+negatives, so `bloom_semi_join(big, small, key) == big ⋉ small`
+exactly — false positives are removed by the exact join that follows.
+
+Build: ONE aggregation over the small side folds bit positions into
+int64 bitset words (bit_or, partial agg map-side); the driver collects
+only bits/64 longs. Probe: a pure Column expression over a broadcast
+array literal — no UDF, no extra shuffle, evaluated inside the scan
+stage (codegen'd higher-order forall).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..lakehouse.bloom import positions_col
+
+DEFAULT_BITS = 1 << 16  # 64 Kbit = 8 KB; ~1% FPR at ~5k distinct keys
+DEFAULT_K = 5
+
+
+def bloom_filter_words(
+    small: DataFrame, key: str, bits: int = DEFAULT_BITS, k: int = DEFAULT_K
+) -> list[int]:
+    """Distributed build of the bitset: explode each key's k positions,
+    fold into int64 words with bit_or, collect bits/64 longs."""
+    if bits % 64:
+        raise ValueError(f"bits must be a multiple of 64 (got {bits})")
+    is_string = dict(small.dtypes)[key] == "string"
+    rows = (
+        small.select(
+            F.explode(
+                positions_col(F.col(key), is_string, bits, k)
+            ).alias("p")
+        )
+        .select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(1L, p % 64)").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("word"))
+        .collect()
+    )
+    words = [0] * (bits // 64)
+    for r in rows:
+        words[r["w"]] = r["word"]
+    return words
+
+
+def bloom_probe_filter(
+    big: DataFrame,
+    key: str,
+    words: list[int],
+    bits: int = DEFAULT_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Keep only rows whose key MIGHT be in the filter (no false
+    negatives). Pure Column expression — stays in the scan stage."""
+    is_string = dict(big.dtypes)[key] == "string"
+    probed = big.withColumn(
+        "_bf_ps", positions_col(F.col(key), is_string, bits, k)
+    ).withColumn("_bf_w", F.lit(words))
+    kept = probed.filter(
+        F.expr(
+            "forall(_bf_ps, p -> "
+            "(shiftright(element_at(_bf_w, cast(p / 64 as int) + 1), "
+            "cast(p % 64 as int)) & 1L) = 1L)"
+        )
+    )
+    return kept.drop("_bf_ps", "_bf_w")
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    bits: int = DEFAULT_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """`big ⋉ small` on `key`, with the big side Bloom-pre-filtered.
+    Result is EXACTLY the semi-join (the left_semi pass removes Bloom
+    false positives); the win is that the shuffle/broadcast join runs
+    on the pre-filtered remnant instead of the full big side."""
+    words = bloom_filter_words(small, key, bits, k)
+    pre = bloom_probe_filter(big, key, words, bits, k)
+    return pre.join(small.select(key).distinct(), key, "left_semi")

@@ -1,0 +1,101 @@
+"""Bloom semi-join pre-filter (operators/bloomjoin.py) and two-phase
+grouped top-k (operators/topk.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from de_gcp_lakehouse_iceberg_spark.operators.bloomjoin import (
+    bloom_filter_words,
+    bloom_probe_filter,
+    bloom_semi_join,
+)
+from de_gcp_lakehouse_iceberg_spark.operators.topk import grouped_topk
+
+
+def test_bloom_semi_join_equals_exact_semi_join(spark):
+    big = spark.range(0, 5000).select(
+        F.col("id").alias("key"), (F.col("id") * 3).alias("v")
+    )
+    small = spark.range(0, 5000, 37).select(F.col("id").alias("key"))
+    got = bloom_semi_join(big, small, "key", bits=1 << 10, k=5)
+    want = big.join(small, "key", "left_semi")
+    assert sorted(r.key for r in got.collect()) == sorted(
+        r.key for r in want.collect()
+    )
+
+
+def test_bloom_semi_join_string_and_negative_keys(spark):
+    big = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "key string"
+    )
+    small = spark.createDataFrame([("b",), ("d",), ("zz",)], "key string")
+    got = {r.key for r in bloom_semi_join(big, small, "key").collect()}
+    assert got == {"b", "d"}
+
+    bign = spark.createDataFrame(
+        [(-5,), (3,), (-1000000007,), (8,)], "key long"
+    )
+    smalln = spark.createDataFrame([(-5,), (8,)], "key long")
+    gotn = {r.key for r in bloom_semi_join(bign, smalln, "key").collect()}
+    assert gotn == {-5, 8}
+
+
+def test_bloom_probe_never_false_negative(spark):
+    """Every small-side key must survive the probe filter (the exact
+    join only ever REMOVES false positives)."""
+    small = spark.range(0, 400, 7).select(F.col("id").alias("key"))
+    words = bloom_filter_words(small, "key", bits=256, k=5)  # tiny → FPs
+    kept = bloom_probe_filter(
+        spark.range(0, 400).select(F.col("id").alias("key")),
+        "key", words, bits=256, k=5,
+    )
+    kept_keys = {r.key for r in kept.collect()}
+    assert set(range(0, 400, 7)) <= kept_keys
+
+
+def test_bloom_probe_is_scan_stage_no_join(spark):
+    """The probe is a pure Column filter: the pre-filter plan contains
+    NO join and NO exchange — it runs inside the scan stage."""
+    small = spark.range(0, 100, 9).select(F.col("id").alias("key"))
+    words = bloom_filter_words(small, "key")
+    pre = bloom_probe_filter(
+        spark.range(10_000).select(F.col("id").alias("key")), "key", words
+    )
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_grouped_topk_equals_window_form(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (f"g{i % 5}", rng.randrange(1000), i) for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "g string, score long, id long")
+    got = grouped_topk(
+        df, ["g"], [(-F.col("score")), F.col("id")], k=7
+    ).collect()
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("g").orderBy(F.col("score").desc(), F.col("id"))
+    want = (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 7)
+        .collect()
+    )
+    key = lambda r: (r.g, r.rank, r.id, r.score)  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+
+
+def test_grouped_topk_small_groups_and_plan(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 2), ("b", 9, 3)], "g string, score long, id long"
+    )
+    out = grouped_topk(df, ["g"], [F.col("score"), F.col("id")], k=5)
+    rows = {(r.g, r.rank): r.score for r in out.collect()}
+    assert rows == {("a", 1): 1, ("a", 2): 2, ("b", 1): 9}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan            # two-phase, no global sort
+    assert "partial_collect_list" in plan  # map-side combine
