@@ -72,13 +72,29 @@ def batch_sessions(
     )
 
 
-def _session_fn(gap_seconds: int):
+_OUT_COLS = ["user_id", "start_us", "end_us", "n_events", "total_value"]
+
+
+def _session_fn(gap_seconds: int, idle_timeout_seconds: int | None = None):
     def fn(
         key: Tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if idle_timeout_seconds is not None and state.hasTimedOut:
+            # no event arrived within the idle window: flush the OPEN
+            # session and drop the state — without this, a user who
+            # simply stops emitting never gets their last session
+            # downstream (the batch form has end-of-input; a stream
+            # does not).
+            if state.exists:
+                start, last, n, total = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    [(user_id, start, last, n, total)], columns=_OUT_COLS
+                )
+            return
         rows = pd.concat(list(pdfs)).sort_values("ts_us")
         if state.exists:
             start, last, n, total = state.get
@@ -98,41 +114,45 @@ def _session_fn(gap_seconds: int):
                 n += 1
                 total += float(value)
         state.update((start, last, n, total))
+        if idle_timeout_seconds is not None:
+            state.setTimeoutDuration(idle_timeout_seconds * 1000)
         if closed:
-            yield pd.DataFrame(
-                closed,
-                columns=[
-                    "user_id",
-                    "start_us",
-                    "end_us",
-                    "n_events",
-                    "total_value",
-                ],
-            )
+            yield pd.DataFrame(closed, columns=_OUT_COLS)
 
     return fn
 
 
 def streaming_sessions(
-    events: DataFrame, gap_seconds: int = GAP_SECONDS_DEFAULT
+    events: DataFrame,
+    gap_seconds: int = GAP_SECONDS_DEFAULT,
+    idle_timeout_seconds: int | None = None,
 ) -> DataFrame:
     """Custom stateful sessionization over a stream: emits CLOSED
     sessions only (open sessions live in per-user state across
-    micro-batches). Input needs (user_id, ts, value)."""
+    micro-batches). Input needs (user_id, ts, value).
+
+    With `idle_timeout_seconds`, a per-key PROCESSING-TIME timeout also
+    flushes a session whose user has gone quiet — the state store never
+    accumulates keys forever, and the tail session reaches downstream
+    without waiting for a next event that may never come."""
     prepared = events.select(
         "user_id",
         (F.unix_micros(F.col("ts"))).alias("ts_us"),
         F.col("value").cast("double").alias("value"),
     )
     out = prepared.groupBy("user_id").applyInPandasWithState(
-        _session_fn(gap_seconds),
+        _session_fn(gap_seconds, idle_timeout_seconds),
         outputStructType=(
             "user_id bigint, start_us long, end_us long, "
             "n_events bigint, total_value double"
         ),
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if idle_timeout_seconds is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
     return out.select(
         "user_id",

@@ -112,3 +112,46 @@ def test_streaming_closed_sessions_match_batch(spark, tmp_path, sf_dir):
     }
     assert streamed, "no sessions closed in replay"
     assert streamed <= batch  # closed sessions agree; open ones pending
+
+
+def test_streaming_sessions_idle_timeout_flush(spark, tmp_path):
+    """With idle_timeout_seconds, a user who stops emitting gets their
+    OPEN session flushed by the processing-time timeout — no follow-up
+    event needed (and state is removed, so nothing re-emits)."""
+    import time
+
+    d = tmp_path / "src"
+    d.mkdir()
+    schema = "user_id long, ts timestamp, value double"
+    spark.createDataFrame(
+        [_ev(1, 0), _ev(1, 10)], schema
+    ).coalesce(1).write.mode("append").parquet(str(d / "f1"))
+
+    stream = spark.readStream.schema(schema).parquet(str(d) + "/*")
+    q = (
+        streaming_sessions(stream, gap_seconds=1800, idle_timeout_seconds=2)
+        .writeStream.format("memory")
+        .queryName("sessions_timeout")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_t"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            rows = spark.table("sessions_timeout").collect()
+            if rows:
+                break
+            time.sleep(0.5)
+        assert rows, "idle session never flushed by timeout"
+        (r,) = rows
+        assert (r.user_id, r.n_events) == (1, 2)
+        assert r.session_start == BASE
+        assert r.session_end == BASE + dt.timedelta(minutes=10)
+        # flushed once: give it a little longer and confirm no re-emit
+        time.sleep(3)
+        assert len(spark.table("sessions_timeout").collect()) == 1
+    finally:
+        q.stop()
