@@ -32,6 +32,9 @@ from . import timeseries_queries  # noqa: F401  (registers q76)
 from . import behavior_queries  # noqa: F401  (registers q77-q78)
 from . import split_query  # noqa: F401  (registers q79)
 from . import mor_query  # noqa: F401  (registers q80)
+from . import resize_query  # noqa: F401  (registers q81)
+from . import sketch_setops_queries  # noqa: F401  (registers q82-q83)
+from . import join_topk_queries  # noqa: F401  (registers q84-q85)
 
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The driver's CORRECTNESS check covers the FIRST
@@ -53,6 +56,9 @@ _GATE_PRIORITY = [
     # summary (q80, q63), scan_staged MOR-delete audit (q69), two-phase
     # KMV (q75), central scan() UTC literal fix (every lakehouse scan
     # with a datetime predicate: q67/q68, plus the TZ-sensitive q56/q76)
+    # new this round: multimodal resize proof, KMV set ops, count-min
+    "q81_media_resize", "q82_kmv_overlap", "q83_cm_token_freq",
+    "q84_bloom_semi_join", "q85_grouped_topk",
     "q73_bloom_prune_proof", "q80_mor_delete_lifecycle",
     "q63_cdc_replica_sync", "q69_wap_rollback", "q75_kmv_distinct",
     "q68_spec_evolution_prune", "q67_bucket_prune_proof",
@@ -74,9 +80,8 @@ _GATE_PRIORITY = [
     "q33_fingerprint", "q34_exact_dedup", "q36_simhash",
     "q38_cosine_topk", "q39_nearest_pairs", "q40_lsh_ann",
     "q43_geohash_buckets", "q45_ivf_ann",
-    # (d) flagship/expensive composites filling the remaining slots
-    "q01_global_count", "q05_consistency_check", "q07_star_join_revenue",
-    "q44_corpus_clean", "q64_corpus_clean_lsh", "q74_corpus_build_e2e",
+    # (d) flagship composite filling the remaining slot
+    "q07_star_join_revenue",
 ]
 
 
