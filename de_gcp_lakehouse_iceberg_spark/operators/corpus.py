@@ -143,3 +143,65 @@ def select_within_token_budget(
         scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= budget_tokens)
     )
+
+
+def unigram_doc_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Unigram language-model quality score — the engine's stand-in for
+    CCNet's per-language LM perplexity filter (no model weights ship in
+    this container; a unigram LM *is* derivable from the corpus alone
+    and exercises the same pipeline shape: global vocabulary statistics
+    → per-token score → per-document aggregate → filter threshold).
+
+    score(doc) = mean over its tokens of log2 p(token | lang), with
+    p = count(token, lang) / count(*, lang) estimated from the SAME
+    corpus. Higher (closer to 0) = more typical text; gibberish and
+    rare-token soup go very negative.
+
+    Determinism across engines: each per-token log2 is quantized to
+    6dp (floor(x·1e6 + 0.5)/1e6) and per-doc accumulation is an EXACT
+    decimal sum, so the result is independent of aggregation order —
+    the q42/q62 convention.
+
+    Scale: one (lang, token) count shuffle + one (lang, token) join of
+    the exploded corpus back to the vocabulary — both key-partitioned;
+    the vocabulary side is the distinct-token table, orders of
+    magnitude smaller than the corpus.
+
+    Returns (id_col, lang_col, n_tokens, score).
+    """
+    from ..functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col), F.col(lang_col), F.explode(tokens(text_col)).alias("t")
+    )
+    counts = toks.groupBy(lang_col, "t").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy(lang_col).agg(F.sum("c").alias("n"))
+    lp = counts.join(totals, lang_col).select(
+        lang_col,
+        "t",
+        (
+            F.floor(F.log2(F.col("c") / F.col("n")) * 1_000_000 + F.lit(0.5))
+            / 1_000_000
+        ).alias("lp_q"),
+    )
+    return (
+        toks.join(lp, [lang_col, "t"])
+        .groupBy(id_col, lang_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.floor(
+                    F.sum(F.col("lp_q").cast("decimal(28,6)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 1_000_000
+                    + F.lit(0.5)
+                )
+                / 1_000_000
+            ).alias("score"),
+        )
+    )

@@ -332,3 +332,121 @@ def cm_sql(source_cte: str, width: int, depth: int) -> str:
       FROM cm_probe_cells c LEFT JOIN cm_counts k USING (r, b)
       GROUP BY c.v)
     """
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid histogram sketch — the mergeable quantile structure: bin
+# counters add across shards/days (like cm_merge), and any quantile is
+# answerable from the counters alone. Equi-width bins trade adaptivity
+# for DETERMINISM: no randomized compaction (t-digest/KLL), so the
+# estimate is bit-identical across engines and oracle-checkable.
+# ---------------------------------------------------------------------------
+def hist_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+) -> DataFrame:
+    """(group_cols…, b, cnt): per-group equi-width bin counts over
+    [lo, hi); values outside clamp to the edge bins. ONE aggregation;
+    at most bins cells per group."""
+    raw = F.floor(
+        (F.col(value_col) - F.lit(lo)) / F.lit(hi - lo) * F.lit(bins)
+    )
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("int")
+    return (
+        df.select(*group_cols, b.alias("b"))
+        .groupBy(*group_cols, "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge two histogram tables (same grid): elementwise add."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def hist_quantile(
+    sketch: DataFrame,
+    group_cols: list[str],
+    q: float,
+    lo: float,
+    hi: float,
+    bins: int,
+) -> DataFrame:
+    """Per-group quantile estimate from the counters: target rank
+    t = ceil(q·n); inside the first bin whose cumulative count reaches
+    t, interpolate linearly. Quantized to 6dp so the double arithmetic
+    is order-independent and engine-portable.
+
+    Returns (group_cols…, est) — alias `est` at the call site."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(*group_cols)
+        .orderBy("b")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = sketch.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(W.partitionBy(*group_cols))
+    )
+    t = F.ceil(F.lit(q) * F.col("n"))
+    hit = cum.filter(F.col("cum") >= t).withColumn(
+        "_rn",
+        F.row_number().over(
+            W.partitionBy(*group_cols).orderBy("b")
+        ),
+    ).filter(F.col("_rn") == 1)
+    est = F.lit(lo) + (
+        F.col("b")
+        + (t - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+    ) * F.lit(hi - lo) / F.lit(bins)
+    return hit.select(
+        *group_cols,
+        (F.floor(est * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("est"),
+    )
+
+
+def hist_quantile_sql(
+    group_expr: str,
+    value_expr: str,
+    table: str,
+    q: float,
+    lo: float,
+    hi: float,
+    bins: int,
+    cte: str,
+) -> str:
+    """The identical estimator in DuckDB SQL (emits CTE `{cte}` with
+    (g, est)) — expression order mirrors hist_sketch/hist_quantile."""
+    return f"""
+    {cte}_bins AS (
+      SELECT {group_expr} AS g,
+             CAST(least(greatest(
+               floor(({value_expr} - {lo}) / {hi - lo} * {bins}),
+               0), {bins - 1}) AS INT) AS b,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM {table} GROUP BY 1, 2),
+    {cte}_cum AS (
+      SELECT g, b, cnt,
+             sum(cnt) OVER (PARTITION BY g ORDER BY b
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY g) AS n
+      FROM {cte}_bins),
+    {cte}_hit AS (
+      SELECT g, b, cnt, cum, n,
+             row_number() OVER (PARTITION BY g ORDER BY b) AS _rn
+      FROM {cte}_cum WHERE cum >= ceil({q} * n)),
+    {cte} AS (
+      SELECT g,
+             floor(({lo} + (b + (ceil({q} * n) - (cum - cnt))
+                            / cnt) * {hi - lo} / {bins})
+                   * 1000000 + 0.5) / 1000000 AS est
+      FROM {cte}_hit WHERE _rn = 1)
+    """

@@ -153,3 +153,77 @@ def test_cm_merge_is_additive(spark):
         ).collect()
     }
     assert direct == merged
+
+
+def test_hist_quantile_close_to_exact_and_mergeable(spark):
+    from de_gcp_lakehouse_iceberg_spark.operators.sketches import (
+        hist_merge,
+        hist_quantile,
+        hist_sketch,
+    )
+
+    # deterministic skewed-ish values in [0, 100)
+    df = spark.range(10_000).select(
+        F.lit("g").alias("g"),
+        ((F.col("id") * 37 % 1000) / 10.0).alias("v"),
+    )
+    sk = hist_sketch(df, ["g"], "v", 0.0, 100.0, 100)
+    p50 = hist_quantile(sk, ["g"], 0.5, 0.0, 100.0, 100).collect()[0].est
+    p95 = hist_quantile(sk, ["g"], 0.95, 0.0, 100.0, 100).collect()[0].est
+    exact = df.selectExpr(
+        "percentile(v, 0.5) as p50", "percentile(v, 0.95) as p95"
+    ).collect()[0]
+    assert abs(p50 - exact.p50) <= 100.0 / 100  # within one bin width
+    assert abs(p95 - exact.p95) <= 100.0 / 100
+
+    # mergeability: hist(A ∪ B) == hist_merge(hist(A), hist(B))
+    a = df.filter(F.col("id") % 2 == 0)
+    b = df.filter(F.col("id") % 2 == 1)
+    direct = {
+        (r.g, r.b): r.cnt
+        for r in hist_sketch(df, ["g"], "v", 0.0, 100.0, 100).collect()
+    }
+    merged = {
+        (r.g, r.b): r.cnt
+        for r in hist_merge(
+            hist_sketch(a, ["g"], "v", 0.0, 100.0, 100),
+            hist_sketch(b, ["g"], "v", 0.0, 100.0, 100),
+            ["g"],
+        ).collect()
+    }
+    assert direct == merged
+
+
+def test_hist_clamps_out_of_range(spark):
+    from de_gcp_lakehouse_iceberg_spark.operators.sketches import (
+        hist_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("g", -5.0), ("g", 0.0), ("g", 99.9), ("g", 250.0)],
+        "g string, v double",
+    )
+    cells = {
+        r.b: r.cnt for r in hist_sketch(df, ["g"], "v", 0.0, 100.0, 10).collect()
+    }
+    assert cells[0] == 2      # -5 clamps into bin 0
+    assert cells[9] == 2      # 250 clamps into the top bin
+
+
+def test_unigram_scores_rank_typical_above_gibberish(spark):
+    from de_gcp_lakehouse_iceberg_spark.operators.corpus import (
+        unigram_doc_scores,
+    )
+
+    common = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(i, "en", common) for i in range(20)]
+        + [(100, "en", "zqx jvk wpf qqq")],     # rare-token soup
+        "doc_id long, lang string, text string",
+    )
+    scores = {
+        r.doc_id: r.score for r in unigram_doc_scores(docs).collect()
+    }
+    assert scores[0] == scores[19]              # identical docs, same score
+    assert scores[100] < scores[0]              # gibberish scores lower
+    assert all(s <= 0 for s in scores.values())  # log-probs
