@@ -856,3 +856,137 @@ def dup_span_stats(
             .alias("covered_tokens"),
         )
     )
+
+
+def band_hash_col(sig_col: str, bi: int, r: int, hash_mode: str) -> Column:
+    """Band hash of signature members [bi·r, bi·r+r) — the same fold
+    minhash_lsh_pairs uses (portable: left fold ·MULT + m mod P)."""
+    members = [F.col(sig_col)[bi * r + j] for j in range(r)]
+    if hash_mode == "portable":
+        acc = members[0]
+        for m in members[1:]:
+            acc = (acc * F.lit(MINHASH_BAND_MULT) + m) % F.lit(MINHASH_P)
+        return acc
+    return F.xxhash64(*members)
+
+
+def lsh_probe_pairs(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+    threshold: float = 0.5,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """ASYMMETRIC LSH probe — which NEW documents are near-dups of the
+    EXISTING corpus. The continual-ingestion dedup path: each incoming
+    batch is signed and banded, then joined against the corpus's bands —
+    the corpus is NEVER re-paired against itself (minhash_lsh_pairs'
+    self-join is O(corpus²) candidate space; the probe's candidate space
+    is O(batch x collisions), the whole point of an incremental index).
+    In a deployment the corpus side's signatures/bands would be a
+    maintained table; here they are computed from `corpus_docs` with the
+    identical family, so `hash_mode="portable"` keeps the pipeline
+    DuckDB-replayable (q88).
+
+    Returns (new_id, corpus_id, jaccard) for exact-verified pairs with
+    Jaccard ≥ threshold.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    r = num_hashes // bands
+
+    def _keyed(docs: DataFrame) -> DataFrame:
+        ex = doc_shingles(docs, id_col, text_col, n)
+        key_expr = (
+            char_poly_key_udf()(F.col("shingle"))
+            if hash_mode == "portable"
+            else F.xxhash64("shingle")
+        )
+        # consumed by the signature agg AND the verify stage
+        return ex.select("doc_id", key_expr.alias("key")).persist()
+
+    def _sig(keyed: DataFrame) -> DataFrame:
+        mins = [
+            (
+                F.min(
+                    (F.lit(a) * F.col("key") + F.lit(b)) % F.lit(MINHASH_P)
+                )
+                if hash_mode == "portable"
+                else F.min(F.xxhash64(F.col("key"), F.lit(k)))
+            ).alias(f"h{k}")
+            for k, (a, b) in enumerate(minhash_coeffs(num_hashes))
+        ]
+        return keyed.groupBy("doc_id").agg(*mins).select(
+            "doc_id",
+            F.array(*[f"h{k}" for k in range(num_hashes)]).alias("signature"),
+        )
+
+    def _bands(sig: DataFrame) -> DataFrame:
+        return sig.select(
+            "doc_id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(bi).alias("band_id"),
+                        band_hash_col("signature", bi, r, hash_mode).alias(
+                            "band_hash"
+                        ),
+                    )
+                    for bi in range(bands)
+                ])
+            ).alias("band"),
+        ).select("doc_id", "band.band_id", "band.band_hash")
+
+    keyed_new, keyed_cor = _keyed(new_docs), _keyed(corpus_docs)
+    nb = _bands(_sig(keyed_new)).alias("n")
+    cb = _bands(_sig(keyed_cor)).alias("c")
+    candidates = (
+        nb.join(
+            cb,
+            (F.col("n.band_id") == F.col("c.band_id"))
+            & (F.col("n.band_hash") == F.col("c.band_hash")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("c.doc_id").alias("corpus_id"),
+        )
+        .distinct()
+        .persist()
+    )
+    candidates.count()
+
+    def _sets(keyed: DataFrame, ids: DataFrame) -> DataFrame:
+        return (
+            keyed.join(F.broadcast(ids), "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_set("key").alias("sh"))
+        )
+
+    sn = _sets(
+        keyed_new, candidates.select(F.col("new_id").alias("doc_id")).distinct()
+    ).select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_n"))
+    sc = _sets(
+        keyed_cor,
+        candidates.select(F.col("corpus_id").alias("doc_id")).distinct(),
+    ).select(F.col("doc_id").alias("corpus_id"), F.col("sh").alias("sh_c"))
+    inter = F.size(F.array_intersect(F.col("sh_n"), F.col("sh_c")))
+    union = F.size("sh_n") + F.size("sh_c") - inter
+    verified = (
+        candidates.join(sn, "new_id")
+        .join(sc, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .persist()
+    )
+    verified.count()
+    for df in (candidates, keyed_new, keyed_cor):
+        df.unpersist()
+    return verified

@@ -1,0 +1,147 @@
+"""q88 — incremental corpus dedup: asymmetric LSH probe of a NEW batch
+against an EXISTING corpus (operators/dedup.lsh_probe_pairs).
+
+Scenario shape: the corpus is the even-doc_id half of `documents`; the
+incoming batch is a quarter of the odd docs PLUS verbatim copies of
+every 10th corpus doc under new ids (the re-crawl / mirror case an
+ingestion pipeline must catch). The probe signs and bands ONLY the two
+sides and joins new bands against corpus bands — the corpus is never
+re-paired with itself.
+
+FULL oracle: hash_mode="portable" (q37's cross-engine MinHash family),
+so DuckDB replays signatures → banding → cross-side bucket join →
+exact-Jaccard verify bit-for-bit. Constants are imported from the SAME
+module as the Spark operator; the SQL is generated, not hand-copied.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    MINHASH_BAND_MULT,
+    MINHASH_P,
+    SIMHASH_BASE,
+    SIMHASH_MOD,
+    lsh_probe_pairs,
+    minhash_coeffs,
+)
+from ..tables import table
+from .queries import register
+
+_NH, _BANDS = 64, 32
+_THRESH = 0.5
+_NEW_ID_OFFSET = 1_000_000
+
+
+def _side_sql(cte: str, source: str) -> str:
+    """Signature + banding CTEs for one side (mirrors q37's generator,
+    parameterized by side)."""
+    r = _NH // _BANDS
+    coeffs = minhash_coeffs(_NH)
+    mins = ",\n             ".join(
+        f"min(({a} * key + {b}) % {MINHASH_P}) AS h{k}"
+        for k, (a, b) in enumerate(coeffs)
+    )
+
+    def band_expr(bi: int) -> str:
+        acc = f"h{bi * r}"
+        for j in range(1, r):
+            acc = f"(({acc}) * {MINHASH_BAND_MULT} + h{bi * r + j}) % {MINHASH_P}"
+        return acc
+
+    band_ids = ", ".join(str(bi) for bi in range(_BANDS))
+    band_hashes = ",\n             ".join(
+        band_expr(bi) for bi in range(_BANDS)
+    )
+    return f"""
+    {cte}_toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM {source}),
+    {cte}_sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, greatest(len(t) - 2, 1)),
+               i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')
+             )) AS shingles
+      FROM {cte}_toks),
+    {cte}_keys AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(s, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * {SIMHASH_BASE} + x) % {SIMHASH_MOD}) AS key
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM {cte}_sh)),
+    {cte}_minh AS (
+      SELECT doc_id,
+             {mins}
+      FROM {cte}_keys GROUP BY doc_id),
+    {cte}_bands AS (
+      SELECT doc_id,
+             unnest([{band_ids}]) AS band_id,
+             unnest([{band_hashes}]) AS bh
+      FROM {cte}_minh),
+    {cte}_ksets AS (
+      SELECT doc_id, CAST(count(DISTINCT key) AS BIGINT) AS nk
+      FROM {cte}_keys GROUP BY doc_id)
+    """
+
+
+@register(
+    "q88_lsh_probe_incremental",
+    oracle=f"""
+    WITH corpus_side AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    new_side AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1
+      UNION ALL
+      SELECT doc_id + {_NEW_ID_OFFSET}, text
+      FROM documents WHERE doc_id % 10 = 0),
+    {_side_sql("c", "corpus_side")},
+    {_side_sql("nn", "new_side")},
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+      FROM nn_bands n JOIN c_bands c
+        ON n.band_id = c.band_id AND n.bh = c.bh),
+    inter AS (
+      SELECT cd.new_id, cd.corpus_id,
+             CAST(count(DISTINCT kn.key) AS BIGINT) AS common
+      FROM cand cd
+      JOIN nn_keys kn ON kn.doc_id = cd.new_id
+      JOIN c_keys kc ON kc.doc_id = cd.corpus_id AND kc.key = kn.key
+      GROUP BY cd.new_id, cd.corpus_id)
+    SELECT i.new_id, i.corpus_id,
+           floor(CAST(i.common AS DOUBLE) / (sn.nk + sc.nk - i.common)
+                 * 1000000 + 0.5) / 1000000 AS jaccard
+    FROM inter i
+    JOIN nn_ksets sn ON i.new_id = sn.doc_id
+    JOIN c_ksets sc ON i.corpus_id = sc.doc_id
+    WHERE CAST(i.common AS DOUBLE) / (sn.nk + sc.nk - i.common)
+          >= {_THRESH}
+    ORDER BY i.new_id, i.corpus_id
+    """,
+)
+def q88_lsh_probe_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new_batch = docs.filter(F.col("doc_id") % 4 == 1).unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + _NEW_ID_OFFSET).alias("doc_id"), "text"
+        )
+    )
+    pairs = lsh_probe_pairs(
+        new_batch,
+        corpus,
+        num_hashes=_NH,
+        bands=_BANDS,
+        threshold=_THRESH,
+        hash_mode="portable",
+    )
+    return pairs.select(
+        "new_id",
+        "corpus_id",
+        (F.floor(F.col("jaccard") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+            "jaccard"
+        ),
+    ).orderBy("new_id", "corpus_id")

@@ -237,3 +237,35 @@ def test_dup_span_stats_within_doc_repeat(spark):
     )
     out = dup_span_stats(df, n=3).collect()[0]
     assert (out.n_tokens, out.covered_tokens) == (8, 6)
+
+
+def test_lsh_probe_pairs_incremental(spark):
+    """Asymmetric probe: finds new-vs-corpus near-dups, never reports
+    corpus-internal pairs, and xxhash/portable modes agree on the
+    verified (exact-Jaccard) pair set."""
+    from de_gcp_lakehouse_iceberg_spark.operators.dedup import (
+        lsh_probe_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base)]                     # internal dup pair!
+        + [(i, f"corpus doc {i} " + " ".join(f"w{i}{j}" for j in range(12)))
+           for i in range(3, 10)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, base),                              # dup of corpus 1 and 2
+         (101, "entirely different words nothing shared here at all ok")],
+        "doc_id long, text string",
+    )
+    for mode in ("xxhash64", "portable"):
+        got = sorted(
+            (r.new_id, r.corpus_id)
+            for r in lsh_probe_pairs(
+                new, corpus, threshold=0.5, hash_mode=mode
+            ).collect()
+        )
+        # the corpus-internal (1,2) dup is NOT in the output; both
+        # corpus copies match the new doc
+        assert got == [(100, 1), (100, 2)], mode
