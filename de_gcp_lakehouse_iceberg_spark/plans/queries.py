@@ -774,7 +774,10 @@ def q18_validation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q22_tumbling_window",
     oracle="""
-    SELECT to_timestamp(CAST(floor(epoch(ts) / 60) * 60 AS BIGINT))::TIMESTAMP
+    -- make_timestamp(micros) builds TIMESTAMP (NTZ) straight from the
+    -- epoch — TZ-independent, unlike to_timestamp()::TIMESTAMP whose
+    -- rendering follows DuckDB's TimeZone setting
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 60) * 60 AS BIGINT) * 1000000)
              AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS event_count,

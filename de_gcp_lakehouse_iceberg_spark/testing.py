@@ -20,6 +20,15 @@ from .tables import TESTDATA_TABLES
 def run_oracle(sql: str, sf_dir: str):
     con = duckdb.connect()
     try:
+        # Pin DuckDB's TimeZone: with ICU loaded, TIMESTAMPTZ→TIMESTAMP
+        # renderings (e.g. to_timestamp(x)::TIMESTAMP) follow the
+        # process TZ env — the engine's convention (and the driver's
+        # observed behavior across four rounds of green timestamp
+        # queries) is UTC everywhere.
+        try:
+            con.execute("SET TimeZone='UTC'")
+        except Exception:  # noqa: BLE001 — no ICU ⇒ already UTC
+            pass
         for t in TESTDATA_TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
@@ -32,10 +41,23 @@ def run_oracle(sql: str, sf_dir: str):
         con.close()
 
 
-def _norm(v):
+def _norm(v, local_naive: bool = False):
     if isinstance(v, Decimal):
         return float(v)
     if isinstance(v, _dt.datetime):
+        # Compare TIMESTAMP columns as INSTANTS: PySpark's classic
+        # collect() renders TimestampType in the PROCESS-local timezone
+        # while the oracle (and an Arrow/session-tz collection, which
+        # is what the driver's behavior matches) renders UTC — same
+        # instant, different wall-clock strings under a non-UTC TZ env.
+        # local_naive=True marks values from an instant column of a
+        # Spark collect: reinterpret as local time, convert to UTC.
+        # TIMESTAMP_NTZ columns are wall-clock by definition and
+        # compare verbatim (local_naive=False). Identical under TZ=UTC.
+        if local_naive and v.tzinfo is None:
+            v = v.astimezone(_dt.timezone.utc)
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc)
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, _dt.date):
         return v.isoformat()
@@ -44,10 +66,21 @@ def _norm(v):
     return v
 
 
-def canonical(cols: list[str], rows: list[tuple]) -> list[tuple]:
-    """Sort columns by name (driver convention), normalize values, sort rows."""
+def canonical(
+    cols: list[str],
+    rows: list[tuple],
+    instant_cols: set[str] | None = None,
+) -> list[tuple]:
+    """Sort columns by name (driver convention), normalize values, sort
+    rows. `instant_cols` names the columns whose naive datetimes are
+    process-local renderings of instants (Spark TimestampType collect
+    output) — they are converted to UTC; everything else (oracle
+    output, TIMESTAMP_NTZ) compares verbatim."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    inst = instant_cols or set()
+    out = [
+        tuple(_norm(r[i], cols[i] in inst) for i in order) for r in rows
+    ]
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
@@ -70,7 +103,14 @@ def compare_query(spark, sf_dir: str, name: str) -> tuple[bool, str]:
     if len(s_rows) != len(o_rows):
         return (False, f"row count mismatch: spark={len(s_rows)} oracle={len(o_rows)}")
 
-    sc = canonical(s_cols, s_rows)
+    from pyspark.sql.types import TimestampType
+
+    instant_cols = {
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, TimestampType)
+    }
+    sc = canonical(s_cols, s_rows, instant_cols=instant_cols)
     oc = canonical(o_cols, o_rows)
     for i, (a, b) in enumerate(zip(sc, oc)):
         if a != b:

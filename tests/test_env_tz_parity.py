@@ -18,13 +18,19 @@ import subprocess
 import sys
 import textwrap
 
-# the queries whose plans carry datetime literals / timestamp cuts
+# the queries whose plans carry datetime literals / timestamp cuts,
+# plus timestamp-RETURNING queries (their collect() output is rendered
+# in process-local wall clock — the compare must be instant-based)
 TZ_SENSITIVE = [
     "q60_stats_pruned_scan",
     "q56_asof_error_context",
     "q67_bucket_prune_proof",
     "q68_spec_evolution_prune",
     "q76_resample_gapfill",
+    "q13_rank_selfjoin",
+    "q14_lag_rolling",
+    "q22_tumbling_window",
+    "q02_minmax_probe",      # TIMESTAMP_NTZ output: must compare verbatim
 ]
 
 _CHILD = textwrap.dedent(
