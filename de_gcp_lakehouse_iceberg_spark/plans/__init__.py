@@ -36,6 +36,8 @@ from . import resize_query  # noqa: F401  (registers q81)
 from . import sketch_setops_queries  # noqa: F401  (registers q82-q83)
 from . import join_topk_queries  # noqa: F401  (registers q84-q85)
 from . import lm_hist_queries  # noqa: F401  (registers q86-q87)
+from . import probe_query  # noqa: F401  (registers q88)
+from . import json_query  # noqa: F401  (registers q89)
 
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The driver's CORRECTNESS check covers the FIRST
@@ -61,6 +63,7 @@ _GATE_PRIORITY = [
     "q81_media_resize", "q82_kmv_overlap", "q83_cm_token_freq",
     "q84_bloom_semi_join", "q85_grouped_topk",
     "q86_unigram_lm_score", "q87_hist_quantiles",
+    "q88_lsh_probe_incremental", "q89_json_extract",
     "q73_bloom_prune_proof", "q80_mor_delete_lifecycle",
     "q63_cdc_replica_sync", "q69_wap_rollback", "q75_kmv_distinct",
     "q68_spec_evolution_prune", "q67_bucket_prune_proof",
@@ -79,7 +82,7 @@ _GATE_PRIORITY = [
     # (q25_streaming_tumbling is r3-green — newest of the cohort — and
     # rides batch==stream tests; it yields its slot to the new queries)
     "q26_agg_of_agg_window",
-    "q27_row_number_ids", "q28_stddev", "q29_sessionization",
+    "q29_sessionization",
     "q30_token_stats", "q31_quality_score", "q32_lang_id",
     "q33_fingerprint", "q34_exact_dedup", "q36_simhash",
     "q38_cosine_topk", "q39_nearest_pairs", "q40_lsh_ann",
