@@ -610,6 +610,15 @@ class LakeTable:
         for `remove_orphans`)."""
         stage = subdir or uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.root, DATA_DIR, stage)
+        # The engine OWNS its parquet timestamp convention: Spark's
+        # default INT96 physical type carries NO min/max footer stats,
+        # which silently blinds column-stats file skipping on every
+        # time column when the caller hands us a vanilla session (the
+        # driver does). TIMESTAMP_MICROS keeps the stats the manifest
+        # harvests. Runtime-settable conf; no-op under tuned sessions.
+        self.spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
         transforms = [
             t for t in self.partition_transforms if t.source in df.columns
         ]
