@@ -898,32 +898,44 @@ def lsh_probe_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
+    cpus = new_docs.sparkSession.sparkContext.defaultParallelism
 
-    def _keyed(docs: DataFrame) -> DataFrame:
-        ex = doc_shingles(docs, id_col, text_col, n)
-        key_expr = (
-            char_poly_key_udf()(F.col("shingle"))
-            if hash_mode == "portable"
-            else F.xxhash64("shingle")
-        )
-        # consumed by the signature agg AND the verify stage
-        return ex.select("doc_id", key_expr.alias("key")).persist()
-
-    def _sig(keyed: DataFrame) -> DataFrame:
-        mins = [
-            (
-                F.min(
-                    (F.lit(a) * F.col("key") + F.lit(b)) % F.lit(MINHASH_P)
+    def _keyed_sig(docs: DataFrame):
+        """(keyed-or-arrays df, sig df, sets-source df) for one side.
+        Portable mode uses the ONE-Arrow-pass fast path (keys + full
+        signature per doc — no explode, no per-shingle shuffle; the
+        same path minhash_lsh_pairs measured 2x+ on)."""
+        if hash_mode == "portable":
+            base = docs.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+            )
+            if base.rdd.getNumPartitions() < cpus:
+                base = base.repartition(cpus, "doc_id")
+            dk = (
+                base.select(
+                    "doc_id",
+                    doc_keys_sig_udf(n, num_hashes)(F.col("_t")).alias("ks"),
                 )
-                if hash_mode == "portable"
-                else F.min(F.xxhash64(F.col("key"), F.lit(k)))
-            ).alias(f"h{k}")
-            for k, (a, b) in enumerate(minhash_coeffs(num_hashes))
+                .select("doc_id", "ks.keys", "ks.sig")
+                .filter(F.size("keys") > 0)
+                .persist()
+            )
+            sig = dk.select("doc_id", F.col("sig").alias("signature"))
+            sets_src = dk.select("doc_id", F.col("keys").alias("sh"))
+            return dk, sig, sets_src
+        ex = doc_shingles(docs, id_col, text_col, n)
+        keyed = ex.select(
+            "doc_id", F.xxhash64("shingle").alias("key")
+        ).persist()
+        mins = [
+            F.min(F.xxhash64(F.col("key"), F.lit(k))).alias(f"h{k}")
+            for k in range(num_hashes)
         ]
-        return keyed.groupBy("doc_id").agg(*mins).select(
+        sig = keyed.groupBy("doc_id").agg(*mins).select(
             "doc_id",
             F.array(*[f"h{k}" for k in range(num_hashes)]).alias("signature"),
         )
+        return keyed, sig, None
 
     def _bands(sig: DataFrame) -> DataFrame:
         return sig.select(
@@ -941,9 +953,10 @@ def lsh_probe_pairs(
             ).alias("band"),
         ).select("doc_id", "band.band_id", "band.band_hash")
 
-    keyed_new, keyed_cor = _keyed(new_docs), _keyed(corpus_docs)
-    nb = _bands(_sig(keyed_new)).alias("n")
-    cb = _bands(_sig(keyed_cor)).alias("c")
+    keyed_new, sig_new, sets_new = _keyed_sig(new_docs)
+    keyed_cor, sig_cor, sets_cor = _keyed_sig(corpus_docs)
+    nb = _bands(sig_new).alias("n")
+    cb = _bands(sig_cor).alias("c")
     candidates = (
         nb.join(
             cb,
@@ -959,7 +972,10 @@ def lsh_probe_pairs(
     )
     candidates.count()
 
-    def _sets(keyed: DataFrame, ids: DataFrame) -> DataFrame:
+    def _sets(keyed: DataFrame, sets_src, ids: DataFrame) -> DataFrame:
+        if sets_src is not None:
+            # fast path: the per-doc key array IS the distinct set
+            return sets_src.join(F.broadcast(ids), "doc_id", "left_semi")
         return (
             keyed.join(F.broadcast(ids), "doc_id", "left_semi")
             .groupBy("doc_id")
@@ -967,10 +983,11 @@ def lsh_probe_pairs(
         )
 
     sn = _sets(
-        keyed_new, candidates.select(F.col("new_id").alias("doc_id")).distinct()
+        keyed_new, sets_new,
+        candidates.select(F.col("new_id").alias("doc_id")).distinct(),
     ).select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_n"))
     sc = _sets(
-        keyed_cor,
+        keyed_cor, sets_cor,
         candidates.select(F.col("corpus_id").alias("doc_id")).distinct(),
     ).select(F.col("doc_id").alias("corpus_id"), F.col("sh").alias("sh_c"))
     inter = F.size(F.array_intersect(F.col("sh_n"), F.col("sh_c")))
