@@ -1,0 +1,162 @@
+"""Maintained MinHash signature index — the persisted corpus side of
+the incremental dedup probe (`operators/dedup.lsh_probe_pairs`).
+
+This is the reference's continuous-ingestion posture
+(`main.py:362-370`: every arriving batch lands transactionally in the
+lakehouse) applied to the dedup index: instead of re-signing the whole
+corpus on every incoming batch (O(corpus) text re-reads per batch —
+q88's standalone shape), the per-document (keys, sig) rows live in a
+snapshot-versioned LakeTable that ingest UPDATES and probes READ.
+
+Guarantees:
+- **Exactly-once ingest** via write-audit-publish: `append(wap=True)`
+  stages the batch's signature rows, audits the staged row count
+  against the batch, then publishes — a crash before publish leaves the
+  index untouched (staged files are invisible and GC-able).
+- **Snapshot consistency**: probes run against one index snapshot;
+  concurrent appends create new versions, never mutate what a running
+  probe reads. Time travel (`version=`) reproduces any historical
+  probe.
+- **Family pinning**: the (n, num_hashes) MinHash family is recorded in
+  `index.json` at create time and re-checked on load/probe — a probe
+  with mismatched constants would silently return garbage candidates,
+  so it raises instead.
+
+Scale: the index stores one row per document (8-byte id + key/sig
+arrays), ~1-2% the bytes of the corpus text. Probe cost is
+O(batch × collisions) — independent of corpus text size, which is the
+whole point at 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import lsh_probe_pairs, signature_index
+from .table import LakeTable
+
+_CONFIG = "index.json"
+
+
+class SignatureIndex:
+    """A LakeTable of (doc_id, keys array<long>, sig array<long>)
+    rows in the portable MinHash family, maintained transactionally."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+        with open(os.path.join(self.root, _CONFIG)) as f:
+            cfg = json.load(f)
+        self.n: int = cfg["n"]
+        self.num_hashes: int = cfg["num_hashes"]
+        self.table = LakeTable.load(spark, self.root)
+
+    # -- lifecycle -----------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        n: int = 3,
+        num_hashes: int = 64,
+    ) -> "SignatureIndex":
+        root = os.path.abspath(root)
+        LakeTable.create(spark, root)
+        cfg = {"n": n, "num_hashes": num_hashes, "family": "portable"}
+        tmp = os.path.join(root, _CONFIG + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(cfg, f)
+        os.replace(tmp, os.path.join(root, _CONFIG))
+        return cls(spark, root)
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "SignatureIndex":
+        return cls(spark, root)
+
+    # -- ingest --------------------------------------------------------
+    def append(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        wap: bool = True,
+    ) -> dict:
+        """Sign `docs` (one Arrow pass) and add the rows to the index.
+
+        wap=True is the exactly-once path: stage → audit (staged
+        signature count == signable batch count; any mismatch means a
+        partial/duplicated write and the stage is discarded) → publish.
+        Returns {"rows": n, "version": v, "wap_id": ...}."""
+        sigs = signature_index(
+            docs, id_col, text_col, self.n, self.num_hashes
+        )
+        if not wap:
+            snap = self.table.append(sigs, operation="index_append")
+            return {"rows": snap.summary.get("added_rows"),
+                    "version": snap.version, "wap_id": None}
+        wap_id = self.table.stage_append(sigs)
+        staged = self.table.scan_staged(wap_id, include_base=False)
+        n_staged = staged.count()
+        n_batch = sigs.count()
+        if n_staged != n_batch:
+            self.table.discard_staged(wap_id)
+            raise RuntimeError(
+                f"index ingest audit failed: staged {n_staged} rows, "
+                f"batch signs to {n_batch} — stage discarded"
+            )
+        snap = self.table.publish(wap_id)
+        return {"rows": n_staged, "version": snap.version, "wap_id": wap_id}
+
+    # -- read / probe --------------------------------------------------
+    def df(self, version: int | None = None) -> DataFrame:
+        return self.table.scan(version=version)
+
+    def probe(
+        self,
+        new_docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        bands: int = 32,
+        threshold: float = 0.5,
+        version: int | None = None,
+    ) -> DataFrame:
+        """(new_id, corpus_id, jaccard) — the incoming batch against the
+        STORED signatures of one index snapshot. The corpus text is
+        never touched; band hashes and the exact-Jaccard verify both
+        come from the stored (keys, sig) rows."""
+        return lsh_probe_pairs(
+            new_docs,
+            None,
+            id_col=id_col,
+            text_col=text_col,
+            n=self.n,
+            num_hashes=self.num_hashes,
+            bands=bands,
+            threshold=threshold,
+            hash_mode="portable",
+            corpus_index=self.df(version=version),
+        )
+
+    def dedup_batch(
+        self,
+        new_docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        bands: int = 32,
+        threshold: float = 0.5,
+    ) -> DataFrame:
+        """The full continual-ingestion step: probe, drop batch docs
+        that near-dup the corpus, ingest the survivors' signatures
+        (WAP), and return the surviving docs."""
+        hits = (
+            self.probe(new_docs, id_col, text_col, bands, threshold)
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        kept = new_docs.join(hits, id_col, "left_anti").localCheckpoint()
+        self.append(kept, id_col, text_col, wap=True)
+        return kept

@@ -870,9 +870,34 @@ def band_hash_col(sig_col: str, bi: int, r: int, hash_mode: str) -> Column:
     return F.xxhash64(*members)
 
 
+def signature_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """Persistable per-document signature rows for the PORTABLE MinHash
+    family: (doc_id, keys: sorted distinct char-poly shingle keys,
+    sig: MinHash signature). One Arrow pass per partition — the exact
+    dataset `lsh_probe_pairs(hash_mode="portable")` derives internally,
+    factored out so a deployment can MAINTAIN it as a table
+    (lakehouse/dedup_index.SignatureIndex) instead of re-signing the
+    corpus on every incoming batch. Empty/None-text docs are dropped
+    (no shingles ⇒ can never pair)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            doc_keys_sig_udf(n, num_hashes)(F.col(text_col)).alias("ks"),
+        )
+        .select("doc_id", "ks.keys", "ks.sig")
+        .filter(F.size("keys") > 0)
+    )
+
+
 def lsh_probe_pairs(
     new_docs: DataFrame,
-    corpus_docs: DataFrame,
+    corpus_docs: DataFrame | None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
@@ -880,6 +905,7 @@ def lsh_probe_pairs(
     bands: int = 32,
     threshold: float = 0.5,
     hash_mode: str = "xxhash64",
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """ASYMMETRIC LSH probe — which NEW documents are near-dups of the
     EXISTING corpus. The continual-ingestion dedup path: each incoming
@@ -887,16 +913,30 @@ def lsh_probe_pairs(
     the corpus is NEVER re-paired against itself (minhash_lsh_pairs'
     self-join is O(corpus²) candidate space; the probe's candidate space
     is O(batch x collisions), the whole point of an incremental index).
-    In a deployment the corpus side's signatures/bands would be a
-    maintained table; here they are computed from `corpus_docs` with the
-    identical family, so `hash_mode="portable"` keeps the pipeline
-    DuckDB-replayable (q88).
+
+    The corpus side is either `corpus_docs` (signed on the fly with the
+    identical family — `hash_mode="portable"` keeps that pipeline
+    DuckDB-replayable, q88) or `corpus_index` — a MAINTAINED
+    `signature_index` table (doc_id, keys, sig), the deployment shape:
+    band hashes fold from the stored signature and the exact-Jaccard
+    verify reuses the stored key arrays, so the corpus text is never
+    re-read (q90; lakehouse/dedup_index.SignatureIndex persists it with
+    WAP exactly-once ingest).
 
     Returns (new_id, corpus_id, jaccard) for exact-verified pairs with
     Jaccard ≥ threshold.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
+    if (corpus_docs is None) == (corpus_index is None):
+        raise ValueError(
+            "exactly one of corpus_docs / corpus_index must be given"
+        )
+    if corpus_index is not None and hash_mode != "portable":
+        raise ValueError(
+            "corpus_index stores the portable family — pass "
+            'hash_mode="portable"'
+        )
     r = num_hashes // bands
     cpus = new_docs.sparkSession.sparkContext.defaultParallelism
 
@@ -954,7 +994,17 @@ def lsh_probe_pairs(
         ).select("doc_id", "band.band_id", "band.band_hash")
 
     keyed_new, sig_new, sets_new = _keyed_sig(new_docs)
-    keyed_cor, sig_cor, sets_cor = _keyed_sig(corpus_docs)
+    if corpus_index is not None:
+        dk_cor = (
+            corpus_index.select("doc_id", "keys", "sig")
+            .filter(F.size("keys") > 0)
+            .persist()
+        )
+        keyed_cor = dk_cor
+        sig_cor = dk_cor.select("doc_id", F.col("sig").alias("signature"))
+        sets_cor = dk_cor.select("doc_id", F.col("keys").alias("sh"))
+    else:
+        keyed_cor, sig_cor, sets_cor = _keyed_sig(corpus_docs)
     nb = _bands(sig_new).alias("n")
     cb = _bands(sig_cor).alias("c")
     candidates = (
@@ -973,6 +1023,14 @@ def lsh_probe_pairs(
     candidates.count()
 
     def _sets(keyed: DataFrame, sets_src, ids: DataFrame) -> DataFrame:
+        # The broadcast below ships only candidate DOC IDS (8 bytes
+        # each), never key arrays: bounded by O(batch × band
+        # collisions) ids — the incremental-batch contract. A
+        # pathological batch where everything collides with everything
+        # inflates this toward |batch|·|corpus| ids; at the default
+        # 10 MB broadcast threshold Spark would refuse long before
+        # memory is at risk, and dropping the hint degrades gracefully
+        # to a shuffled left_semi. Deliberately not capped harder.
         if sets_src is not None:
             # fast path: the per-doc key array IS the distinct set
             return sets_src.join(F.broadcast(ids), "doc_id", "left_semi")

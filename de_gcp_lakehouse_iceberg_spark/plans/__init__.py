@@ -36,7 +36,7 @@ from . import resize_query  # noqa: F401  (registers q81)
 from . import sketch_setops_queries  # noqa: F401  (registers q82-q83)
 from . import join_topk_queries  # noqa: F401  (registers q84-q85)
 from . import lm_hist_queries  # noqa: F401  (registers q86-q87)
-from . import probe_query  # noqa: F401  (registers q88)
+from . import probe_query  # noqa: F401  (registers q88, q90)
 from . import json_query  # noqa: F401  (registers q89)
 
 # ---------------------------------------------------------------------------

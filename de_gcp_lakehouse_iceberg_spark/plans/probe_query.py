@@ -1,5 +1,8 @@
-"""q88 — incremental corpus dedup: asymmetric LSH probe of a NEW batch
-against an EXISTING corpus (operators/dedup.lsh_probe_pairs).
+"""q88/q90 — incremental corpus dedup: asymmetric LSH probe of a NEW
+batch against an EXISTING corpus (operators/dedup.lsh_probe_pairs).
+q88 signs the corpus on the fly; q90 probes the PERSISTED
+SignatureIndex LakeTable (lakehouse/dedup_index.py) — same oracle, so
+q90 green proves stored-index == recomputed.
 
 Scenario shape: the corpus is the even-doc_id half of `documents`; the
 incoming batch is a quarter of the odd docs PLUS verbatim copies of
@@ -88,9 +91,11 @@ def _side_sql(cte: str, source: str) -> str:
     """
 
 
-@register(
-    "q88_lsh_probe_incremental",
-    oracle=f"""
+# Shared by q88 (standalone probe: corpus re-signed per call) and q90
+# (probe against the STORED SignatureIndex LakeTable): the oracle
+# recomputes everything from text, so q90's hash-green row IS the proof
+# that probe-vs-stored == probe-vs-recomputed.
+_PROBE_ORACLE = f"""
     WITH corpus_side AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
     new_side AS (
@@ -120,9 +125,10 @@ def _side_sql(cte: str, source: str) -> str:
     WHERE CAST(i.common AS DOUBLE) / (sn.nk + sc.nk - i.common)
           >= {_THRESH}
     ORDER BY i.new_id, i.corpus_id
-    """,
-)
-def q88_lsh_probe_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     new_batch = docs.filter(F.col("doc_id") % 4 == 1).unionByName(
@@ -130,6 +136,22 @@ def q88_lsh_probe_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + _NEW_ID_OFFSET).alias("doc_id"), "text"
         )
     )
+    return corpus, new_batch
+
+
+def _rounded(pairs: DataFrame) -> DataFrame:
+    return pairs.select(
+        "new_id",
+        "corpus_id",
+        (F.floor(F.col("jaccard") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+            "jaccard"
+        ),
+    ).orderBy("new_id", "corpus_id")
+
+
+@register("q88_lsh_probe_incremental", oracle=_PROBE_ORACLE)
+def q88_lsh_probe_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, new_batch = _sides(spark, sf_dir)
     pairs = lsh_probe_pairs(
         new_batch,
         corpus,
@@ -138,10 +160,30 @@ def q88_lsh_probe_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_THRESH,
         hash_mode="portable",
     )
-    return pairs.select(
-        "new_id",
-        "corpus_id",
-        (F.floor(F.col("jaccard") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
-            "jaccard"
-        ),
-    ).orderBy("new_id", "corpus_id")
+    return _rounded(pairs)
+
+
+@register("q90_signature_index_probe", oracle=_PROBE_ORACLE)
+def q90_signature_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q88's probe run the DEPLOYMENT way: the corpus signatures are
+    PERSISTED in a SignatureIndex LakeTable (WAP exactly-once ingest,
+    lakehouse/dedup_index.py) and the probe reads the STORED (keys,
+    sig) rows — corpus text untouched. Identical oracle to q88
+    (recomputed from text), so hash-green here proves stored-index ==
+    recomputed end to end."""
+    import os
+    import shutil
+
+    from ..lakehouse.dedup_index import SignatureIndex
+
+    corpus, new_batch = _sides(spark, sf_dir)
+    root = os.path.join(
+        "/tmp/lakehouse_sig_index",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    idx = SignatureIndex.create(spark, root, n=3, num_hashes=_NH)
+    idx.append(corpus, wap=True)
+    return _rounded(
+        idx.probe(new_batch, bands=_BANDS, threshold=_THRESH)
+    )
