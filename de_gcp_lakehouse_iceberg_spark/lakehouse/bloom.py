@@ -25,6 +25,7 @@ negatives: every row's positions were OR-ed in).
 from __future__ import annotations
 
 import base64
+import functools as _functools
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -54,7 +55,11 @@ def _h_str_py(s: str) -> tuple[int, int]:
     return (h * _A1 + _B1) % _P, (h * _A2 + _B2) % _P
 
 
+@_functools.lru_cache(maxsize=1 << 17)
 def _positions_py(value, bits: int, k: int) -> list[int]:
+    # cached: a join-driven "in" probe re-checks the SAME key set
+    # against every file's bloom — positions depend only on
+    # (value, bits, k), so hash once per key, not once per (key, file)
     if isinstance(value, str):
         h1, h2 = _h_str_py(value)
     else:

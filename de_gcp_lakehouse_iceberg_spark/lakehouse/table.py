@@ -108,7 +108,7 @@ def _footer_stats(meta) -> dict[str, list]:
     return acc
 
 
-_PRUNE_OPS = {"=", "==", "<", "<=", ">", ">="}
+_PRUNE_OPS = {"=", "==", "<", "<=", ">", ">=", "in"}
 
 
 def _file_may_match(entry: "FileEntry", col: str, op: str, value) -> bool:
@@ -148,9 +148,8 @@ def _file_survives(
     from .bloom import bloom_may_contain
     from .transforms import parse_spec
 
-    for col, op, value in where or []:
-        if op not in _PRUNE_OPS:
-            raise ValueError(f"unsupported prune op {op!r}")
+    def _one(col: str, op: str, value) -> bool:
+        """Survival under a single scalar conjunct."""
         if not _file_may_match(entry, col, op, value):
             return False
         # bloom skipping: equality probes on high-cardinality columns
@@ -168,6 +167,23 @@ def _file_survives(
                 continue
             if not t.prune(op, value, entry.partition[t.name]):
                 return False
+        return True
+
+    for col, op, value in where or []:
+        if op not in _PRUNE_OPS:
+            raise ValueError(f"unsupported prune op {op!r}")
+        if op == "in":
+            # join-driven runtime filter (FR-008 pushdown analog): the
+            # value is a bounded key SET harvested from a dimension-side
+            # query. The file survives iff SOME key could live in it —
+            # each key runs the FULL per-key check (stats ∧ bloom ∧
+            # partition transforms) so a key passing stats in one file
+            # and bloom in another never keeps a third.
+            if not any(_one(col, "=", k) for k in value):
+                return False
+            continue
+        if not _one(col, op, value):
+            return False
     return True
 
 
@@ -944,7 +960,12 @@ class LakeTable:
         returned rows are identical with or without stats."""
         import datetime as _dt
 
-        if any(isinstance(v, _dt.datetime) for _, _, v in (where or [])):
+        def _has_dt(v):
+            if isinstance(v, (list, tuple, set)):
+                return any(isinstance(x, _dt.datetime) for x in v)
+            return isinstance(v, _dt.datetime)
+
+        if any(_has_dt(v) for _, _, v in (where or [])):
             # Manifest pruning treats naive datetimes as UTC. Pin the
             # session tz too so literal rendering agrees end-to-end.
             self.spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -969,7 +990,11 @@ class LakeTable:
         for col, op, raw in where or []:
             from pyspark.sql import functions as F
 
-            c, value = F.col(col), _utc(raw)
+            c = F.col(col)
+            if op == "in":
+                df = df.filter(c.isin([_utc(v) for v in raw]))
+                continue
+            value = _utc(raw)
             df = df.filter(
                 {"=": c == value, "==": c == value, "<": c < value,
                  "<=": c <= value, ">": c > value, ">=": c >= value}[op]

@@ -1,0 +1,92 @@
+"""Join-driven file skipping (lakehouse/runtime_filter.py + the `in`
+prune op): pruned reads return identical rows to unpruned, the harvest
+is bounded, and stats/bloom both participate per key."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from de_gcp_lakehouse_iceberg_spark.lakehouse import LakeTable
+from de_gcp_lakehouse_iceberg_spark.lakehouse.bloom import add_bloom_filters
+from de_gcp_lakehouse_iceberg_spark.lakehouse.runtime_filter import (
+    harvest_keys,
+    scan_with_join_filter,
+)
+
+
+def _fact(spark, tmp_path, stripes=8, rows=400):
+    """Range-clustered fact: file i holds ids [i*50, (i+1)*50)."""
+    t = LakeTable.create(spark, str(tmp_path / "fact"))
+    df = spark.range(rows).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    w = rows // stripes
+    for i in range(stripes):
+        t.append(
+            df.filter((F.col("k") / w).cast("long") == i).coalesce(1)
+        )
+    return t, df, w
+
+
+def test_in_prune_matches_full_scan_rows(spark, tmp_path):
+    t, df, w = _fact(spark, tmp_path)
+    keys = [3, 57, 311]
+    _s, planned = t.plan_files(where=[("k", "in", keys)])
+    # range clustering: exactly the 3 covering files survive on stats
+    assert len(planned) == 3
+    got = sorted(r["k"] for r in t.scan(where=[("k", "in", keys)]).collect())
+    assert got == keys
+
+
+def test_bloom_prunes_within_range(spark, tmp_path):
+    # ids stride by 10 → file ranges cover everything, but any key
+    # not ≡ 0 (mod 10) is absent: stats keep the covering file, the
+    # bloom must drop it
+    t = LakeTable.create(spark, str(tmp_path / "fact"))
+    df = spark.range(100).select((F.col("id") * 10).alias("k"))
+    for i in range(4):
+        t.append(
+            df.filter((F.col("k") / 250).cast("long") == i).coalesce(1)
+        )
+    _s, stats_only = t.plan_files(where=[("k", "in", [15])])
+    assert len(stats_only) == 1  # range covers 15
+    add_bloom_filters(t, ["k"], bits=65536, k=5)
+    _s, with_bloom = t.plan_files(where=[("k", "in", [15])])
+    assert len(with_bloom) == 0  # bloom proves absence
+    # a real key still survives and reads
+    _s, hit = t.plan_files(where=[("k", "in", [150])])
+    assert len(hit) == 1
+    assert t.scan(where=[("k", "in", [150])]).count() == 1
+
+
+def test_scan_with_join_filter_equals_join(spark, tmp_path):
+    t, df, w = _fact(spark, tmp_path)
+    add_bloom_filters(t, ["k"], bits=65536, k=5)
+    dim = spark.range(12).select((F.col("id") * 31 % 400).alias("key"))
+    got, info = scan_with_join_filter(t, "k", dim, "key")
+    expect = df.join(dim, df["k"] == dim["key"], "left_semi")
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in expect.collect()
+    )
+    assert info["files_total"] == 8
+    assert 0 < info["files_planned"] <= 8
+    assert info["n_keys"] == dim.select("key").distinct().count()
+
+
+def test_harvest_is_bounded_and_null_free(spark):
+    dim = spark.range(50).select(
+        F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id")).alias("k")
+    )
+    keys = harvest_keys(dim, "k", max_keys=100)
+    assert len(keys) == 40 and None not in keys
+    with pytest.raises(ValueError, match="max_keys"):
+        harvest_keys(spark.range(1000).select(F.col("id").alias("k")), "k",
+                     max_keys=100)
+
+
+def test_empty_key_set_prunes_everything(spark, tmp_path):
+    t, df, w = _fact(spark, tmp_path)
+    _s, planned = t.plan_files(where=[("k", "in", [])])
+    assert planned == []
+    assert t.scan(where=[("k", "in", [])]).count() == 0
