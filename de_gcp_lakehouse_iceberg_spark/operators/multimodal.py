@@ -392,3 +392,129 @@ def sample_frames(
             ).alias("frame"),
         )
     )
+
+
+# -- perceptual image hashing (dHash) --------------------------------------
+# 56-bit difference hash: 8 horizontal gradient signs x 7 rows over an
+# integer-grayscale nearest-neighbor downsample. Everything is integer
+# arithmetic (gray = (r+g+b)//3, the same floor-division index gather
+# resize_media uses), so the hash is bit-identical across engines and
+# the q92 oracle recomputes it from raw pixel formulas. 56 < 63 bits
+# keeps the value positive in a signed long — band extraction below
+# never touches the sign bit.
+DHASH_W = 8   # bits per row (samples W+1 columns)
+DHASH_H = 7   # rows
+
+
+def dhash_long(payload: bytes, width: int, height: int) -> int:
+    """Reference (single-image) dHash — the spec the vectorized batch
+    path and the SQL oracle both match bit-for-bit."""
+    import numpy as np
+
+    img = np.frombuffer(payload, dtype=np.uint8).reshape(height, width, 3)
+    gray = img.astype(np.int64).sum(axis=2) // 3
+    ys = (np.arange(DHASH_H) * height) // DHASH_H
+    xs = (np.arange(DHASH_W + 1) * width) // (DHASH_W + 1)
+    g = gray[ys][:, xs]  # (DHASH_H, DHASH_W+1)
+    bits = g[:, :-1] > g[:, 1:]  # horizontal gradient signs
+    h = 0
+    for y in range(DHASH_H):
+        for x in range(DHASH_W):
+            if bits[y, x]:
+                h |= 1 << (y * DHASH_W + x)
+    return h
+
+
+def dhash_media(media: DataFrame, on_unsupported: str = "error") -> DataFrame:
+    """(media_id, dhash) for raw_rgb payloads via mapInPandas — the
+    perceptual fingerprint feeding `dhash_near_pairs`. Compressed
+    containers follow the same codec-stub policy as resize_media
+    ("error" | "skip"). Zero shuffle; one numpy gather per image."""
+    if on_unsupported not in ("error", "skip"):
+        raise ValueError(f"bad on_unsupported {on_unsupported!r}")
+
+    def _batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, hashes = [], []
+            for mid, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                w = meta.get("width") if meta is not None else None
+                h = meta.get("height") if meta is not None else None
+                ok = (
+                    kind == "raw_rgb" and payload is not None
+                    and w and h and len(payload) == w * h * 3
+                )
+                if not ok:
+                    if on_unsupported == "error":
+                        raise NotImplementedError(
+                            f"dhash of kind={kind!r} needs a pixel codec "
+                            "(integration point) — decode to raw_rgb first "
+                            "or pass on_unsupported='skip'."
+                        )
+                    continue
+                ids.append(mid)
+                hashes.append(dhash_long(bytes(payload), int(w), int(h)))
+            if ids:
+                yield pd.DataFrame({"media_id": ids, "dhash": hashes})
+
+    return media.select("media_id", "kind", "payload", "meta").mapInPandas(
+        _batches, schema="media_id bigint, dhash bigint"
+    )
+
+
+def dhash_near_pairs(
+    sigs: DataFrame, bands: int = 4, max_distance: int = 6
+) -> DataFrame:
+    """Hamming-banded near-duplicate image pairs from dHash signatures:
+    the 56 bits split into `bands` contiguous bands; images sharing ANY
+    band value become candidates (guaranteed recall for distance <
+    bands; probabilistic above — standard LSH tradeoff), then the exact
+    popcount(xor) verify keeps pairs with distance ≤ max_distance.
+
+    Scale: the self-join is on (band_id, band_value) buckets — no
+    all-pairs; bucket skew only arises from genuinely identical image
+    regions, which ARE the duplicates being hunted."""
+    total_bits = DHASH_W * DHASH_H
+    if total_bits % bands:
+        raise ValueError("bands must divide the 56 signature bits")
+    bw = total_bits // bands
+    mask = (1 << bw) - 1
+    banded = sigs.select(
+        F.col("media_id"),
+        F.col("dhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band_id"),
+                    F.shiftright(F.col("dhash"), j * bw)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("band_val"),
+                )
+                for j in range(bands)
+            ])
+        ).alias("b"),
+    ).select("media_id", "dhash", "b.band_id", "b.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select(
+        "media_a", "media_b", dist.cast("long").alias("distance")
+    ).filter(F.col("distance") <= max_distance)

@@ -220,3 +220,95 @@ def test_pcm_resample_unsupported_stub(spark):
     assert multimodal.pcm_resample(
         mp3ish, 16000, on_unsupported="skip"
     ).count() == 0
+
+
+# -- perceptual hashing (dHash) -------------------------------------------
+def _rgb_payload(arr):
+    import numpy as np
+
+    return np.asarray(arr, dtype=np.uint8).tobytes()
+
+
+def test_dhash_matches_reference_and_finds_planted_dups(spark):
+    import numpy as np
+
+    from de_gcp_lakehouse_iceberg_spark.operators.multimodal import (
+        dhash_long,
+        dhash_media,
+        dhash_near_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 240, size=(12, 16, 3))
+    near = base.copy()
+    near[5, 7] = (near[5, 7] + 40) % 240  # a few-pixel edit
+    far = rng.randint(0, 240, size=(12, 16, 3))
+    rows = [
+        (1, "raw_rgb", _rgb_payload(base), {"width": 16, "height": 12,
+                                            "sample_rate": None,
+                                            "n_bytes": 16 * 12 * 3}),
+        (2, "raw_rgb", _rgb_payload(near), {"width": 16, "height": 12,
+                                            "sample_rate": None,
+                                            "n_bytes": 16 * 12 * 3}),
+        (3, "raw_rgb", _rgb_payload(far), {"width": 16, "height": 12,
+                                           "sample_rate": None,
+                                           "n_bytes": 16 * 12 * 3}),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id bigint, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_bytes:bigint>",
+    )
+    sigs = {r["media_id"]: r["dhash"] for r in dhash_media(media).collect()}
+    # Spark path == single-image reference implementation
+    assert sigs[1] == dhash_long(_rgb_payload(base), 16, 12)
+    assert 0 <= sigs[1] < (1 << 56)
+    pairs = {
+        (r["media_a"], r["media_b"]): r["distance"]
+        for r in dhash_near_pairs(
+            dhash_media(media), max_distance=10
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 10  # planted near-dup
+    assert (1, 3) not in pairs and (2, 3) not in pairs  # unrelated
+
+
+def test_dhash_identical_images_distance_zero(spark):
+    import numpy as np
+
+    from de_gcp_lakehouse_iceberg_spark.operators.multimodal import (
+        dhash_media,
+        dhash_near_pairs,
+    )
+
+    img = np.arange(10 * 8 * 3, dtype=np.uint8).reshape(8, 10, 3) % 240
+    rows = [
+        (i, "raw_rgb", _rgb_payload(img),
+         {"width": 10, "height": 8, "sample_rate": None, "n_bytes": 240})
+        for i in (1, 2)
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id bigint, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_bytes:bigint>",
+    )
+    out = dhash_near_pairs(dhash_media(media)).collect()
+    assert len(out) == 1 and out[0]["distance"] == 0
+
+
+def test_dhash_codec_stub_policy(spark):
+    import pytest
+
+    from de_gcp_lakehouse_iceberg_spark.operators.multimodal import (
+        dhash_media,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "jpeg", b"\xff\xd8\xff", {"width": None, "height": None,
+                                       "sample_rate": None, "n_bytes": 3})],
+        "media_id bigint, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_bytes:bigint>",
+    )
+    with pytest.raises(Exception, match="pixel codec"):
+        dhash_media(media).collect()
+    assert dhash_media(media, on_unsupported="skip").count() == 0
