@@ -205,3 +205,91 @@ def unigram_doc_scores(
             ).alias("score"),
         )
     )
+
+
+def bigram_doc_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Interpolated bigram language-model quality score — the fidelity
+    step up from `unigram_doc_scores` toward CCNet's n-gram (KenLM)
+    perplexity filter: per transition i,
+        p_i = λ·p(tᵢ | tᵢ₋₁) + (1−λ)·p(tᵢ),
+    with p(tᵢ|tᵢ₋₁) = c(tᵢ₋₁,tᵢ)/c_head(tᵢ₋₁) and p(tᵢ) = c(tᵢ)/N,
+    all estimated per language from the scored corpus itself (every
+    corpus bigram is seen, so p_i > 0; interpolation still smooths
+    rare-head transitions toward the unigram floor).
+
+    score(doc) = mean over its transitions of log2 p_i. Cross-engine
+    determinism follows the q86 recipe exactly: ratios of exact ints
+    (IEEE division), λ = 0.75 binary-exact, per-transition log2
+    quantized to 6dp, per-doc accumulation an exact decimal sum —
+    order-independent and DuckDB-replayable (q93).
+
+    Scale: bigrams are built with array ops (slice + arrays_zip —
+    zero joins, zero extra shuffles per doc); the model side is two
+    vocabulary-scale aggregations (bigram counts, head counts) plus
+    the unigram table, then ONE key-partitioned join of the exploded
+    transitions against the bigram score table.
+
+    Returns (id_col, lang_col, n_bigrams, score).
+    """
+    from ..functions.text import tokens
+
+    arr = docs.select(
+        F.col(id_col), F.col(lang_col), tokens(text_col).alias("t")
+    ).filter(F.size("t") >= 2)
+    bg = arr.select(
+        id_col,
+        lang_col,
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.size("t") - 1).alias("p"),
+                F.slice(F.col("t"), 2, F.size("t") - 1).alias("c"),
+            )
+        ).alias("b"),
+    ).select(id_col, lang_col, F.col("b.p").alias("p"), F.col("b.c").alias("c"))
+
+    toks = docs.select(
+        F.col(lang_col), F.explode(tokens(text_col)).alias("tok")
+    )
+    uc = toks.groupBy(lang_col, "tok").agg(F.count(F.lit(1)).alias("cu"))
+    un = uc.groupBy(lang_col).agg(F.sum("cu").alias("n"))
+    bgc = bg.groupBy(lang_col, "p", "c").agg(F.count(F.lit(1)).alias("cb"))
+    hc = bg.groupBy(lang_col, "p").agg(F.count(F.lit(1)).alias("ch"))
+
+    prob = (
+        F.lit(lam) * (F.col("cb") / F.col("ch"))
+        + F.lit(1.0 - lam) * (F.col("cu") / F.col("n"))
+    )
+    lp = (
+        bgc.join(hc, [lang_col, "p"])
+        .join(uc.withColumnRenamed("tok", "c"), [lang_col, "c"])
+        .join(un, lang_col)
+        .select(
+            lang_col,
+            "p",
+            "c",
+            (F.floor(F.log2(prob) * 1_000_000 + F.lit(0.5)) / 1_000_000)
+            .alias("lp_q"),
+        )
+    )
+    return (
+        bg.join(lp, [lang_col, "p", "c"])
+        .groupBy(id_col, lang_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.floor(
+                    F.sum(F.col("lp_q").cast("decimal(28,6)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 1_000_000
+                    + F.lit(0.5)
+                )
+                / 1_000_000
+            ).alias("score"),
+        )
+    )

@@ -38,6 +38,9 @@ from . import join_topk_queries  # noqa: F401  (registers q84-q85)
 from . import lm_hist_queries  # noqa: F401  (registers q86-q87)
 from . import probe_query  # noqa: F401  (registers q88, q90)
 from . import json_query  # noqa: F401  (registers q89)
+from . import runtime_filter_query  # noqa: F401  (registers q91)
+from . import dhash_query  # noqa: F401  (registers q92)
+from . import bigram_query  # noqa: F401  (registers q93)
 
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The driver's CORRECTNESS check covers the FIRST
