@@ -105,22 +105,39 @@ def ngram_jaccard_pairs(
     Complete for threshold > 0 (any qualifying pair shares ≥1 shingle, so
     the inverted-index join surfaces it) — unlike LSH this is exact, at
     the cost of the shingle self-join fan-out (see module docstring).
+
+    Hot path: per-doc distinct 62-bit shingle keys in ONE Arrow pass
+    (`doc_keys2_udf` — no string explode, no per-shingle string
+    shuffle; the q88-proven signing shape). Only 8-byte keys are
+    exploded for the inverted-index join, and set sizes come free from
+    the arrays. A cross-shingle key collision (≈ d²/2⁶² for d distinct
+    shingles — ~1e-9 at sf0.1) would overcount one pair's intersection
+    by 1; accepted, same class as the xxhash64 key it replaces.
     """
-    ex = doc_shingles(docs, id_col, text_col, n, max_df)
+    cpus = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+    )
+    if base.rdd.getNumPartitions() < cpus:
+        base = base.repartition(cpus, "doc_id")
+    # persist the signed arrays: the inverted-index self-join (and the
+    # df-cap pre-pass) would otherwise re-run the Arrow signing once
+    # per consumer
+    dk = base.select(
+        "doc_id", doc_keys2_udf(n)(F.col("_t")).alias("keys")
+    ).persist()
+    ex = dk.select("doc_id", F.explode("keys").alias("sh"))
     if max_df is None:
-        # set size straight from the array — no second aggregation over
-        # the exploded rows
-        sizes = docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.size(F.array_distinct(shingles(text_col, n))).alias("n_shingles"),
+        sizes = dk.select(
+            "doc_id", F.size("keys").alias("n_shingles")
         )
     else:
+        df_counts = ex.groupBy("sh").agg(F.count("*").alias("_df"))
+        ex = ex.join(df_counts.filter(F.col("_df") <= max_df), "sh").select(
+            "doc_id", "sh"
+        )
         sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    # join on a 64-bit shingle hash: the shuffle moves 8-byte keys
-    # instead of ~25-byte strings and compares longs. A cross-shingle
-    # xxhash64 collision (≈ d²/2⁶⁵ for d distinct shingles — ~1e-9 at
-    # sf0.1) would overcount one pair's intersection by 1; accepted.
-    exh = ex.select("doc_id", F.xxhash64("shingle").alias("sh"))
+    exh = ex
     a = exh.alias("a")
     b = exh.alias("b")
     common = (
@@ -206,6 +223,93 @@ def char_poly_key_udf():
     return key
 
 
+# second polynomial family for the 62-bit combined shingle key used by
+# the exact-Jaccard fast path: key = h31(s)·P2 + h37(s) with h37 a
+# base-37 fold mod P2. Two ~31-bit polynomial hashes give a ~2⁻⁶²
+# cross-shingle collision bound — the same class as the xxhash64 join
+# key the slow path used, far beyond any corpus size here.
+JACCARD_BASE2 = 37
+JACCARD_P2 = 2147483629
+
+
+def _char_poly2_batch(strings: list[str]) -> "np.ndarray":
+    """Vectorized dual char-poly hash → combined 62-bit keys.
+    Same masked-pass structure as `_char_poly_batch`, two accumulators
+    per pass; acc·37 + cp < 2^37 and h1·P2 + h2 < 2^63 — int64 exact."""
+    n = len(strings)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    lens = np.fromiter((len(s) for s in strings), dtype=np.int64, count=n)
+    flat = np.frombuffer(
+        "".join(strings).encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    h1 = np.zeros(n, dtype=np.int64)
+    h2 = np.zeros(n, dtype=np.int64)
+    for j in range(int(lens.max()) if n else 0):
+        valid = lens > j
+        cp = flat[starts[valid] + j]
+        h1[valid] = (h1[valid] * SIMHASH_BASE + cp) % SIMHASH_MOD
+        h2[valid] = (h2[valid] * JACCARD_BASE2 + cp) % JACCARD_P2
+    return h1 * JACCARD_P2 + h2
+
+
+def _batch_shingles(texts: list, n: int) -> tuple[list[str], "np.ndarray"]:
+    """Flattened per-doc distinct n-token shingles + per-doc counts —
+    mirrors functions.text.shingles/tokens exactly (split on single
+    space keeps empties; range(max(len-n,0)+1) windows; array_distinct
+    keeps first occurrence)."""
+    all_sh: list[str] = []
+    counts = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        toks = t.split(" ")
+        upper = max(len(toks) - n, 0)
+        sh = [" ".join(toks[i0 : i0 + n]) for i0 in range(upper + 1)]
+        sh = list(dict.fromkeys(sh))  # array_distinct semantics
+        all_sh.extend(sh)
+        counts[i] = len(sh)
+    return all_sh, counts
+
+
+def _doc_keys2_batch(texts: list, n: int) -> list:
+    """Per-doc distinct 62-bit shingle keys (sorted) in one batch —
+    the exact-Jaccard fast path's whole per-doc state."""
+    all_sh, counts = _batch_shingles(texts, n)
+    flat = _char_poly2_batch(all_sh)
+    bounds = np.concatenate(([0], np.cumsum(counts)))
+    return [
+        np.unique(flat[bounds[i] : bounds[i + 1]])
+        if counts[i]
+        else np.empty(0, np.int64)
+        for i in range(len(texts))
+    ]
+
+
+_UDF_CACHE: dict = {}
+
+
+def doc_keys2_udf(n: int = 3):
+    """text → sorted distinct combined shingle keys (array<long>) in
+    one Arrow pass. Memoized per n so repeated plans share the SAME
+    UDF object — identical logical plans let Spark's cache manager
+    substitute a cached signing stage across queries."""
+    key = ("keys2", n)
+    if key in _UDF_CACHE:
+        return _UDF_CACHE[key]
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def f(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [k.tolist() for k in _doc_keys2_batch(s.tolist(), n)]
+        )
+
+    _UDF_CACHE[key] = f
+    return f
+
+
 def _doc_keys_sig_batch(
     texts: list, n: int, coeffs: list[tuple[int, int]]
 ) -> tuple[list, list]:
@@ -219,17 +323,7 @@ def _doc_keys_sig_batch(
     signature fold is ONE (flat_keys × num_hashes) int64 matmul-shaped
     pass + np.minimum.reduceat per batch — no per-doc Python loops in
     the hash math."""
-    all_sh: list[str] = []
-    counts = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if t is None:
-            continue
-        toks = t.split(" ")
-        upper = max(len(toks) - n, 0)
-        sh = [" ".join(toks[i0 : i0 + n]) for i0 in range(upper + 1)]
-        sh = list(dict.fromkeys(sh))  # array_distinct semantics
-        all_sh.extend(sh)
-        counts[i] = len(sh)
+    all_sh, counts = _batch_shingles(texts, n)
     flat = _char_poly_batch(all_sh)
     bounds = np.concatenate(([0], np.cumsum(counts)))
     keys_out: list = []
@@ -268,7 +362,11 @@ def _doc_keys_sig_batch(
 def doc_keys_sig_udf(n: int = 3, num_hashes: int = 64):
     """text → struct(keys: sorted distinct char-poly shingle keys,
     sig: MinHash signature) in one Arrow pass. NULL/empty-shingle docs
-    get empty keys and NULL sig (they cannot pair anyway)."""
+    get empty keys and NULL sig (they cannot pair anyway). Memoized
+    per (n, num_hashes) — see doc_keys2_udf."""
+    ck = ("keyssig", n, num_hashes)
+    if ck in _UDF_CACHE:
+        return _UDF_CACHE[ck]
     from pyspark.sql.functions import pandas_udf
 
     coeffs = minhash_coeffs(num_hashes)
@@ -283,6 +381,7 @@ def doc_keys_sig_udf(n: int = 3, num_hashes: int = 64):
             }
         )
 
+    _UDF_CACHE[ck] = f
     return f
 
 
