@@ -1121,11 +1121,64 @@ class LakeTable:
             "timestamp_ms long, operation string",
         )
 
+    # -- snapshot-log compaction (rewrite_manifests support) -----------
+    def _archive_path(self) -> str:
+        return os.path.join(self.root, MANIFEST_DIR, "compacted-history.json")
+
+    def archived_history(self) -> list[dict[str, Any]]:
+        """Headers of snapshots whose per-version manifests were
+        compacted away (version/timestamp/operation/counts/summary —
+        no file lists; they are no longer time-travel targets, exactly
+        the expire contract)."""
+        try:
+            with open(self._archive_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return []
+
+    def archive_snapshot_headers(self, versions: list[int]) -> int:
+        """Fold the named snapshots' HEADERS into the single compacted
+        history log (atomic rewrite) — called by
+        maintenance.rewrite_manifests just before those snapshots'
+        manifests are expired, so the commit audit trail survives
+        metadata compaction."""
+        merged = {h["version"]: h for h in self.archived_history()}
+        for v in versions:
+            s = self.snapshot(v)
+            merged[v] = {
+                "version": s.version,
+                "timestamp_ms": s.timestamp_ms,
+                "operation": s.operation,
+                "file_count": len(s.files),
+                "total_rows": s.total_rows,
+                "summary": s.summary,
+            }
+        out = [merged[v] for v in sorted(merged)]
+        tmp = self._archive_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(out, f)
+        os.replace(tmp, self._archive_path())
+        return len(versions)
+
     def history_df(self) -> DataFrame:
         """Iceberg `t.history` analog: the commit log with per-commit
         summary (rows/files added or removed, WAP ids, rollback
-        targets) — the audit surface of the snapshot chain."""
+        targets) — the audit surface of the snapshot chain. Includes
+        commits whose manifests were compacted into the archive log."""
+        live = {s.version for s in self.snapshots()}
         rows = [
+            (
+                h["version"],
+                h["timestamp_ms"],
+                h["operation"],
+                h["file_count"],
+                h["total_rows"],
+                json.dumps(h["summary"], sort_keys=True),
+            )
+            for h in self.archived_history()
+            if h["version"] not in live
+        ]
+        rows += [
             (
                 s.version,
                 s.timestamp_ms,
@@ -1161,23 +1214,34 @@ class LakeTable:
     # ------------------------------------------------------------------
     # destructive metadata ops (used by maintenance)
     # ------------------------------------------------------------------
+    def _expire_candidates(
+        self, older_than_ms: int | None, keep_last: int
+    ) -> list[int]:
+        """Versions `expire_snapshots(older_than_ms, keep_last)` will
+        drop — shared with maintenance.rewrite_manifests so header
+        archiving covers EXACTLY the set about to lose its manifests."""
+        cur = self.current_version()
+        tagged = set(self.tags().values())
+        out = []
+        for s in self.snapshots():
+            if s.version == cur or s.version > cur - keep_last:
+                continue
+            if s.version in tagged:
+                # tags pin snapshots (and their files) regardless of age
+                continue
+            if older_than_ms is None or s.timestamp_ms >= older_than_ms:
+                continue
+            out.append(s.version)
+        return out
+
     def expire_snapshots(
         self, older_than_ms: int | None = None, keep_last: int = 1
     ) -> dict[str, int]:
         """M2: drop old manifests and delete data files no retained
         snapshot references (iceberg_maintenance.py:73-93)."""
         snaps = self.snapshots()
-        cur = self.current_version()
-        tagged = set(self.tags().values())
-        retained: list[Snapshot] = []
-        for s in snaps:
-            if s.version == cur or s.version > cur - keep_last:
-                retained.append(s)
-            elif s.version in tagged:
-                # tags pin snapshots (and their files) regardless of age
-                retained.append(s)
-            elif older_than_ms is None or s.timestamp_ms >= older_than_ms:
-                retained.append(s)
+        drop = set(self._expire_candidates(older_than_ms, keep_last))
+        retained = [s for s in snaps if s.version not in drop]
         retained_versions = {s.version for s in retained}
         live_files = {f.path for s in retained for f in s.files}
         removed_manifests = 0

@@ -65,6 +65,10 @@ def run_action(args: argparse.Namespace) -> dict:
         return maintenance.compact(t, target_file_size=args.target_file_size_mb * 1024 * 1024)
     if args.action == "expire":
         return maintenance.expire_snapshots(t, retention_days=args.retention_days)
+    if args.action == "rewrite-manifests":
+        return maintenance.rewrite_manifests(
+            t, retention_days=args.retention_days
+        )
     if args.action == "optimize":
         if args.zorder_columns:
             return maintenance.rewrite_zorder(
@@ -190,6 +194,7 @@ def build_parser() -> argparse.ArgumentParser:
         choices=[
             "compact",
             "expire",
+            "rewrite-manifests",
             "optimize",
             "cleanup",
             "stats",
