@@ -114,6 +114,49 @@ def main() -> None:
             timings[name] = round(best, 3)
             print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
+    # B1 concurrency envelope (PRD.md:3579-3594: "10 parallel queries,
+    # avg < 30 s each"): run ten group/filter/top-k analytical queries
+    # through the ONE session concurrently (Spark schedules the jobs
+    # fair-share across the same executor pool) and record per-query
+    # wall under contention. Disable with SPARK_GRAFT_CONCURRENCY=0.
+    concurrent: dict = {}
+    if os.environ.get("SPARK_GRAFT_CONCURRENCY", "1") != "0":
+        from concurrent.futures import ThreadPoolExecutor
+
+        b1 = [
+            "q03_top_groups", "q07_star_join_revenue", "q02_minmax_probe",
+            "q10_daily_stats", "q17_semijoin_topk", "q08_hourly_pattern",
+            "q06_rounded_freq", "q22_tumbling_window", "q24_quality_score",
+            "q13_rank_selfjoin",
+        ]
+        b1 = [n for n in b1 if n in QUERIES][:10]
+
+        def _run_one(name: str) -> tuple[str, float]:
+            t0 = time.perf_counter()
+            try:
+                QUERIES[name](spark, sf_dir).collect()
+            except Exception as exc:  # noqa: BLE001
+                print(f"# concurrent {name}: ERROR {exc}", file=sys.stderr)
+                return name, float("nan")
+            return name, round(time.perf_counter() - t0, 3)
+
+        tw0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=len(b1)) as pool:
+            lat = dict(pool.map(_run_one, b1))
+        ok = [v for v in lat.values() if v == v]  # drop NaNs
+        concurrent = {
+            "workers": len(b1),
+            "wall": round(time.perf_counter() - tw0, 3),
+            "avg": round(sum(ok) / len(ok), 3) if ok else None,
+            "max": round(max(ok), 3) if ok else None,
+            "latencies": lat,
+        }
+        print(
+            f"# concurrent x{len(b1)}: avg {concurrent['avg']}s "
+            f"max {concurrent['max']}s wall {concurrent['wall']}s",
+            file=sys.stderr,
+        )
+
     out = {
         "metric": "query_corpus_wall",
         "value": round(sum(timings.values()), 3),
@@ -122,6 +165,10 @@ def main() -> None:
         "sf": sf,
         "runs": runs,
     }
+    if concurrent:
+        out["concurrent"] = {
+            k: v for k, v in concurrent.items() if k != "latencies"
+        }
     if errors:
         out["errors"] = errors
 
@@ -140,6 +187,7 @@ def main() -> None:
         "worst_first": max(first_run.values(), default=0.0),
         "min": timings,
         "first": first_run,
+        "concurrent": concurrent,
         "errors": errors,
     }
     ledger_path = os.environ.get(
