@@ -65,7 +65,16 @@ def bloom_probe_filter(
     k: int = DEFAULT_K,
 ) -> DataFrame:
     """Keep only rows whose key MIGHT be in the filter (no false
-    negatives). Pure Column expression — stays in the scan stage."""
+    negatives). Pure Column expression — stays in the scan stage.
+
+    Cost model note: the bitset rides in the plan as a literal
+    array<long> of bits/64 words (1024 longs at the default 64 Kbit),
+    and the `forall` probe is a higher-order function — interpreted
+    per row, not codegen'd. That is the right trade at the default
+    size, but raising `bits` by ~100x would put a megaword literal in
+    the plan (serialized to every task) and slow the interpreted probe;
+    at that scale use the manifest-level blooms (lakehouse/bloom.py,
+    probed once per FILE at plan time) or a real join instead."""
     is_string = dict(big.dtypes)[key] == "string"
     probed = big.withColumn(
         "_bf_ps", positions_col(F.col(key), is_string, bits, k)

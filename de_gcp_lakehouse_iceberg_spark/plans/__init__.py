@@ -53,43 +53,37 @@ from . import bigram_query  # noqa: F401  (registers q93)
 # oracle-parity replica (tests/test_oracle_parity.py) still checks ALL
 # of them at two scale factors every run.
 _GATE_PRIORITY = [
-    # (a) the one never-green row: r4's red was the process-TZ naive
-    # datetime literal, fixed this round (tz-aware UTC in scan() +
-    # skipping_queries) — must land a fresh driver row
-    "q60_stats_pruned_scan",
-    # (b) implementation touched this round: bloom distributed build +
-    # pmod fix (q73), update_mor changelog + apply_changelog single-pass
-    # summary (q80, q63), scan_staged MOR-delete audit (q69), two-phase
-    # KMV (q75), central scan() UTC literal fix (every lakehouse scan
-    # with a datetime predicate: q67/q68, plus the TZ-sensitive q56/q76)
-    # new this round: multimodal resize proof, KMV set ops, count-min
-    "q81_media_resize", "q82_kmv_overlap", "q83_cm_token_freq",
-    "q84_bloom_semi_join", "q85_grouped_topk",
-    "q86_unigram_lm_score", "q87_hist_quantiles",
-    "q88_lsh_probe_incremental", "q89_json_extract",
-    "q73_bloom_prune_proof", "q80_mor_delete_lifecycle",
-    "q63_cdc_replica_sync", "q69_wap_rollback", "q75_kmv_distinct",
-    "q68_spec_evolution_prune", "q67_bucket_prune_proof",
-    "q56_asof_error_context", "q76_resample_gapfill",
-    #   lakehouse scan/changelog paths also under q19-q21/q47
-    "q19_merge_fix", "q20_delete_update", "q21_time_travel",
-    "q47_changelog",
-    # (c) rotation hygiene: every query below rides on an r2/r3 green
-    # row (rotated out of r4's window) — refresh so no row ages >2
-    # rounds. Oldest-verified first.
-    "q02_minmax_probe", "q03_top_groups", "q04_nonnull_counts",
-    "q06_rounded_freq", "q08_hourly_pattern", "q09_dashboard_having",
-    "q11_derived_duration", "q12_period_pct_change",
-    "q16_union_federation", "q17_semijoin_topk", "q18_validation_split",
-    "q22_tumbling_window", "q23_approx_median", "q24_quality_score",
-    # (q25_streaming_tumbling is r3-green — newest of the cohort — and
-    # rides batch==stream tests; it yields its slot to the new queries)
-    "q26_agg_of_agg_window",
-    "q29_sessionization",
-    "q30_token_stats", "q31_quality_score", "q32_lang_id",
-    "q33_fingerprint", "q34_exact_dedup", "q36_simhash",
-    "q38_cosine_topk", "q39_nearest_pairs", "q40_lsh_ann",
-    "q43_geohash_buckets", "q45_ivf_ann",
+    # (a) NEW this round (r6), never driver-verified: the stored
+    # signature-index probe, join-driven file skipping, dHash image
+    # dedup, interpolated bigram LM
+    "q90_signature_index_probe", "q91_join_runtime_filter",
+    "q92_dhash_image_dedup", "q93_bigram_lm_score",
+    # (b) implementation touched this round: lsh_probe_pairs grew the
+    # corpus_index path (q88); plan_files/_file_survives restructured
+    # for the "in" op + scan() row-filter change (every stats/bloom/
+    # spec pruning proof and the scan-path DML/time-travel queries)
+    "q88_lsh_probe_incremental", "q60_stats_pruned_scan",
+    "q73_bloom_prune_proof", "q67_bucket_prune_proof",
+    "q68_spec_evolution_prune", "q47_changelog", "q21_time_travel",
+    # (c) rotation hygiene: q25/q27/q28 ride r3 rows (oldest in the
+    # ledger), then the ENTIRE r4 cohort — after r6 no green row is
+    # older than two rounds. q35/q46 (Arrow signing path rewrite) and
+    # q37/q44/q64 (shared _batch_shingles refactor) are in this cohort
+    # anyway.
+    "q25_streaming_tumbling", "q27_row_number_ids", "q28_stddev",
+    "q35_ngram_jaccard", "q46_jaccard_maxdf", "q37_minhash_lsh",
+    "q44_corpus_clean", "q64_corpus_clean_lsh",
+    "q01_global_count", "q05_consistency_check", "q07_star_join_revenue",
+    "q10_daily_stats", "q13_rank_selfjoin", "q14_lag_rolling",
+    "q15_median_per_group", "q41_media_bytes", "q42_media_features",
+    "q48_schema_evolution", "q49_widen_column", "q50_source_mix",
+    "q51_pack_chunks", "q52_stratified_sample", "q53_dup_clusters",
+    "q54_contamination", "q55_repetition_filter",
+    "q57_token_budget_selection", "q58_kmeans", "q59_click_attribution",
+    "q61_overlap_chunking", "q62_token_rarity", "q65_temperature_mix",
+    "q66_pii_scrub", "q70_semdedup", "q71_shuffle_shard",
+    "q72_dup_span_coverage", "q74_corpus_build_e2e", "q77_funnel",
+    "q78_retention_cohorts", "q79_split_census",
 ]
 
 
