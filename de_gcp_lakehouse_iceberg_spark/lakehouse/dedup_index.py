@@ -84,18 +84,23 @@ class SignatureIndex:
         id_col: str = "doc_id",
         text_col: str = "text",
         wap: bool = True,
+        extra_summary: dict | None = None,
     ) -> dict:
         """Sign `docs` (one Arrow pass) and add the rows to the index.
 
         wap=True is the exactly-once path: stage → audit (staged
         signature count == signable batch count; any mismatch means a
         partial/duplicated write and the stage is discarded) → publish.
+        `extra_summary` rides on the publishing commit itself — the
+        streaming ingest anchors its batch watermark there atomically.
         Returns {"rows": n, "version": v, "wap_id": ...}."""
         sigs = signature_index(
             docs, id_col, text_col, self.n, self.num_hashes
         )
         if not wap:
-            snap = self.table.append(sigs, operation="index_append")
+            snap = self.table.append(
+                sigs, operation="index_append", summary=extra_summary
+            )
             return {"rows": snap.summary.get("added_rows"),
                     "version": snap.version, "wap_id": None}
         wap_id = self.table.stage_append(sigs)
@@ -108,7 +113,7 @@ class SignatureIndex:
                 f"index ingest audit failed: staged {n_staged} rows, "
                 f"batch signs to {n_batch} — stage discarded"
             )
-        snap = self.table.publish(wap_id)
+        snap = self.table.publish(wap_id, extra_summary=extra_summary)
         return {"rows": n_staged, "version": snap.version, "wap_id": wap_id}
 
     # -- read / probe --------------------------------------------------

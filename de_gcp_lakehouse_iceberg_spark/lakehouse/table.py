@@ -499,7 +499,9 @@ class LakeTable:
         )
         return self._read_files(snap, [f.path for f in files])
 
-    def publish(self, wap_id: str) -> Snapshot:
+    def publish(
+        self, wap_id: str, extra_summary: dict[str, Any] | None = None
+    ) -> Snapshot:
         """WAP step 3 (publish): commit the staged files onto the
         CURRENT head. File additions are commutative, so a stage
         planned against an older base rebases cleanly (Iceberg
@@ -542,6 +544,9 @@ class LakeTable:
                 "staged_base": d["base"],
                 "added_files": len(staged_files),
                 "added_rows": sum(f.rows for f in staged_files),
+                # callers (e.g. streaming dedup ingest) ride their
+                # exactly-once watermark on the SAME atomic commit
+                **(extra_summary or {}),
             },
         )
         os.remove(self._staged_path(wap_id))
