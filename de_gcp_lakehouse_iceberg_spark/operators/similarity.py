@@ -438,3 +438,124 @@ def lsh_ann_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# -- int8 scalar quantization (SQ8) ----------------------------------------
+def sq8_train(
+    corpus: DataFrame, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension [min, max] over the corpus — the SQ8 codebook.
+    64 doubles per side: metadata-scale, collected driver-side exactly
+    like IVF centroids. One posexplode + 64-group aggregate."""
+    dims = (
+        corpus.select(F.posexplode(vec_col).alias("d", "x"))
+        .select("d", F.col("x").cast("double").alias("x"))
+        .groupBy("d")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("d")
+        .collect()
+    )
+    return [r["mn"] for r in dims], [r["mx"] for r in dims]
+
+
+def sq8_codes_udf(mins: list[float], maxs: list[float]):
+    """float vector → int8 codes (as ints), vectorized: ONE numpy pass
+    per Arrow batch. code_d = clip(floor((x_d − mn_d)·255/(mx_d − mn_d)
+    + 0.5), 0, 255); constant dims → 0. Every op is an IEEE
+    correctly-rounded primitive evaluated in a fixed order, so the
+    codes are bit-identical to the SQL expression form the q96 oracle
+    uses."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    mn = np.asarray(mins, dtype=np.float64)
+    rng = np.asarray(maxs, dtype=np.float64) - mn
+    safe = np.where(rng == 0.0, 1.0, rng)
+
+    @pandas_udf("array<int>")
+    def f(s: pd.Series) -> pd.Series:
+        out = []
+        for v in s:
+            x = np.asarray(v, dtype=np.float64)
+            c = np.clip(np.floor((x - mn) * 255.0 / safe + 0.5), 0, 255)
+            c = np.where(rng == 0.0, 0.0, c)
+            out.append(c.astype(np.int32).tolist())
+        return pd.Series(out)
+
+    return f
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank: int = 30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN with an int8 scalar-quantized index + exact re-rank — the
+    memory-compressed scale path: codes are 4x smaller than float32
+    (64 bytes/vector here), the candidate metric is an INTEGER
+    sum-of-squared-code-differences (exact, engine-portable, SIMD-able
+    at scale), and only the top-`rerank` candidates per query pay the
+    exact float cosine.
+
+    Recall loss comes only from quantization distorting the metric
+    inside the rerank boundary; tests pin recall vs brute force.
+    Output: (query_id, neighbor_id, cosine, rank) — rank ≤ k by exact
+    cosine over the candidate set."""
+    from .topk import grouped_topk
+
+    mins, maxs = sq8_train(corpus, vec_col)
+    codes = sq8_codes_udf(mins, maxs)
+    cc = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        codes(F.col(vec_col)).alias("_cc"),
+    )
+    qc = queries.select(
+        F.col(id_col).alias("query_id"),
+        codes(F.col(vec_col)).alias("_qc"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("_qc", "_cc", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(qc)
+        .crossJoin(cc)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", d2.alias("_d2"))
+    )
+    cand = grouped_topk(
+        scored, ["query_id"], [F.col("_d2"), F.col("neighbor_id")], rerank
+    ).select("query_id", "neighbor_id")
+    qn = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_norm").alias("_qn"),
+    )
+    cn = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("_norm").alias("_cn"),
+    )
+    rer = (
+        cand.join(F.broadcast(qn), "query_id")
+        .join(cn, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(
+                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -41,7 +41,7 @@ from . import json_query  # noqa: F401  (registers q89)
 from . import runtime_filter_query  # noqa: F401  (registers q91)
 from . import dhash_query  # noqa: F401  (registers q92)
 from . import bigram_query  # noqa: F401  (registers q93)
-from . import selection_queries  # noqa: F401  (registers q94-q95)
+from . import selection_queries  # noqa: F401  (registers q94-q95; similarity_queries adds q96)
 
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The driver's CORRECTNESS check covers the FIRST
@@ -60,12 +60,13 @@ _GATE_PRIORITY = [
     "q90_signature_index_probe", "q91_join_runtime_filter",
     "q92_dhash_image_dedup", "q93_bigram_lm_score",
     "q94_source_doc_cap", "q95_quality_threshold_sweep",
-    # (b) implementation touched this round: lsh_probe_pairs grew the
-    # corpus_index path (q88); plan_files/_file_survives restructured
-    # for the "in" op + scan() row-filter change (the stats/bloom/spec
-    # pruning proofs; q21/q47 exercise the same restructure but ride
-    # fresh r5 rows + pytest, yielding their slots to q94/q95)
-    "q88_lsh_probe_incremental", "q60_stats_pruned_scan",
+    "q96_sq8_ann",
+    # (b) implementation touched this round: plan_files/_file_survives
+    # restructured for the "in" op + scan() row-filter change (the
+    # stats/bloom/spec pruning proofs below). q88's refactor
+    # (corpus_index param) is exercised by q90 in-window; q21/q47 ride
+    # fresh r5 rows + pytest — all three yield slots to new queries.
+    "q60_stats_pruned_scan",
     "q73_bloom_prune_proof", "q67_bucket_prune_proof",
     "q68_spec_evolution_prune",
     # (c) rotation hygiene: q25/q27/q28 ride r3 rows (oldest in the

@@ -263,3 +263,72 @@ def q45_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", _r(F.col("cosine"), 6).alias("cosine"), "rank"
     ).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# q96 — SQ8 (int8 scalar-quantized) ANN with exact re-rank: the
+# memory-compressed scale path (codes 4x smaller than float32, integer
+# candidate metric, float cosine only for the top-`rerank`). FULL
+# oracle: the per-dim codebook, the quantization expression, the
+# integer distance, the rerank boundary, and the final cosine are all
+# replayed in SQL — identical IEEE op order, so ranks match exactly.
+# --------------------------------------------------------------------------
+_SQ8_RERANK = 30
+
+
+@register(
+    "q96_sq8_ann",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, i.i AS d, CAST(embedding[i.i] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS i(i)),
+    dims AS (
+      SELECT d, min(x) AS mn, max(x) AS mx FROM ex GROUP BY d),
+    codes AS (
+      SELECT vec_id, ex.d,
+             CAST(CASE WHEN mx = mn THEN 0
+                  ELSE least(255, greatest(0,
+                       floor((x - mn) * 255 / (mx - mn) + 0.5)))
+             END AS BIGINT) AS c
+      FROM ex JOIN dims ON ex.d = dims.d),
+    dist AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(sum((q.c - c.c) * (q.c - c.c)) AS BIGINT) AS d2
+      FROM codes q JOIN codes c
+        ON q.vec_id < 5 AND c.vec_id <> q.vec_id AND q.d = c.d
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d2, neighbor_id) AS rr
+        FROM dist) WHERE rr <= {_SQ8_RERANK}),
+    {_COS_SQL},
+    rer AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {_cos_expr('q', 'c')} AS cos
+      FROM cand
+      JOIN n q ON q.vec_id = cand.query_id
+      JOIN n c ON c.vec_id = cand.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+      FROM rer)
+    SELECT query_id, neighbor_id,
+           floor(cos * 1000000 + 0.5) / 1000000 AS cosine, rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def q96_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import sq8_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = sq8_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, rerank=_SQ8_RERANK
+    )
+    return out.select(
+        "query_id", "neighbor_id", _r(F.col("cosine"), 6).alias("cosine"),
+        "rank",
+    ).orderBy("query_id", "rank")

@@ -106,3 +106,55 @@ def test_ivf_recall_and_exact_scores(spark, sf_dir_medium):
     assert recall >= 0.4, f"IVF recall@10 degraded to {recall:.2f}"
     for r in ivf:
         assert exact_pairs[(r.query_id, r.neighbor_id)] == r.cosine
+
+
+def test_sq8_ann_recall_vs_bruteforce(spark, sf_dir):
+    from de_gcp_lakehouse_iceberg_spark.operators.similarity import (
+        brute_force_topk,
+        sq8_topk,
+    )
+    from de_gcp_lakehouse_iceberg_spark.tables import table
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sq8_topk(emb, queries, k=10, rerank=30).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall  # int8 + rerank=3k must be near-exact
+    # rerank = corpus size ⇒ identical to brute force
+    n = emb.count()
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sq8_topk(emb, queries, k=10, rerank=n).collect()
+    }
+    assert full == exact
+
+
+def test_sq8_codes_bounds_and_determinism(spark, sf_dir):
+    from de_gcp_lakehouse_iceberg_spark.operators.similarity import (
+        sq8_codes_udf,
+        sq8_train,
+    )
+    from de_gcp_lakehouse_iceberg_spark.tables import table
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    mins, maxs = sq8_train(emb)
+    codes = emb.select(
+        "vec_id", sq8_codes_udf(mins, maxs)(F.col("embedding")).alias("c")
+    )
+    stats = codes.select(
+        F.min(F.array_min("c")).alias("lo"),
+        F.max(F.array_max("c")).alias("hi"),
+        F.countDistinct(F.size("c")).alias("dims"),
+    ).first()
+    assert stats["lo"] >= 0 and stats["hi"] <= 255 and stats["dims"] == 1
+    # per-dim extremes map to 0 / 255 (the codebook is tight)
+    assert stats["lo"] == 0 and stats["hi"] == 255
