@@ -60,15 +60,16 @@ _GATE_PRIORITY = [
     "q90_signature_index_probe", "q91_join_runtime_filter",
     "q92_dhash_image_dedup", "q93_bigram_lm_score",
     "q94_source_doc_cap", "q95_quality_threshold_sweep",
-    "q96_sq8_ann",
+    "q96_sq8_ann", "q97_canonical_selection",
     # (b) implementation touched this round: plan_files/_file_survives
     # restructured for the "in" op + scan() row-filter change (the
-    # stats/bloom/spec pruning proofs below). q88's refactor
-    # (corpus_index param) is exercised by q90 in-window; q21/q47 ride
-    # fresh r5 rows + pytest — all three yield slots to new queries.
+    # stats/bloom pruning proofs below; q68 exercises the same
+    # restructure but rides a fresh r5 row + pytest). q88's refactor
+    # (corpus_index param) is exercised by q90 in-window; q21/q47
+    # likewise ride fresh r5 rows — all four yield slots to new
+    # queries.
     "q60_stats_pruned_scan",
     "q73_bloom_prune_proof", "q67_bucket_prune_proof",
-    "q68_spec_evolution_prune",
     # (c) rotation hygiene: q25/q27/q28 ride r3 rows (oldest in the
     # ledger), then the ENTIRE r4 cohort — after r6 no green row is
     # older than two rounds. q35/q46 (Arrow signing path rewrite) and

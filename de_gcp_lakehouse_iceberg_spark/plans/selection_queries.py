@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..functions.text import quality_score, token_count
 from ..operators.topk import grouped_topk
 from ..tables import table
+from .dedup_queries import _SHINGLE_SQL
 from .queries import register
 from .text_queries import _QUALITY_SQL_EXPR
 
@@ -124,4 +125,107 @@ def q95_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, t in enumerate(_THRESHOLDS)
         ],
         "threshold double, docs_kept long, tokens_kept long",
+    )
+
+
+# --------------------------------------------------------------------------
+# q97 — canonical-document selection: the FINAL dedup decision. Near-dup
+# pairs (exact n-gram Jaccard) → connected components (alternating
+# large-star/small-star) → keep the best-quality doc per cluster
+# (tie: lowest doc_id). This composes q35 + q53 + the quality scorer
+# into the operator a corpus build actually runs: "of these N mutually
+# duplicate docs, which ONE survives".
+# --------------------------------------------------------------------------
+@register(
+    "q97_canonical_selection",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    jpairs AS (
+      SELECT p.doc_a, p.doc_b
+      FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS common
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY doc_a, doc_b) p
+      JOIN sizes sa ON p.doc_a = sa.doc_id
+      JOIN sizes sb ON p.doc_b = sb.doc_id
+      WHERE CAST(p.common AS DOUBLE) / (sa.n + sb.n - p.common) >= 0.5),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM jpairs
+      UNION
+      SELECT doc_b, doc_a FROM jpairs),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+    labels AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src),
+    scored AS (
+      SELECT d.doc_id, d.lang, {_QUALITY_SQL_EXPR} AS q
+      FROM documents d JOIN labels l ON d.doc_id = l.doc_id),
+    ranked AS (
+      SELECT s.doc_id, s.lang, s.q, l.cluster_id,
+             row_number() OVER (PARTITION BY l.cluster_id
+                                ORDER BY s.q DESC, s.doc_id) AS rnk
+      FROM scored s JOIN labels l ON s.doc_id = l.doc_id)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS clustered_docs,
+           CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(sum(CASE WHEN rnk = 1 THEN doc_id END) AS BIGINT)
+             AS kept_id_sum,
+           CAST(sum(CASE WHEN rnk > 1 THEN doc_id END) AS BIGINT)
+             AS dropped_id_sum,
+           floor(CAST(sum(CASE WHEN rnk = 1
+                          THEN CAST(q AS DECIMAL(24,12)) END) AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS kept_quality
+    FROM ranked
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q97_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dup_clusters_star, ngram_jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    clusters = dup_clusters_star(pairs).localCheckpoint()
+    scored = docs.select(
+        "doc_id", "lang", quality_score("text").alias("q")
+    ).join(clusters, "doc_id")
+    # rank WITHIN each dup cluster (window partitions are cluster-sized
+    # — tiny and naturally bounded, unlike a full-corpus window; the
+    # rollup needs every row ranked, so two-phase top-k doesn't apply)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("cluster_id").orderBy(
+        F.desc("q"), F.asc("doc_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count("*").alias("clustered_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum(F.when(F.col("rank") == 1, F.col("doc_id"))).alias(
+                "kept_id_sum"
+            ),
+            F.sum(F.when(F.col("rank") > 1, F.col("doc_id"))).alias(
+                "dropped_id_sum"
+            ),
+            (
+                F.floor(
+                    F.sum(
+                        F.when(
+                            F.col("rank") == 1,
+                            F.col("q").cast("decimal(24,12)"),
+                        )
+                    ).cast("double")
+                    * 10_000
+                    + F.lit(0.5)
+                )
+                / 10_000
+            ).alias("kept_quality"),
+        )
+        .orderBy("lang")
     )

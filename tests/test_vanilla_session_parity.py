@@ -22,6 +22,7 @@ VANILLA_SENSITIVE = [
     "q60_stats_pruned_scan",    # footer-stats pruning on ts
     "q67_bucket_prune_proof",   # hidden-partition + stats pruning
     "q73_bloom_prune_proof",    # blooms ride the same manifest stats
+    "q91_join_runtime_filter",  # per-key stats+bloom "in" pruning
 ]
 
 _CHILD = textwrap.dedent(
