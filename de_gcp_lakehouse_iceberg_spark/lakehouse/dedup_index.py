@@ -94,9 +94,12 @@ class SignatureIndex:
         `extra_summary` rides on the publishing commit itself — the
         streaming ingest anchors its batch watermark there atomically.
         Returns {"rows": n, "version": v, "wap_id": ...}."""
+        # materialize the signing ONCE: the WAP path consumes sigs
+        # twice (file write + audit count) and would otherwise run the
+        # Arrow signing pass per consumer
         sigs = signature_index(
             docs, id_col, text_col, self.n, self.num_hashes
-        )
+        ).localCheckpoint()
         if not wap:
             snap = self.table.append(
                 sigs, operation="index_append", summary=extra_summary

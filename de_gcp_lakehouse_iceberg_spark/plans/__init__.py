@@ -43,6 +43,7 @@ from . import dhash_query  # noqa: F401  (registers q92)
 from . import bigram_query  # noqa: F401  (registers q93)
 from . import selection_queries  # noqa: F401  (registers q94-q95, q97; similarity_queries adds q96)
 from . import ivm_query  # noqa: F401  (registers q98)
+from . import sql_gateway_query  # noqa: F401  (registers q99)
 
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The driver's CORRECTNESS check covers the FIRST
@@ -62,14 +63,15 @@ _GATE_PRIORITY = [
     "q92_dhash_image_dedup", "q93_bigram_lm_score",
     "q94_source_doc_cap", "q95_quality_threshold_sweep",
     "q96_sq8_ann", "q97_canonical_selection", "q98_ivm_delta_rollup",
+    "q99_bigquery_sql_text",
     # (b) implementation touched this round: plan_files/_file_survives
     # restructured for the "in" op + scan() row-filter change — q60
-    # (stats) and q73 (bloom) cover the restructure in-window; q67/q68
-    # exercise it too but ride fresh r5 rows + the vanilla-session
-    # subprocess guard + pytest. q88's refactor (corpus_index param)
-    # is exercised by q90 in-window; q21/q47 likewise ride fresh r5
-    # rows — all five yield slots to new queries.
-    "q60_stats_pruned_scan", "q73_bloom_prune_proof",
+    # covers the stats path in-window; q67/q68/q73 exercise it too but
+    # ride fresh r5 rows + the vanilla-session subprocess guard (which
+    # includes q73's bloom path and the new q91) + pytest. q88's
+    # refactor (corpus_index param) is exercised by q90 in-window;
+    # q21/q47 likewise ride fresh r5 rows.
+    "q60_stats_pruned_scan",
     # (c) rotation hygiene: q25/q27/q28 ride r3 rows (oldest in the
     # ledger), then the ENTIRE r4 cohort — after r6 no green row is
     # older than two rounds. q35/q46 (Arrow signing path rewrite) and

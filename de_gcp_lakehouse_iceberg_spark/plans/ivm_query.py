@@ -68,7 +68,9 @@ def q98_ivm_delta_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(_ROOT, os.path.basename(os.path.normpath(sf_dir)))
     shutil.rmtree(root, ignore_errors=True)
     base = LakeTable.create(spark, os.path.join(root, "base"))
-    base.append(orders, operation="load")
+    # a handful of right-sized files, not one per shuffle partition:
+    # every DML pass below plans/rewrites per file
+    base.append(orders.coalesce(4), operation="load")
     rollup = IncrementalRollup.create(
         spark,
         os.path.join(root, "rollup"),

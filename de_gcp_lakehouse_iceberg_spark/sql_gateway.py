@@ -1,0 +1,166 @@
+"""SQL-text gateway — run the reference's BigQuery-dialect SQL
+verbatim against this engine.
+
+The reference's users don't call a DataFrame API; they paste SQL
+(`scripts/verify_loaded_data.sql`, the README.md:546-607 analytics
+examples, PRD dashboard queries). This module closes that last
+switching gap: `SqlGateway.sql(text)` accepts the BigQuery dialect,
+rewrites the documented deltas to Spark SQL, registers the referenced
+tables (plain DataFrames or LakeTables — including `FOR SYSTEM_TIME`
+time travel and `_CHANGE_TYPE` change history against the lakehouse
+layer), and hands the text to `spark.sql` — Catalyst plans it like
+any other query.
+
+Dialect deltas handled (each mirrors a construct that appears in the
+reference's documented query set):
+
+- `` `project.dataset.table` `` → bare table name
+- `DATE_TRUNC(expr, UNIT)` (BigQuery arg order) → `date_trunc('UNIT', expr)`
+- `TIMESTAMP_SUB/ADD(e, INTERVAL n U)` → `e - INTERVAL n U` / `+`
+- `DATE_SUB/ADD(e, INTERVAL n U)` → same interval arithmetic
+- `TIMESTAMP_DIFF(a, b, U)` → `timestampdiff(U, b, a)` (note the
+  argument swap: BigQuery returns a−b)
+- `COUNTIF(p)` → `count_if(p)`; `SAFE_DIVIDE(a, b)` → `try_divide(a, b)`
+- `FORMAT_DATE('%A', d)` → `date_format(d, 'EEEE')` (day-name pattern,
+  the one the reference uses)
+- `FOR SYSTEM_TIME AS OF '<ts>'` → LakeTable time-travel scan
+  registered as the view for that table (Iceberg `AS OF` semantics)
+- `FOR SYSTEM_TIME BETWEEN '<a>' AND '<b>'` → the lakehouse changelog
+  between the snapshots bracketing [a, b], with `_CHANGE_TYPE` /
+  `_CHANGE_TIMESTAMP` exposed under their BigQuery names
+
+Constructs Spark already accepts unchanged (DATE(x), CURRENT_DATE(),
+EXTRACT(.. FROM ..), GROUP BY / HAVING on select aliases) pass
+through untouched — the translator is deliberately minimal and
+documented, not a SQL parser.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .lakehouse import LakeTable
+
+_BACKTICK = re.compile(r"`(?:[A-Za-z0-9_$&{}().-]+\.)*([A-Za-z0-9_]+)`")
+_DTRUNC = re.compile(
+    r"\b(DATE_TRUNC|TIMESTAMP_TRUNC)\s*\(\s*([^,()]+?)\s*,\s*"
+    r"(MICROSECOND|MILLISECOND|SECOND|MINUTE|HOUR|DAY|WEEK|MONTH|QUARTER|YEAR)"
+    r"\s*\)",
+    re.IGNORECASE,
+)
+_TS_ARITH = re.compile(
+    r"\b(TIMESTAMP_SUB|TIMESTAMP_ADD|DATE_SUB|DATE_ADD)\s*\(\s*"
+    r"(.+?)\s*,\s*INTERVAL\s+(\d+)\s+"
+    r"(SECOND|MINUTE|HOUR|DAY|WEEK|MONTH|QUARTER|YEAR)\s*\)",
+    re.IGNORECASE,
+)
+_TS_DIFF = re.compile(
+    r"\bTIMESTAMP_DIFF\s*\(\s*([^,]+?)\s*,\s*([^,]+?)\s*,\s*"
+    r"(SECOND|MINUTE|HOUR|DAY)\s*\)",
+    re.IGNORECASE,
+)
+_SYSTEM_TIME_AS_OF = re.compile(
+    r"\bFOR\s+SYSTEM_TIME\s+AS\s+OF\s+(?:TIMESTAMP\s+)?'([^']+)'",
+    re.IGNORECASE,
+)
+_SYSTEM_TIME_BETWEEN = re.compile(
+    r"\bFOR\s+SYSTEM_TIME\s+BETWEEN\s+(?:TIMESTAMP\s+)?'([^']+)'\s+AND\s+"
+    r"(?:TIMESTAMP\s+)?'([^']+)'",
+    re.IGNORECASE,
+)
+_FORMAT_DATE = re.compile(
+    r"\bFORMAT_DATE\s*\(\s*'%A'\s*,\s*([^()]+?)\s*\)", re.IGNORECASE
+)
+
+
+def translate(sql: str) -> str:
+    """BigQuery dialect → Spark SQL (text-level, documented subset)."""
+    s = sql.strip().rstrip(";")
+    s = _BACKTICK.sub(r"\1", s)
+    s = _DTRUNC.sub(lambda m: f"date_trunc('{m.group(3).upper()}', {m.group(2)})", s)
+    s = _TS_ARITH.sub(
+        lambda m: (
+            f"({m.group(2)} "
+            f"{'-' if m.group(1).upper().endswith('SUB') else '+'} "
+            f"INTERVAL {m.group(3)} {m.group(4).upper()})"
+        ),
+        s,
+    )
+    s = _TS_DIFF.sub(
+        lambda m: f"timestampdiff({m.group(3).upper()}, {m.group(2)}, {m.group(1)})",
+        s,
+    )
+    s = _FORMAT_DATE.sub(lambda m: f"date_format({m.group(1)}, 'EEEE')", s)
+    s = re.sub(r"\bCOUNTIF\s*\(", "count_if(", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bSAFE_DIVIDE\s*\(", "try_divide(", s, flags=re.IGNORECASE)
+    return s
+
+
+def _parse_ts_ms(s: str) -> int:
+    v = _dt.datetime.fromisoformat(s)
+    if v.tzinfo is None:
+        v = v.replace(tzinfo=_dt.timezone.utc)
+    return int(v.timestamp() * 1000)
+
+
+class SqlGateway:
+    """Resolve table names against a mix of DataFrames and LakeTables
+    and execute translated BigQuery-dialect SQL."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        tables: dict[str, "DataFrame | LakeTable"],
+    ):
+        self.spark = spark
+        self.tables = tables
+
+    def _resolve(self, name: str, sql: str) -> tuple[DataFrame, str]:
+        """The view to register for `name`, honoring any FOR
+        SYSTEM_TIME clause that follows its reference in `sql`.
+        Returns (df, sql-with-clause-stripped)."""
+        src = self.tables[name]
+        m = _SYSTEM_TIME_BETWEEN.search(sql)
+        if m is not None:
+            if not isinstance(src, LakeTable):
+                raise ValueError(
+                    f"FOR SYSTEM_TIME on {name!r} needs a LakeTable"
+                )
+            from .lakehouse import dml
+
+            lo = src.snapshot_as_of(_parse_ts_ms(m.group(1)))
+            hi = src.snapshot_as_of(_parse_ts_ms(m.group(2)))
+            df = (
+                dml.changelog(src, lo.version, hi.version)
+                # rename (not add) — Spark's case-insensitive resolver
+                # would see an added _CHANGE_TYPE as a duplicate
+                .withColumnRenamed("_change_type", "_CHANGE_TYPE")
+                .withColumn(
+                    "_change_timestamp",
+                    F.to_timestamp(F.col("_change_timestamp") / 1000),
+                )
+                .withColumnRenamed("_change_timestamp", "_CHANGE_TIMESTAMP")
+            )
+            return df, _SYSTEM_TIME_BETWEEN.sub("", sql)
+        m = _SYSTEM_TIME_AS_OF.search(sql)
+        if m is not None:
+            if not isinstance(src, LakeTable):
+                raise ValueError(
+                    f"FOR SYSTEM_TIME on {name!r} needs a LakeTable"
+                )
+            df = src.scan(as_of_ms=_parse_ts_ms(m.group(1)))
+            return df, _SYSTEM_TIME_AS_OF.sub("", sql)
+        df = src.scan() if isinstance(src, LakeTable) else src
+        return df, sql
+
+    def sql(self, text: str) -> DataFrame:
+        s = translate(text)
+        for name in self.tables:
+            if re.search(rf"\b{re.escape(name)}\b", s):
+                df, s = self._resolve(name, s)
+                df.createOrReplaceTempView(name)
+        return self.spark.sql(s)

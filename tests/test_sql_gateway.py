@@ -1,0 +1,160 @@
+"""SQL-text gateway (sql_gateway.py): the reference's BigQuery-dialect
+SQL runs verbatim — verify_loaded_data.sql statements over a real taxi
+warehouse, README analytics shapes, and FOR SYSTEM_TIME time travel /
+change history against the lakehouse layer."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from de_gcp_lakehouse_iceberg_spark.lakehouse import LakeTable, dml
+from de_gcp_lakehouse_iceberg_spark.sources import generator, ingest
+from de_gcp_lakehouse_iceberg_spark.sources.warehouse_setup import (
+    create_taxi_warehouse,
+)
+from de_gcp_lakehouse_iceberg_spark.sql_gateway import SqlGateway, translate
+
+
+def test_translate_rules():
+    assert translate("SELECT * FROM `p.d.taxi_trips`;") == (
+        "SELECT * FROM taxi_trips"
+    )
+    assert translate(
+        "SELECT DATE_TRUNC(pickup_datetime, HOUR) FROM `a.b.t`"
+    ) == "SELECT date_trunc('HOUR', pickup_datetime) FROM t"
+    assert translate(
+        "WHERE ts >= TIMESTAMP_SUB(CURRENT_TIMESTAMP(), INTERVAL 24 HOUR)"
+    ) == "WHERE ts >= (CURRENT_TIMESTAMP() - INTERVAL 24 HOUR)"
+    assert translate(
+        "SELECT DATE_SUB(CURRENT_DATE(), INTERVAL 7 DAY)"
+    ) == "SELECT (CURRENT_DATE() - INTERVAL 7 DAY)"
+    assert translate("SELECT TIMESTAMP_DIFF(b, a, MINUTE)") == (
+        "SELECT timestampdiff(MINUTE, a, b)"
+    )
+    assert translate("SELECT COUNTIF(x > 1), SAFE_DIVIDE(a, b)") == (
+        "SELECT count_if(x > 1), try_divide(a, b)"
+    )
+    assert translate("SELECT FORMAT_DATE('%A', d)") == (
+        "SELECT date_format(d, 'EEEE')"
+    )
+
+
+def _trips_warehouse(spark, tmp_path, n=120):
+    wh = create_taxi_warehouse(spark, str(tmp_path / "wh"))
+    trips = generator.generate_trips(n, seed=7)
+    generator.write_jsonl(trips, str(tmp_path / "in"), files=2)
+    valid = ingest.valid_trips(
+        ingest.classify_trips(
+            ingest.read_jsonl(spark, str(tmp_path / "in") + "/*.jsonl")
+        )
+    )
+    wh.table("taxi_trips").append(
+        valid.withColumn(
+            "pickup_date", F.to_date("pickup_datetime").cast("string")
+        )
+    )
+    return wh, valid
+
+
+def test_reference_verify_sql_statements(spark, tmp_path):
+    """verify_loaded_data.sql shapes over the gateway — counts, MIN/MAX
+    freshness, top-locations, null-audit, total-consistency."""
+    wh, enriched = _trips_warehouse(spark, tmp_path)
+    gw = SqlGateway(spark, {"taxi_trips": wh.table("taxi_trips")})
+    n = enriched.count()
+
+    r = gw.sql(
+        "SELECT COUNT(*) as total_records "
+        "FROM `${PROJECT_ID}.${DATASET_ID}.taxi_trips`;"
+    ).first()
+    assert r["total_records"] == n
+
+    r = gw.sql(
+        """SELECT COUNT(*) as records_loaded,
+                  MIN(created_at) as first_loaded,
+                  MAX(created_at) as last_loaded
+           FROM `${PROJECT_ID}.${DATASET_ID}.taxi_trips`"""
+    ).first()
+    assert r["records_loaded"] == n and r["first_loaded"] <= r["last_loaded"]
+
+    top = gw.sql(
+        """SELECT pickup_location_id, COUNT(*) as trip_count,
+                  AVG(fare_amount) as avg_fare
+           FROM `${PROJECT_ID}.${DATASET_ID}.taxi_trips`
+           GROUP BY pickup_location_id
+           ORDER BY trip_count DESC LIMIT 10;"""
+    ).collect()
+    assert 0 < len(top) <= 10 and all(r["avg_fare"] > 0 for r in top)
+
+    audit = gw.sql(
+        """SELECT COUNT(*) as total_records,
+                  COUNT(pickup_datetime) as valid_pickup_times,
+                  COUNT(fare_amount) as valid_fares
+           FROM `${PROJECT_ID}.${DATASET_ID}.taxi_trips`"""
+    ).first()
+    assert audit["total_records"] == n == audit["valid_pickup_times"]
+
+    bad = gw.sql(
+        """SELECT trip_id,
+                  ABS(total_amount - (fare_amount + extra + mta_tax
+                      + tip_amount + tolls_amount)) as difference
+           FROM `${PROJECT_ID}.${DATASET_ID}.taxi_trips`
+           WHERE ABS(total_amount - (fare_amount + extra + mta_tax
+                     + tip_amount + tolls_amount)) > 0.01
+           LIMIT 10"""
+    ).collect()
+    assert bad == []  # ingest enforces the money identity
+
+
+def test_readme_hourly_pattern_sql(spark, tmp_path):
+    wh, enriched = _trips_warehouse(spark, tmp_path)
+    gw = SqlGateway(spark, {"taxi_trips": wh.table("taxi_trips")})
+    rows = gw.sql(
+        """SELECT EXTRACT(HOUR FROM pickup_datetime) as hour,
+                  COUNT(*) as trips,
+                  MIN(trip_distance) as min_distance
+           FROM `project.taxi_dataset.taxi_trips`
+           GROUP BY hour ORDER BY hour"""
+    ).collect()
+    assert sum(r["trips"] for r in rows) == enriched.count()
+    assert all(0 <= r["hour"] <= 23 for r in rows)
+
+
+def test_for_system_time_as_of_and_between(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"))
+    t.append(
+        spark.range(10).select(
+            F.col("id").alias("trip_id"), (F.col("id") * 2.0).alias("total_amount")
+        )
+    )
+    v1_ts = t.snapshot().timestamp_ms
+    import time as _time
+
+    _time.sleep(0.05)
+    dml.delete(t, "trip_id >= 5")
+    gw = SqlGateway(spark, {"taxi_trips": t})
+
+    asof = dt.datetime.fromtimestamp(
+        v1_ts / 1000, dt.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S.%f")
+    n_then = gw.sql(
+        f"SELECT COUNT(*) as c FROM `p.d.taxi_trips` "
+        f"FOR SYSTEM_TIME AS OF '{asof}'"
+    ).first()["c"]
+    assert n_then == 10
+    assert gw.sql(
+        "SELECT COUNT(*) as c FROM `p.d.taxi_trips`"
+    ).first()["c"] == 5
+
+    hi = dt.datetime.now(dt.timezone.utc) + dt.timedelta(seconds=5)
+    changes = gw.sql(
+        f"""SELECT trip_id, _CHANGE_TYPE
+            FROM `p.d.taxi_trips`
+            FOR SYSTEM_TIME BETWEEN '{asof}' AND
+            '{hi.strftime("%Y-%m-%d %H:%M:%S")}'
+            ORDER BY trip_id"""
+    ).collect()
+    assert [r["trip_id"] for r in changes] == [5, 6, 7, 8, 9]
+    assert {r["_CHANGE_TYPE"] for r in changes} == {"DELETE"}
