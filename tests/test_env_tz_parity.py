@@ -27,6 +27,7 @@ TZ_SENSITIVE = [
     "q67_bucket_prune_proof",
     "q68_spec_evolution_prune",
     "q76_resample_gapfill",
+    "q99_bigquery_sql_text",   # SQL-text interval arithmetic on timestamps
     "q13_rank_selfjoin",
     "q14_lag_rolling",
     "q22_tumbling_window",
