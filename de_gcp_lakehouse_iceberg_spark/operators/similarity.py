@@ -559,3 +559,50 @@ def sq8_topk(
         rer.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def centroid_rollup(
+    corpus: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """Per-group vector mean — the centroid-maintenance primitive
+    behind IVF retraining and SemDeDup cluster upkeep. One posexplode
+    → ONE (group, dim) shuffle of scalar keys → per-dim exact decimal
+    mean (order-independent, engine-portable), quantized to `scale`
+    dp, reassembled into an array ordered by dimension.
+
+    Scale: the shuffle carries (group, dim, value) triples — groups x
+    dims cells on the reduce side, independent of corpus row count
+    after the map-side partial aggregation. No vector ever crosses the
+    wire whole.
+
+    Returns (group_col, n_vectors, centroid: array<double>)."""
+    q = 10 ** scale
+    ex = corpus.select(
+        F.col(group_col), F.posexplode(vec_col).alias("d", "x")
+    ).select(group_col, "d", F.col("x").cast("double").alias("x"))
+    per_dim = ex.groupBy(group_col, "d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(28,12)")).alias("s"),
+    )
+    mean_q = (
+        F.floor(
+            F.col("s").cast("double") / F.col("n") * q + F.lit(0.5)
+        )
+        / q
+    )
+    return (
+        per_dim.select(group_col, "d", F.col("n").alias("n"), mean_q.alias("m"))
+        .groupBy(group_col)
+        .agg(
+            F.max("n").alias("n_vectors"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("d"), F.col("m")))
+                ),
+                lambda s: s["m"],
+            ).alias("centroid"),
+        )
+    )

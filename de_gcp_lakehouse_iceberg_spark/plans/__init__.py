@@ -63,15 +63,14 @@ _GATE_PRIORITY = [
     "q92_dhash_image_dedup", "q93_bigram_lm_score",
     "q94_source_doc_cap", "q95_quality_threshold_sweep",
     "q96_sq8_ann", "q97_canonical_selection", "q98_ivm_delta_rollup",
-    "q99_bigquery_sql_text",
+    "q99_bigquery_sql_text", "q100_centroid_rollup",
     # (b) implementation touched this round: plan_files/_file_survives
-    # restructured for the "in" op + scan() row-filter change — q60
-    # covers the stats path in-window; q67/q68/q73 exercise it too but
-    # ride fresh r5 rows + the vanilla-session subprocess guard (which
-    # includes q73's bloom path and the new q91) + pytest. q88's
+    # restructured for the "in" op + scan() row-filter change — q91
+    # (new, above) exercises the full stats∧bloom∧spec per-key path
+    # in-window; q60/q67/q68/q73 exercise the same code but ride fresh
+    # r5 rows + the vanilla-session subprocess guard + pytest. q88's
     # refactor (corpus_index param) is exercised by q90 in-window;
     # q21/q47 likewise ride fresh r5 rows.
-    "q60_stats_pruned_scan",
     # (c) rotation hygiene: q25/q27/q28 ride r3 rows (oldest in the
     # ledger), then the ENTIRE r4 cohort — after r6 no green row is
     # older than two rounds. q35/q46 (Arrow signing path rewrite) and

@@ -332,3 +332,55 @@ def q96_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", _r(F.col("cosine"), 6).alias("cosine"),
         "rank",
     ).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# q100 — per-label centroid rollup (operators/similarity.centroid_rollup):
+# the vector-mean maintenance pass behind IVF retraining / SemDeDup
+# cluster upkeep. Exact decimal per-dim means (order-independent),
+# 6dp-quantized; the gate checks the full centroid through exact
+# decimal checksums plus spot dimensions.
+# --------------------------------------------------------------------------
+@register(
+    "q100_centroid_rollup",
+    oracle="""
+    WITH ex AS (
+      SELECT label, i.i - 1 AS d, CAST(embedding[i.i] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS i(i)),
+    per_dim AS (
+      SELECT label, d, CAST(count(*) AS BIGINT) AS n,
+             floor(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                   / count(*) * 1000000 + 0.5) / 1000000 AS m
+      FROM ex GROUP BY label, d)
+    SELECT label,
+           CAST(max(n) AS BIGINT) AS n_vectors,
+           CAST(sum(CAST(m AS DECIMAL(28,6))) AS DOUBLE) AS centroid_sum,
+           min(m) AS centroid_min,
+           max(m) AS centroid_max,
+           min(CASE WHEN d = 0 THEN m END) AS dim0,
+           min(CASE WHEN d = 63 THEN m END) AS dim63
+    FROM per_dim
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def q100_centroid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import centroid_rollup
+
+    emb = table(spark, sf_dir, "embeddings")
+    c = centroid_rollup(emb, "label", "embedding", scale=6)
+    return c.select(
+        "label",
+        "n_vectors",
+        F.aggregate(
+            F.transform(F.col("centroid"), lambda m: m.cast("decimal(28,6)")),
+            F.lit(0).cast("decimal(28,6)"),
+            lambda acc, x: (acc + x).cast("decimal(28,6)"),
+        )
+        .cast("double")
+        .alias("centroid_sum"),
+        F.array_min("centroid").alias("centroid_min"),
+        F.array_max("centroid").alias("centroid_max"),
+        F.col("centroid")[0].alias("dim0"),
+        F.col("centroid")[63].alias("dim63"),
+    ).orderBy("label")
