@@ -290,6 +290,46 @@ def _doc_keys2_batch(texts: list, n: int) -> list:
 _UDF_CACHE: dict = {}
 
 
+def doc_gram_keys_udf(n: int = 3):
+    """text → ORDERED (non-distinct) 62-bit n-gram keys, one per start
+    position (array index == position). Docs with fewer than n tokens
+    yield an empty array — dup_span_stats' semantics (a short doc has
+    no n-gram), which differs from `_batch_shingles`' whole-text
+    fallback shingle. One Arrow pass per batch; memoized per n."""
+    key = ("gramkeys", n)
+    if key in _UDF_CACHE:
+        return _UDF_CACHE[key]
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def f(s: pd.Series) -> pd.Series:
+        texts = s.tolist()
+        all_sh: list[str] = []
+        counts = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            toks = t.split(" ")
+            m = len(toks) - n
+            if m < 0:
+                continue
+            all_sh.extend(
+                " ".join(toks[i0 : i0 + n]) for i0 in range(m + 1)
+            )
+            counts[i] = m + 1
+        flat = _char_poly2_batch(all_sh)
+        bounds = np.concatenate(([0], np.cumsum(counts)))
+        return pd.Series(
+            [
+                flat[bounds[i] : bounds[i + 1]].tolist()
+                for i in range(len(texts))
+            ]
+        )
+
+    _UDF_CACHE[key] = f
+    return f
+
+
 def doc_keys2_udf(n: int = 3):
     """text → sorted distinct combined shingle keys (array<long>) in
     one Arrow pass. Memoized per n so repeated plans share the SAME
@@ -893,38 +933,28 @@ def dup_span_stats(
     global occurrence count, one on doc_id for the window; the
     corpus-sized range join a naive formulation needs never happens.
 
-    The occurrence count groups by the 8-byte ``xxhash64`` of the
-    n-gram (q35's scale pattern — shuffles integers, not strings);
-    the q72 oracle replays the same grouping on the strings, identical
-    barring 64-bit collisions.
+    The occurrence count groups by a 62-bit dual-polynomial key of the
+    n-gram (`doc_gram_keys_udf` — ONE Arrow pass per doc instead of an
+    interpreted slice+concat+hash per POSITION, the q35 rewrite's
+    pattern; measured ~2x on the q72 path). The q72 oracle replays the
+    same grouping on the strings, identical barring ~2⁻⁶² collisions.
     """
-    from ..functions.text import tokens
-
-    t = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(text_col).alias("t")
+    cpus = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
     )
-    # (start position, n-gram) pairs; docs shorter than n have none
-    grams = t.select(
+    if base.rdd.getNumPartitions() < cpus:
+        base = base.repartition(cpus, "doc_id")
+    # per-doc ORDERED (non-distinct) n-gram keys; docs shorter than n
+    # have none — posexplode turns the array index into the position
+    grams = base.select(
         "doc_id",
-        F.size("t").alias("n_tokens"),
-        F.when(
-            F.size("t") >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size("t") - n),
-                lambda i: F.struct(
-                    i.cast("long").alias("p"),
-                    F.xxhash64(F.concat_ws(" ", F.slice("t", i + 1, n))).alias(
-                        "g"
-                    ),
-                ),
-            ),
-        )
-        .otherwise(F.array().cast("array<struct<p:long,g:long>>"))
-        .alias("pg"),
+        F.size(F.split("_t", " ")).alias("n_tokens"),
+        doc_gram_keys_udf(n)(F.col("_t")).alias("ks"),
     )
     pos = grams.select(
-        "doc_id", F.explode("pg").alias("x")
-    ).select("doc_id", F.col("x.p").alias("p"), F.col("x.g").alias("g"))
+        "doc_id", F.posexplode("ks").alias("p", "g")
+    ).select("doc_id", F.col("p").cast("long").alias("p"), "g")
     # two consumers (occurrence count + the dup join) would otherwise
     # each re-tokenize and re-explode the corpus — materialize once
     pos = pos.localCheckpoint()
