@@ -64,6 +64,7 @@ _GATE_PRIORITY = [
     "q94_source_doc_cap", "q95_quality_threshold_sweep",
     "q96_sq8_ann", "q97_canonical_selection", "q98_ivm_delta_rollup",
     "q99_bigquery_sql_text", "q100_centroid_rollup",
+    "q101_sliding_distinct_kmv",
     # (b) implementation touched this round: plan_files/_file_survives
     # restructured for the "in" op + scan() row-filter change — q91
     # (new, above) exercises the full stats∧bloom∧spec per-key path
@@ -78,7 +79,9 @@ _GATE_PRIORITY = [
     # anyway.
     "q25_streaming_tumbling", "q27_row_number_ids", "q28_stddev",
     "q35_ngram_jaccard", "q46_jaccard_maxdf", "q37_minhash_lsh",
-    "q44_corpus_clean", "q64_corpus_clean_lsh",
+    "q44_corpus_clean",
+    # (q64_corpus_clean_lsh ages one extra round: its LSH route is
+    # exercised in-window by q37/q44/q90 and by pytest at two SFs)
     "q01_global_count", "q05_consistency_check", "q07_star_join_revenue",
     "q10_daily_stats", "q13_rank_selfjoin", "q14_lag_rolling",
     "q15_median_per_group", "q41_media_bytes", "q42_media_features",
