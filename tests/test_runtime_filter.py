@@ -90,3 +90,37 @@ def test_empty_key_set_prunes_everything(spark, tmp_path):
     _s, planned = t.plan_files(where=[("k", "in", [])])
     assert planned == []
     assert t.scan(where=[("k", "in", [])]).count() == 0
+
+
+def test_in_prune_with_datetime_keys(spark, tmp_path):
+    """Join-driven skipping on a TIMESTAMP key: stats prune on the
+    manifest min/max and the exact isin filter agrees — including under
+    the naive-datetime UTC stamping rule (scan()'s _utc)."""
+    import datetime as dt
+
+    from de_gcp_lakehouse_iceberg_spark.lakehouse import LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "fact"))
+    base = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+    df = spark.range(96).select(
+        F.col("id").alias("k"),
+        (
+            F.lit(base) + F.make_interval(hours=F.col("id"))
+        ).alias("event_ts"),
+    )
+    for day in range(4):  # one file per day
+        t.append(
+            df.filter(
+                (F.col("id") >= day * 24) & (F.col("id") < (day + 1) * 24)
+            ).coalesce(1)
+        )
+    keys = [
+        dt.datetime(2024, 3, 2, 5),   # naive → treated as UTC
+        dt.datetime(2024, 3, 4, 17, tzinfo=dt.timezone.utc),
+    ]
+    _s, planned = t.plan_files(where=[("event_ts", "in", keys)])
+    assert len(planned) == 2  # exactly the two covering day-files
+    rows = sorted(
+        r["k"] for r in t.scan(where=[("event_ts", "in", keys)]).collect()
+    )
+    assert rows == [29, 89]  # hour offsets 24+5 and 72+17
