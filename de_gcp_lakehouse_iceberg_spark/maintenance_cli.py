@@ -25,6 +25,9 @@ Actions (M1-M10 in SURVEY.md §2.11):
   cdc-export — export new commits to the streaming changelog feed
   delete-mor — merge-on-read DELETE (--predicate), metadata-only commit
   materialize-deletes — compaction pass applying pending MOR deletes
+  rewrite-manifests — snapshot-log compaction (headers archived)
+  ivm-create / ivm-refresh — maintain a changelog-delta COUNT/SUM
+               rollup (--rollup-root, --group-cols a,b [--sum-cols x])
 """
 
 from __future__ import annotations
@@ -140,6 +143,28 @@ def run_action(args: argparse.Namespace) -> dict:
         snap = materialize_deletes(t)
         return {"action": "materialize-deletes", "version": snap.version,
                 "remaining_deletes": len(t.snapshot().deletes)}
+    if args.action == "ivm-create":
+        from .lakehouse.ivm import IncrementalRollup
+
+        if not (args.rollup_root and args.group_cols):
+            raise ValueError("--rollup-root and --group-cols required")
+        rollup = IncrementalRollup.create(
+            spark,
+            args.rollup_root,
+            t,
+            group_cols=args.group_cols.split(","),
+            sum_cols=[c for c in args.sum_cols.split(",") if c],
+        )
+        return {"action": "ivm-create", "rollup_root": rollup.root,
+                "rows": rollup.df().count(),
+                "source_version": t.current_version()}
+    if args.action == "ivm-refresh":
+        from .lakehouse.ivm import IncrementalRollup
+
+        if not args.rollup_root:
+            raise ValueError("--rollup-root required")
+        rollup = IncrementalRollup(spark, args.rollup_root)
+        return {"action": "ivm-refresh", **rollup.refresh()}
     if args.action == "full":
         report = maintenance.run_full_maintenance(
             t,
@@ -210,6 +235,8 @@ def build_parser() -> argparse.ArgumentParser:
             "wap-discard",
             "bloom",
             "cdc-export",
+            "ivm-create",
+            "ivm-refresh",
             "delete-mor",
             "materialize-deletes",
         ],
@@ -220,6 +247,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wap-id", default="")
     p.add_argument("--bloom-columns", default="")
     p.add_argument("--predicate", default="")
+    p.add_argument("--rollup-root", default="")
+    p.add_argument("--group-cols", default="")
+    p.add_argument("--sum-cols", default="")
     p.add_argument("--table", default="taxi_trips")
     p.add_argument("--retention-days", type=float, default=7.0)
     p.add_argument("--orphan-age-days", type=float, default=3.0)

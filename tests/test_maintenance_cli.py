@@ -147,3 +147,37 @@ def test_mor_cli_actions(spark, warehouse):
     out = _run(base + ["--action", "materialize-deletes"])
     assert out["remaining_deletes"] == 0
     assert t.scan().count() == n_after_delete
+
+
+def test_ivm_cli_actions(spark, warehouse, tmp_path):
+    from de_gcp_lakehouse_iceberg_spark.lakehouse import dml
+
+    root = str(tmp_path / "rollup")
+    args = maintenance_cli.build_parser().parse_args(
+        ["--warehouse", warehouse, "--action", "ivm-create",
+         "--table", "taxi_trips", "--rollup-root", root,
+         "--group-cols", "zone", "--sum-cols", "amount"]
+    )
+    res = maintenance_cli.run_action(args)
+    assert res["action"] == "ivm-create" and res["rows"] == 3
+
+    t = LakeTable.load(spark, f"{warehouse}/taxi_trips")
+    dml.delete(t, "trip_id % 4 = 1")
+    args = maintenance_cli.build_parser().parse_args(
+        ["--warehouse", warehouse, "--action", "ivm-refresh",
+         "--table", "taxi_trips", "--rollup-root", root]
+    )
+    res = maintenance_cli.run_action(args)
+    assert res["action"] == "ivm-refresh" and res["mode"] == "delta"
+    # second refresh is a noop
+    assert maintenance_cli.run_action(args)["mode"] == "noop"
+
+
+def test_rewrite_manifests_action(spark, warehouse):
+    args = maintenance_cli.build_parser().parse_args(
+        ["--warehouse", warehouse, "--action", "rewrite-manifests",
+         "--table", "taxi_trips", "--retention-days", "0"]
+    )
+    res = maintenance_cli.run_action(args)
+    assert res["status"] == "success"
+    assert res["metadata_files_after"] <= res["metadata_files_before"]
