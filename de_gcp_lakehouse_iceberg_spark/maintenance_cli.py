@@ -26,6 +26,8 @@ Actions (M1-M10 in SURVEY.md §2.11):
   delete-mor — merge-on-read DELETE (--predicate), metadata-only commit
   materialize-deletes — compaction pass applying pending MOR deletes
   rewrite-manifests — snapshot-log compaction (headers archived)
+  clone      — snapshot-clone into a new table (--clone-to
+               [--version | --tag-name]; BigQuery CREATE SNAPSHOT TABLE)
   ivm-create / ivm-refresh — maintain a changelog-delta COUNT/SUM
                rollup (--rollup-root, --group-cols a,b [--sum-cols x])
 """
@@ -143,6 +145,18 @@ def run_action(args: argparse.Namespace) -> dict:
         snap = materialize_deletes(t)
         return {"action": "materialize-deletes", "version": snap.version,
                 "remaining_deletes": len(t.snapshot().deletes)}
+    if args.action == "clone":
+        from .lakehouse.clone import clone_table
+
+        if not args.clone_to:
+            raise ValueError("--clone-to required")
+        dst = clone_table(
+            t, args.clone_to,
+            version=args.version,
+            tag=args.tag_name or None,
+        )
+        return {"action": "clone", "dest": dst.root,
+                **dst.snapshot().summary}
     if args.action == "ivm-create":
         from .lakehouse.ivm import IncrementalRollup
 
@@ -235,6 +249,7 @@ def build_parser() -> argparse.ArgumentParser:
             "wap-discard",
             "bloom",
             "cdc-export",
+            "clone",
             "ivm-create",
             "ivm-refresh",
             "delete-mor",
@@ -248,6 +263,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bloom-columns", default="")
     p.add_argument("--predicate", default="")
     p.add_argument("--rollup-root", default="")
+    p.add_argument("--clone-to", default="")
     p.add_argument("--group-cols", default="")
     p.add_argument("--sum-cols", default="")
     p.add_argument("--table", default="taxi_trips")

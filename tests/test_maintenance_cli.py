@@ -181,3 +181,16 @@ def test_rewrite_manifests_action(spark, warehouse):
     res = maintenance_cli.run_action(args)
     assert res["status"] == "success"
     assert res["metadata_files_after"] <= res["metadata_files_before"]
+
+
+def test_clone_action(spark, warehouse, tmp_path):
+    dest = str(tmp_path / "cloned")
+    args = maintenance_cli.build_parser().parse_args(
+        ["--warehouse", warehouse, "--action", "clone",
+         "--table", "taxi_trips", "--clone-to", dest]
+    )
+    res = maintenance_cli.run_action(args)
+    assert res["action"] == "clone"
+    src = LakeTable.load(spark, f"{warehouse}/taxi_trips")
+    dst = LakeTable.load(spark, dest)
+    assert dst.scan().count() == src.scan().count()
