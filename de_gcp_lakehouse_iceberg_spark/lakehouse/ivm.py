@@ -1,28 +1,42 @@
-"""Incremental view maintenance (delta IVM) — a maintained COUNT/SUM
-group-by rollup updated from the base table's CHANGELOG, never by
-re-scanning the base.
+"""Incremental view maintenance (delta IVM) — a maintained
+COUNT/SUM/MIN/MAX group-by rollup updated from the base table's
+CHANGELOG, never by re-scanning the whole base.
 
 `views.create_materialized_view` already refreshes partition-
 incrementally (recompute only changed partitions); this module covers
-the complementary case: an UNPARTITIONED (or cross-partition) rollup
+the complementary case: a rollup whose groups CROSS base partitions,
 under arbitrary DML. COUNT and SUM are abelian-group aggregates, so
 the row-level change feed (`dml.changelog` — INSERT/DELETE rows, with
 UPDATE emitted as a DELETE+INSERT pair) maps directly to deltas:
-+1/−1 per count, ±value per sum. Applying deltas touches
++1/−1 per count, ±value per sum. Sums are stored as DECIMAL so delta
+application is EXACT and order-independent (float sums would drift
+under repeated ± application and break parity with a from-scratch
+recompute — the invariant tests/test_ivm.py pins).
 
-  O(changelog rows) + O(affected groups),
+MIN/MAX are NOT abelian under deletes: an insert can only improve an
+extremum (`least(old_min, batch_min)` — pure delta math), but a delete
+may remove the row HOLDING it. The standard hybrid applies: groups
+whose changelog contains a delete touching the current extremum
+(deleted value ≤ stored min or ≥ stored max, or the group has no
+stored row yet) get a TARGETED re-aggregation — a base-table scan
+restricted by semi-join to exactly those groups — while every other
+group stays on the delta fast path. AVG decomposes to SUM/COUNT and
+is exposed as a derived column (`df(with_avg=True)`), matching the
+reference's daily_zone_stats view shape
+(sql/create_iceberg_tables.sql:170-184).
 
-independent of base-table size — at 100 TB a thousand-row commit
-refreshes the dashboard rollup in milliseconds, where a recompute
-would scan everything. Sums are stored as DECIMAL so delta application
-is EXACT and order-independent (float sums would drift under repeated
-± application and break parity with a from-scratch recompute — the
-invariant tests/test_ivm.py pins).
+Refresh cost is O(changelog rows) + O(affected groups) for the math
+AND for the WRITE: the rollup table is hidden-partitioned on a hash
+bucket of the group key (`_gb`), and a refresh rewrites ONLY the
+partitions holding affected groups via `replace_files` — untouched
+partitions keep their exact files (byte-identical, pinned in
+tests/test_ivm.py). At billions of groups a thousand-row commit
+rewrites a handful of bucket partitions, not the world.
 
 Freshness bookkeeping follows the MV layer: the rollup table's
 snapshot summary records `source_version`; refresh reads the
 changelog from there to the base head and commits the new rollup
-with the advanced version in ONE atomic snapshot.
+files with the advanced version in ONE atomic snapshot.
 """
 
 from __future__ import annotations
@@ -30,7 +44,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import dml
@@ -38,11 +52,13 @@ from .table import LakeTable
 
 _CONFIG = "ivm.json"
 _DEC = "decimal(28,6)"
+_GB = "_gb"  # hidden group-hash bucket column (layout only)
 
 
 class IncrementalRollup:
-    """A LakeTable holding (group_cols..., cnt, sum_<c>...) maintained
-    by changelog deltas."""
+    """A LakeTable holding (group_cols..., cnt, sum_<c>..., min_<c>,
+    max_<c>, _gb) maintained by changelog deltas, partitioned on the
+    group-hash bucket `_gb`."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -52,6 +68,8 @@ class IncrementalRollup:
         self.base_root: str = cfg["base_root"]
         self.group_cols: list[str] = cfg["group_cols"]
         self.sum_cols: list[str] = cfg["sum_cols"]
+        self.minmax_cols: list[str] = cfg.get("minmax_cols", [])
+        self.buckets: int = cfg.get("buckets", 16)
         self.table = LakeTable.load(spark, self.root)
 
     # -- lifecycle -----------------------------------------------------
@@ -63,13 +81,17 @@ class IncrementalRollup:
         base: LakeTable,
         group_cols: list[str],
         sum_cols: list[str],
+        minmax_cols: list[str] | None = None,
+        buckets: int = 16,
     ) -> "IncrementalRollup":
         root = os.path.abspath(root)
-        LakeTable.create(spark, root)
+        LakeTable.create(spark, root, partition_by=[_GB])
         cfg = {
             "base_root": base.root,
             "group_cols": group_cols,
             "sum_cols": sum_cols,
+            "minmax_cols": minmax_cols or [],
+            "buckets": buckets,
         }
         tmp = os.path.join(root, _CONFIG + ".tmp")
         with open(tmp, "w") as f:
@@ -84,24 +106,47 @@ class IncrementalRollup:
         )
         return rollup
 
+    def _bucket(self) -> Column:
+        # layout-only hash (never oracle-visible): murmur3 of the group
+        # key, non-negative mod buckets. NULL group values hash to the
+        # seed — deterministic, so a NULL group always lands in the
+        # same partition.
+        return F.pmod(F.hash(*self.group_cols), F.lit(self.buckets)).cast(
+            "int"
+        )
+
+    def _aggs(self) -> list[Column]:
+        return [
+            F.count(F.lit(1)).alias("cnt"),
+            *[
+                F.sum(F.col(c).cast(_DEC)).alias(f"sum_{c}")
+                for c in self.sum_cols
+            ],
+            *[
+                a
+                for c in self.minmax_cols
+                for a in (
+                    F.min(c).alias(f"min_{c}"),
+                    F.max(c).alias(f"max_{c}"),
+                )
+            ],
+        ]
+
     def _full_compute(self, base: LakeTable) -> DataFrame:
         return (
             base.scan()
             .groupBy(*self.group_cols)
-            .agg(
-                F.count(F.lit(1)).alias("cnt"),
-                *[
-                    F.sum(F.col(c).cast(_DEC)).alias(f"sum_{c}")
-                    for c in self.sum_cols
-                ],
-            )
+            .agg(*self._aggs())
+            .withColumn(_GB, self._bucket())
         )
 
     # -- refresh -------------------------------------------------------
     def refresh(self) -> dict:
         """Apply the base's changelog since the last refresh. Returns
-        {"mode": "noop"|"delta", "delta_rows": n, "source_version": v}.
-        Never scans the base table."""
+        {"mode", "delta_rows", "source_version", "files_rewritten",
+        "files_total"}. Scans the base ONLY for groups whose stored
+        extremum a delete may have removed (MIN/MAX targeted
+        recompute); COUNT/SUM never read the base."""
         base = LakeTable.load(self.spark, self.base_root)
         last = self.table.snapshot().summary["source_version"]
         cur = base.current_version()
@@ -109,43 +154,103 @@ class IncrementalRollup:
             return {"mode": "noop", "delta_rows": 0, "source_version": cur}
         ch = dml.changelog(base, last, cur)
         delta_rows = ch.count()
-        sign = F.when(F.col("_change_type") == "INSERT", F.lit(1)).otherwise(
-            F.lit(-1)
-        )
+        is_ins = F.col("_change_type") == "INSERT"
+        sign = F.when(is_ins, F.lit(1)).otherwise(F.lit(-1))
         deltas = ch.groupBy(*self.group_cols).agg(
             F.sum(sign).alias("_d_cnt"),
+            F.sum(F.when(~is_ins, 1).otherwise(0)).alias("_d_ndel"),
             *[
                 F.sum(sign.cast(_DEC) * F.col(c).cast(_DEC))
                 .cast(_DEC)
                 .alias(f"_d_sum_{c}")
                 for c in self.sum_cols
             ],
+            *[
+                a
+                for c in self.minmax_cols
+                for a in (
+                    F.min(F.when(is_ins, F.col(c))).alias(f"_ins_min_{c}"),
+                    F.max(F.when(is_ins, F.col(c))).alias(f"_ins_max_{c}"),
+                    F.min(F.when(~is_ins, F.col(c))).alias(f"_del_min_{c}"),
+                    F.max(F.when(~is_ins, F.col(c))).alias(f"_del_max_{c}"),
+                )
+            ],
         )
-        old = self.table.scan()
-        merged = (
-            old.join(deltas, self.group_cols, "full_outer")
-            .select(
-                *self.group_cols,
+        deltas = deltas.select(
+            *[F.col(c).alias(f"_g_{c}") for c in self.group_cols],
+            self._bucket().alias("_gb_d"),
+            *[c for c in deltas.columns if c.startswith("_d_")],
+            *[
+                c
+                for c in deltas.columns
+                if c.startswith(("_ins_", "_del_"))
+            ],
+        ).localCheckpoint()
+
+        # partitions holding affected groups — a bounded collect
+        # (≤ self.buckets integers), the partition-pruning handle
+        affected = sorted(
+            r["_gb_d"] for r in deltas.select("_gb_d").distinct().collect()
+        )
+        snap = self.table.snapshot()
+        aff_strs = {str(b) for b in affected}
+        remove = [
+            f.path for f in snap.files if f.partition.get(_GB) in aff_strs
+        ]
+        old = self.table.scan(
+            partition_filter=lambda p: p.get(_GB) in aff_strs
+        )
+
+        # NULL-safe group match: a NULL group value is a real group
+        # (SQL GROUP BY semantics) — plain equality in a full_outer
+        # join would never match it against its existing rollup row
+        # and split the NULL group in two.
+        cond = None
+        for c in self.group_cols:
+            eq = old[c].eqNullSafe(deltas[f"_g_{c}"])
+            cond = eq if cond is None else (cond & eq)
+        merged = old.join(deltas, cond, "full_outer").select(
+            *[
+                F.coalesce(old[c], deltas[f"_g_{c}"]).alias(c)
+                for c in self.group_cols
+            ],
+            F.coalesce(F.col(_GB), F.col("_gb_d")).alias(_GB),
+            (
+                F.coalesce(F.col("cnt"), F.lit(0))
+                + F.coalesce(F.col("_d_cnt"), F.lit(0))
+            ).alias("cnt"),
+            *[
                 (
-                    F.coalesce(F.col("cnt"), F.lit(0))
-                    + F.coalesce(F.col("_d_cnt"), F.lit(0))
-                ).alias("cnt"),
-                *[
-                    (
-                        F.coalesce(F.col(f"sum_{c}"), F.lit(0).cast(_DEC))
-                        + F.coalesce(
-                            F.col(f"_d_sum_{c}"), F.lit(0).cast(_DEC)
-                        )
-                    )
-                    .cast(_DEC)
-                    .alias(f"sum_{c}")
-                    for c in self.sum_cols
-                ],
-            )
-            .filter(F.col("cnt") > 0)  # groups net-deleted drop out
+                    F.coalesce(F.col(f"sum_{c}"), F.lit(0).cast(_DEC))
+                    + F.coalesce(F.col(f"_d_sum_{c}"), F.lit(0).cast(_DEC))
+                )
+                .cast(_DEC)
+                .alias(f"sum_{c}")
+                for c in self.sum_cols
+            ],
+            *self._minmax_merge_cols(),
+            self._needs_recompute().alias("_recompute"),
+        ).filter(F.col("cnt") > 0)  # groups net-deleted drop out
+
+        out_cols = (
+            self.group_cols
+            + [_GB, "cnt"]
+            + [f"sum_{c}" for c in self.sum_cols]
+            + [x for c in self.minmax_cols for x in (f"min_{c}", f"max_{c}")]
         )
-        self.table.overwrite(
-            merged,
+        if self.minmax_cols:
+            merged = merged.localCheckpoint()
+            fast = merged.filter(~F.col("_recompute")).select(*out_cols)
+            rec = merged.filter(F.col("_recompute"))
+            merged = fast.unionByName(
+                self._targeted_recompute(base, rec, out_cols)
+            )
+        else:
+            merged = merged.select(*out_cols)
+
+        self.table.replace_files(
+            remove=remove,
+            add_df=merged,
             operation="ivm_delta_refresh",
             summary={"source_version": cur, "delta_rows": delta_rows},
         )
@@ -153,7 +258,111 @@ class IncrementalRollup:
             "mode": "delta",
             "delta_rows": delta_rows,
             "source_version": cur,
+            "files_rewritten": len(remove),
+            "files_total": len(snap.files),
+            "partitions_rewritten": len(affected),
         }
 
-    def df(self) -> DataFrame:
-        return self.table.scan()
+    def _minmax_merge_cols(self) -> list[Column]:
+        """Fast-path extremum merge: inserts can only improve an
+        extremum, so least/greatest with the stored value is exact —
+        valid only where `_needs_recompute()` is False (least/greatest
+        skip NULLs, matching MIN/MAX-ignore-NULL semantics)."""
+        cols = []
+        for c in self.minmax_cols:
+            cols.append(
+                F.least(F.col(f"min_{c}"), F.col(f"_ins_min_{c}")).alias(
+                    f"min_{c}"
+                )
+            )
+            cols.append(
+                F.greatest(F.col(f"max_{c}"), F.col(f"_ins_max_{c}")).alias(
+                    f"max_{c}"
+                )
+            )
+        return cols
+
+    def _needs_recompute(self) -> Column:
+        """A group needs a base re-aggregation iff its changelog window
+        contains a delete that may have removed a stored extremum: the
+        deleted value touches [stored min, stored max], or the group
+        had no stored row (created AND deleted inside one window —
+        insert-only delta math can't see which rows survived)."""
+        if not self.minmax_cols:
+            return F.lit(False)
+        had_del = F.coalesce(F.col("_d_ndel"), F.lit(0)) > 0
+        touches = F.lit(False)
+        for c in self.minmax_cols:
+            touches = (
+                touches
+                | F.col("cnt").isNull()  # old row absent pre-merge…
+                | (F.col(f"_del_min_{c}") <= F.col(f"min_{c}"))
+                | (F.col(f"_del_max_{c}") >= F.col(f"max_{c}"))
+            )
+        absent = F.lit(False)
+        for c in self.minmax_cols:
+            absent = absent | F.col(f"min_{c}").isNull()
+        # coalesce: deletes whose values are all NULL for a column make
+        # the touch comparison NULL — NULLs never hold an extremum
+        # (MIN/MAX ignore them), so that's a fast-path False, and a
+        # NULL flag must not drop the row from BOTH filter branches
+        return F.coalesce(had_del & (touches | absent), F.lit(False))
+
+    def _targeted_recompute(
+        self, base: LakeTable, rec: DataFrame, out_cols: list[str]
+    ) -> DataFrame:
+        """Re-aggregate MIN/MAX from the base for exactly the flagged
+        groups (semi-join restriction — O(base partitions containing
+        those groups), not a full re-scan of aggregates: cnt/sum stay
+        on the exact delta math)."""
+        keys = rec.select(
+            *[F.col(c).alias(f"_k_{c}") for c in self.group_cols]
+        ).distinct()
+        b = base.scan()
+        cond = None
+        for c in self.group_cols:
+            eq = b[c].eqNullSafe(keys[f"_k_{c}"])
+            cond = eq if cond is None else (cond & eq)
+        fresh = (
+            b.join(keys, cond, "inner")
+            .groupBy(*[f"_k_{c}" for c in self.group_cols])
+            .agg(
+                *[
+                    a
+                    for c in self.minmax_cols
+                    for a in (
+                        F.min(c).alias(f"_f_min_{c}"),
+                        F.max(c).alias(f"_f_max_{c}"),
+                    )
+                ]
+            )
+        )
+        rcond = None
+        for c in self.group_cols:
+            eq = rec[c].eqNullSafe(fresh[f"_k_{c}"])
+            rcond = eq if rcond is None else (rcond & eq)
+        out = rec.join(fresh, rcond, "left").select(
+            *[rec[c] for c in self.group_cols],
+            rec[_GB],
+            rec["cnt"],
+            *[rec[f"sum_{c}"] for c in self.sum_cols],
+            *[
+                x
+                for c in self.minmax_cols
+                for x in (
+                    F.col(f"_f_min_{c}").alias(f"min_{c}"),
+                    F.col(f"_f_max_{c}").alias(f"max_{c}"),
+                )
+            ],
+        )
+        return out.select(*out_cols)
+
+    def df(self, with_avg: bool = False) -> DataFrame:
+        out = self.table.scan().drop(_GB)
+        if with_avg:
+            for c in self.sum_cols:
+                out = out.withColumn(
+                    f"avg_{c}",
+                    F.col(f"sum_{c}").cast("double") / F.col("cnt"),
+                )
+        return out

@@ -120,12 +120,16 @@ def ngram_jaccard_pairs(
     )
     if base.rdd.getNumPartitions() < cpus:
         base = base.repartition(cpus, "doc_id")
-    # persist the signed arrays: the inverted-index self-join (and the
-    # df-cap pre-pass) would otherwise re-run the Arrow signing once
-    # per consumer
+    # localCheckpoint (eager) the signed arrays: the inverted-index
+    # self-join (and the df-cap pre-pass) would otherwise re-run the
+    # Arrow signing once per consumer. Checkpoint, not persist — the
+    # returned DataFrame keeps consuming these blocks lazily, so an
+    # explicit unpersist here would be premature and a bare persist
+    # would leak cached blocks across repeated calls in a long-lived
+    # session; checkpoint blocks are freed when the plan is GC'd.
     dk = base.select(
         "doc_id", doc_keys2_udf(n)(F.col("_t")).alias("keys")
-    ).persist()
+    ).localCheckpoint()
     ex = dk.select("doc_id", F.explode("keys").alias("sh"))
     if max_df is None:
         sizes = dk.select(

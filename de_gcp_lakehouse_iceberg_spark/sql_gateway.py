@@ -120,11 +120,23 @@ class SqlGateway:
         self.tables = tables
 
     def _resolve(self, name: str, sql: str) -> tuple[DataFrame, str]:
-        """The view to register for `name`, honoring any FOR
-        SYSTEM_TIME clause that follows its reference in `sql`.
-        Returns (df, sql-with-clause-stripped)."""
+        """The view to register for `name`, honoring a FOR SYSTEM_TIME
+        clause only when it IMMEDIATELY FOLLOWS this table's own
+        reference (`FROM t FOR SYSTEM_TIME …`) — a clause attached to a
+        different table in the same query is left untouched for that
+        table's own resolution pass. Returns
+        (df, sql-with-this-table's-clause-stripped)."""
         src = self.tables[name]
-        m = _SYSTEM_TIME_BETWEEN.search(sql)
+        esc = re.escape(name)
+        bet = re.compile(
+            rf"\b{esc}\b\s+" + _SYSTEM_TIME_BETWEEN.pattern,
+            re.IGNORECASE,
+        )
+        asof = re.compile(
+            rf"\b{esc}\b\s+" + _SYSTEM_TIME_AS_OF.pattern,
+            re.IGNORECASE,
+        )
+        m = bet.search(sql)
         if m is not None:
             if not isinstance(src, LakeTable):
                 raise ValueError(
@@ -145,17 +157,32 @@ class SqlGateway:
                 )
                 .withColumnRenamed("_change_timestamp", "_CHANGE_TIMESTAMP")
             )
-            return df, _SYSTEM_TIME_BETWEEN.sub("", sql)
-        m = _SYSTEM_TIME_AS_OF.search(sql)
+            stripped = bet.sub(name, sql, count=1)
+            self._reject_second_clause(name, bet, asof, stripped)
+            return df, stripped
+        m = asof.search(sql)
         if m is not None:
             if not isinstance(src, LakeTable):
                 raise ValueError(
                     f"FOR SYSTEM_TIME on {name!r} needs a LakeTable"
                 )
             df = src.scan(as_of_ms=_parse_ts_ms(m.group(1)))
-            return df, _SYSTEM_TIME_AS_OF.sub("", sql)
+            stripped = asof.sub(name, sql, count=1)
+            self._reject_second_clause(name, bet, asof, stripped)
+            return df, stripped
         df = src.scan() if isinstance(src, LakeTable) else src
         return df, sql
+
+    @staticmethod
+    def _reject_second_clause(name, bet, asof, stripped: str) -> None:
+        # one registered view per name: the SAME table at two different
+        # system times in one statement can't both bind to it
+        if bet.search(stripped) or asof.search(stripped):
+            raise ValueError(
+                f"table {name!r} appears with more than one FOR "
+                "SYSTEM_TIME clause — register it under two names to "
+                "join a table to its own history"
+            )
 
     def sql(self, text: str) -> DataFrame:
         s = translate(text)

@@ -112,5 +112,14 @@ def streaming_dedup_ingest(
     deadline = time.time() + poll_timeout_s
     while q.isActive and time.time() < deadline:
         q.awaitTermination(1.0)
-    q.awaitTermination()
+    if q.isActive:
+        # a hung micro-batch must not turn the bound into forever:
+        # stop the query and surface the timeout instead of falling
+        # through to an unbounded awaitTermination
+        q.stop()
+        raise TimeoutError(
+            f"streaming dedup ingest still active after "
+            f"poll_timeout_s={poll_timeout_s}"
+        )
+    q.awaitTermination()  # re-raises any micro-batch exception
     return stats

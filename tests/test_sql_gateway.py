@@ -158,3 +158,63 @@ def test_for_system_time_as_of_and_between(spark, tmp_path):
     ).collect()
     assert [r["trip_id"] for r in changes] == [5, 6, 7, 8, 9]
     assert {r["_CHANGE_TYPE"] for r in changes} == {"DELETE"}
+
+
+def test_system_time_binds_to_its_own_table(spark, tmp_path):
+    """A FOR SYSTEM_TIME clause applies ONLY to the table it follows:
+    joining a time-traveled LakeTable to (a) a plain DataFrame and
+    (b) another LakeTable at head must not leak the clause across."""
+    t = LakeTable.create(spark, str(tmp_path / "t"))
+    t.append(
+        spark.range(10).select(
+            F.col("id").alias("trip_id"), (F.col("id") * 2.0).alias("amt")
+        )
+    )
+    v1_ts = t.snapshot().timestamp_ms
+    import time as _time
+
+    _time.sleep(0.05)
+    dml.delete(t, "trip_id >= 5")
+
+    zones = spark.range(10).select(
+        F.col("id").alias("trip_id"), F.lit("z").alias("zone")
+    )
+    asof = dt.datetime.fromtimestamp(
+        v1_ts / 1000, dt.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S.%f")
+
+    # (a) LakeTable time-traveled, plain DataFrame beside it — the
+    # clause must not be claimed by `zones` (which would raise)
+    gw = SqlGateway(spark, {"zones": zones, "trips": t})
+    n = gw.sql(
+        f"""SELECT COUNT(*) AS c
+            FROM trips FOR SYSTEM_TIME AS OF '{asof}'
+            JOIN zones ON trips.trip_id = zones.trip_id"""
+    ).first()["c"]
+    assert n == 10  # pre-delete snapshot of trips, all 10 join
+
+    # (b) two LakeTables, only ONE carries the clause: the other must
+    # read at head, not at the first table's timestamp
+    u = LakeTable.create(spark, str(tmp_path / "u"))
+    u.append(
+        spark.range(3).select(
+            F.col("id").alias("trip_id"), F.lit(1).alias("k")
+        )
+    )
+    gw2 = SqlGateway(spark, {"trips": t, "others": u})
+    r = gw2.sql(
+        f"""SELECT (SELECT COUNT(*) FROM trips
+                     FOR SYSTEM_TIME AS OF '{asof}') AS then_n,
+                   (SELECT COUNT(*) FROM others) AS now_n"""
+    ).first()
+    assert r["then_n"] == 10 and r["now_n"] == 3
+
+    # same table twice at different times is ambiguous → explicit error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="more than one FOR SYSTEM_TIME"):
+        gw2.sql(
+            f"""SELECT * FROM trips FOR SYSTEM_TIME AS OF '{asof}' a
+                JOIN trips FOR SYSTEM_TIME AS OF '{asof}' b
+                ON a.trip_id = b.trip_id"""
+        )
