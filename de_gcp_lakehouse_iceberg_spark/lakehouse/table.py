@@ -111,6 +111,66 @@ def _footer_stats(meta) -> dict[str, list]:
 _PRUNE_OPS = {"=", "==", "<", "<=", ">", ">=", "in"}
 
 
+class _SortedKeys:
+    """Preprocessed key set for the `in` prune op: keys sorted by their
+    stat-comparable value once per PLAN, so each file intersects its
+    [min, max] stats range with the key list by binary search —
+    O(log keys + keys-in-range) per file instead of O(keys). At the
+    runtime-filter ceiling (10⁵ keys × 10⁶ files) that's the difference
+    between ~10⁷ and ~10¹¹ plan-time ops. Picklable (plain lists), so
+    `plan_files_distributed` ships it to executors as-is."""
+
+    __slots__ = ("keys", "svs", "skeys", "unsortable", "sortable")
+
+    def __init__(self, keys):
+        self.keys = list(keys)
+        pairs = []
+        self.unsortable = []
+        for k in self.keys:
+            sv = _stat_value(k)
+            if sv is None:
+                self.unsortable.append(k)
+            else:
+                pairs.append((sv, k))
+        try:
+            pairs.sort(key=lambda p: p[0])
+            self.sortable = True
+        except TypeError:  # mixed incomparable types — keep O(keys)
+            self.sortable = False
+        self.svs = [p[0] for p in pairs]
+        self.skeys = [p[1] for p in pairs]
+
+    def candidates(self, stats: list | None):
+        """Keys that could fall inside a file's [lo, hi] stats range.
+        No stats / unsortable keys ⇒ every key is a candidate (the
+        conservative contract pruning everywhere else follows)."""
+        if not self.sortable or stats is None or not self.svs:
+            return self.keys
+        lo, hi = stats
+        if (type(self.svs[0]) is str) != (type(lo) is str):
+            return self.keys  # incomparable stat domain — keep all
+        import bisect
+
+        i = bisect.bisect_left(self.svs, lo)
+        j = bisect.bisect_right(self.svs, hi)
+        cand = self.skeys[i:j]
+        return cand + self.unsortable if self.unsortable else cand
+
+
+def _normalize_where(where):
+    """Preprocess a predicate list for planning: `in` key lists become
+    `_SortedKeys` (idempotent — already-normalized entries pass
+    through)."""
+    if not where:
+        return where
+    out = []
+    for col, op, value in where:
+        if op == "in" and not isinstance(value, _SortedKeys):
+            value = _SortedKeys(value)
+        out.append((col, op, value))
+    return out
+
+
 def _file_may_match(entry: "FileEntry", col: str, op: str, value) -> bool:
     """Conservative stats pruning: False ONLY when the file provably
     holds no matching row (NULLs never satisfy these comparisons, so
@@ -178,8 +238,12 @@ def _file_survives(
             # query. The file survives iff SOME key could live in it —
             # each key runs the FULL per-key check (stats ∧ bloom ∧
             # partition transforms) so a key passing stats in one file
-            # and bloom in another never keeps a third.
-            if not any(_one(col, "=", k) for k in value):
+            # and bloom in another never keeps a third. The sorted-key
+            # range intersection narrows the per-key probes to keys
+            # inside the file's [min, max] FIRST (binary search), so
+            # bloom/transform work is O(keys-in-range), not O(keys).
+            sk = value if isinstance(value, _SortedKeys) else _SortedKeys(value)
+            if not any(_one(col, "=", k) for k in sk.candidates(entry.stats.get(col))):
                 return False
             continue
         if not _one(col, op, value):
@@ -851,6 +915,7 @@ class LakeTable:
         if partition_filter is not None:
             files = [f for f in files if partition_filter(f.partition)]
         current_spec = self.partition_by
+        where = _normalize_where(where)  # sort `in` key sets ONCE
         files = [
             f for f in files if _file_survives(f, where, current_spec)
         ]
@@ -906,7 +971,9 @@ class LakeTable:
             return self.plan_files(version=version, where=where)
 
         current_spec = self.partition_by
-        preds = list(where or [])
+        # normalized ONCE on the driver; ships to executors pickled so
+        # no task re-sorts the key set
+        preds = list(_normalize_where(where) or [])
 
         def prune(batches):
             import pandas as pd
@@ -963,6 +1030,25 @@ class LakeTable:
         row-group pruning still applies inside each survivor). `where`
         predicates are ALSO applied exactly to the result, so the
         returned rows are identical with or without stats."""
+        snap, files = self.plan_files(
+            version, as_of_ms, partition_filter, where, tag=tag
+        )
+        df = self._read_files(
+            snap, [f.path for f in files], with_file_col=with_file_path
+        )
+        return self._apply_exact_where(df, where)
+
+    def _apply_exact_where(
+        self, df: DataFrame, where: list[tuple[str, str, Any]] | None
+    ) -> DataFrame:
+        """Apply `where` conjuncts exactly to planned rows (pruning is
+        conservative; this is what makes the result independent of
+        stats). Shared by `scan` and the runtime-filter read path."""
+        # accept normalized predicates too (the planner's _SortedKeys)
+        where = [
+            (c, op, v.keys if isinstance(v, _SortedKeys) else v)
+            for c, op, v in (where or [])
+        ]
         import datetime as _dt
 
         def _has_dt(v):
@@ -986,18 +1072,13 @@ class LakeTable:
                 return v.replace(tzinfo=_dt.timezone.utc)
             return v
 
-        snap, files = self.plan_files(
-            version, as_of_ms, partition_filter, where, tag=tag
-        )
-        df = self._read_files(
-            snap, [f.path for f in files], with_file_col=with_file_path
-        )
         for col, op, raw in where or []:
             from pyspark.sql import functions as F
 
             c = F.col(col)
             if op == "in":
-                df = df.filter(c.isin([_utc(v) for v in raw]))
+                keys = raw.keys if isinstance(raw, _SortedKeys) else raw
+                df = df.filter(c.isin([_utc(v) for v in keys]))
                 continue
             value = _utc(raw)
             df = df.filter(

@@ -124,3 +124,71 @@ def test_in_prune_with_datetime_keys(spark, tmp_path):
         r["k"] for r in t.scan(where=[("event_ts", "in", keys)]).collect()
     )
     assert rows == [29, 89]  # hour offsets 24+5 and 72+17
+
+
+def test_distributed_runtime_filter_many_files_large_keyset(
+    spark, tmp_path, monkeypatch
+):
+    """Above the sidecar threshold the runtime filter plans as a Spark
+    job (plan_files_distributed) with the sorted-key range
+    intersection; planned set and rows are identical to the driver
+    loop."""
+    import os
+
+    import de_gcp_lakehouse_iceberg_spark.lakehouse.table as table_mod
+
+    n_files = 20
+    monkeypatch.setattr(table_mod, "PARQUET_MANIFEST_MIN", n_files)
+    t = LakeTable.create(spark, str(tmp_path / "fact"))
+    rows = n_files * 100
+    df = spark.range(rows).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    w = rows // n_files
+    for i in range(n_files):
+        t.append(
+            df.filter((F.col("k") / w).cast("long") == i).coalesce(1)
+        )
+    add_bloom_filters(t, ["k"])
+    assert os.path.exists(t._parquet_manifest_path(t.current_version()))
+
+    # a large key set clustered in a few stripes + strays: the sorted
+    # binary search narrows per-file probes to in-range keys only
+    dim = spark.range(rows).select(F.col("id").alias("dk")).filter(
+        (F.col("dk") < 150) | (F.col("dk") % 371 == 0)
+    )
+    keys = harvest_keys(dim, "dk")
+    _s, driver_planned = t.plan_files(where=[("k", "in", keys)])
+
+    out, info = scan_with_join_filter(t, "k", dim, "dk")
+    assert info["files_total"] == n_files
+    assert info["files_planned"] == len(driver_planned)
+    assert info["files_planned"] < n_files  # pruning really happened
+    assert out.count() == dim.count()
+    assert sorted(r["k"] for r in out.collect()) == sorted(keys)
+
+
+def test_sorted_key_candidates_match_bruteforce(spark, tmp_path):
+    """_SortedKeys range intersection must keep the planned file set
+    identical to the O(keys) per-key loop, including boundary keys,
+    unsortable values, and string keys."""
+    from de_gcp_lakehouse_iceberg_spark.lakehouse.table import (
+        _SortedKeys,
+        _file_survives,
+    )
+
+    t, df, w = _fact(spark, tmp_path)
+    snap = t.snapshot()
+    for keys in (
+        [0, 49, 50, 399],          # stripe boundaries
+        [399, 0, 57],              # unsorted input
+        [-5, 1000],                # fully out of range
+        list(range(0, 400, 7)),    # dense
+    ):
+        sk = _SortedKeys(keys)
+        for f in snap.files:
+            slow = any(
+                _file_survives(f, [("k", "=", k)], []) for k in keys
+            )
+            fast = _file_survives(f, [("k", "in", sk)], [])
+            assert slow == fast, (keys, f.path)
