@@ -25,6 +25,19 @@ is exposed as a derived column (`df(with_avg=True)`), matching the
 reference's daily_zone_stats view shape
 (sql/create_iceberg_tables.sql:170-184).
 
+COUNT(DISTINCT) — the remaining daily_zone_stats aggregate
+(sql/create_iceberg_tables.sql:180, `COUNT(DISTINCT payment_type)`) —
+rides the SAME hybrid via the mergeable KMV sketch
+(operators/sketches.py): each group stores the k smallest portable
+hashes of the distinct values (`kmv_<c>` array<long>). Inserts are
+pure delta math (min-k of a union == min-k of merged min-k arrays,
+all sizes ≤ k); a delete triggers the targeted recompute ONLY when
+the deleted value's hash is ≤ the group's stored k-th hash — i.e. it
+may actually sit in the sketch — the exact analog of the MIN/MAX
+"delete touches the stored extremum" test. The maintained sketch is
+bit-identical to a from-scratch sketch at the same base version, so
+the estimate (exact below k distinct values) is oracle-checkable.
+
 Refresh cost is O(changelog rows) + O(affected groups) for the math
 AND for the WRITE: the rollup table is hidden-partitioned on a hash
 bucket of the group key (`_gb`), and a refresh rewrites ONLY the
@@ -47,12 +60,17 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.sampling import id_hash
 from . import dml
 from .table import LakeTable
 
 _CONFIG = "ivm.json"
 _DEC = "decimal(28,6)"
 _GB = "_gb"  # hidden group-hash bucket column (layout only)
+
+
+def _empty_kmv() -> Column:
+    return F.array().cast("array<long>")
 
 
 class IncrementalRollup:
@@ -69,6 +87,8 @@ class IncrementalRollup:
         self.group_cols: list[str] = cfg["group_cols"]
         self.sum_cols: list[str] = cfg["sum_cols"]
         self.minmax_cols: list[str] = cfg.get("minmax_cols", [])
+        self.distinct_cols: list[str] = cfg.get("distinct_cols", [])
+        self.kmv_k: int = cfg.get("kmv_k", 64)
         self.buckets: int = cfg.get("buckets", 16)
         self.table = LakeTable.load(spark, self.root)
 
@@ -82,6 +102,8 @@ class IncrementalRollup:
         group_cols: list[str],
         sum_cols: list[str],
         minmax_cols: list[str] | None = None,
+        distinct_cols: list[str] | None = None,
+        kmv_k: int = 64,
         buckets: int = 16,
     ) -> "IncrementalRollup":
         root = os.path.abspath(root)
@@ -91,6 +113,8 @@ class IncrementalRollup:
             "group_cols": group_cols,
             "sum_cols": sum_cols,
             "minmax_cols": minmax_cols or [],
+            "distinct_cols": distinct_cols or [],
+            "kmv_k": kmv_k,
             "buckets": buckets,
         }
         tmp = os.path.join(root, _CONFIG + ".tmp")
@@ -115,6 +139,21 @@ class IncrementalRollup:
             "int"
         )
 
+    def _kmv(self, c: Column | str) -> Column:
+        """Per-group KMV sketch: the k smallest distinct portable hashes,
+        ascending. collect_set partial-aggregates map-side
+        (ObjectHashAggregate), so the per-group buffer bound matches an
+        exact COUNT(DISTINCT) — the sketch's payoff is the MAINTENANCE
+        (mergeable inserts, no-rescan refresh), not the bootstrap."""
+        col = F.col(c) if isinstance(c, str) else c
+        # cast pins containsNull=true: collect_set yields
+        # containsNull=false but the refresh-union/coalesce path yields
+        # true, and schema alignment can't narrow true→false — store
+        # the permissive form everywhere
+        return F.slice(
+            F.array_sort(F.collect_set(id_hash(col))), 1, self.kmv_k
+        ).cast("array<long>")
+
     def _aggs(self) -> list[Column]:
         return [
             F.count(F.lit(1)).alias("cnt"),
@@ -129,6 +168,10 @@ class IncrementalRollup:
                     F.min(c).alias(f"min_{c}"),
                     F.max(c).alias(f"max_{c}"),
                 )
+            ],
+            *[
+                self._kmv(c).alias(f"kmv_{c}")
+                for c in self.distinct_cols
             ],
         ]
 
@@ -151,7 +194,14 @@ class IncrementalRollup:
         last = self.table.snapshot().summary["source_version"]
         cur = base.current_version()
         if cur == last:
-            return {"mode": "noop", "delta_rows": 0, "source_version": cur}
+            return {
+                "mode": "noop",
+                "delta_rows": 0,
+                "source_version": cur,
+                "files_rewritten": 0,
+                "files_total": len(self.table.snapshot().files),
+                "partitions_rewritten": 0,
+            }
         ch = dml.changelog(base, last, cur)
         delta_rows = ch.count()
         is_ins = F.col("_change_type") == "INSERT"
@@ -173,6 +223,26 @@ class IncrementalRollup:
                     F.max(F.when(is_ins, F.col(c))).alias(f"_ins_max_{c}"),
                     F.min(F.when(~is_ins, F.col(c))).alias(f"_del_min_{c}"),
                     F.max(F.when(~is_ins, F.col(c))).alias(f"_del_max_{c}"),
+                )
+            ],
+            *[
+                a
+                for c in self.distinct_cols
+                for a in (
+                    # sketch of the window's inserted values (≤ k) …
+                    F.slice(
+                        F.array_sort(
+                            F.collect_set(
+                                F.when(is_ins, id_hash(F.col(c)))
+                            )
+                        ),
+                        1,
+                        self.kmv_k,
+                    ).alias(f"_ins_kmv_{c}"),
+                    # … and the smallest deleted hash (recompute trigger)
+                    F.min(F.when(~is_ins, id_hash(F.col(c)))).alias(
+                        f"_del_minh_{c}"
+                    ),
                 )
             ],
         )
@@ -229,6 +299,7 @@ class IncrementalRollup:
                 for c in self.sum_cols
             ],
             *self._minmax_merge_cols(),
+            *self._kmv_merge_cols(),
             self._needs_recompute().alias("_recompute"),
         ).filter(F.col("cnt") > 0)  # groups net-deleted drop out
 
@@ -237,13 +308,14 @@ class IncrementalRollup:
             + [_GB, "cnt"]
             + [f"sum_{c}" for c in self.sum_cols]
             + [x for c in self.minmax_cols for x in (f"min_{c}", f"max_{c}")]
+            + [f"kmv_{c}" for c in self.distinct_cols]
         )
-        if self.minmax_cols:
+        if self.minmax_cols or self.distinct_cols:
             merged = merged.localCheckpoint()
             fast = merged.filter(~F.col("_recompute")).select(*out_cols)
             rec = merged.filter(F.col("_recompute"))
             merged = fast.unionByName(
-                self._targeted_recompute(base, rec, out_cols)
+                self._targeted_recompute(base, rec, out_cols, version=cur)
             )
         else:
             merged = merged.select(*out_cols)
@@ -282,13 +354,38 @@ class IncrementalRollup:
             )
         return cols
 
+    def _kmv_merge_cols(self) -> list[Column]:
+        """Insert fast path for KMV sketches: min-k of the union equals
+        the min-k of the two (≤ k)-element arrays concatenated — exact,
+        bounded array math, no explode. Valid only where
+        `_needs_recompute()` is False (a delete may have removed a
+        value whose hash sits in the sketch)."""
+        cols = []
+        for c in self.distinct_cols:
+            merged = F.slice(
+                F.array_sort(
+                    F.array_distinct(
+                        F.concat(
+                            F.coalesce(F.col(f"kmv_{c}"), _empty_kmv()),
+                            F.coalesce(F.col(f"_ins_kmv_{c}"), _empty_kmv()),
+                        )
+                    )
+                ),
+                1,
+                self.kmv_k,
+            )
+            cols.append(merged.cast("array<long>").alias(f"kmv_{c}"))
+        return cols
+
     def _needs_recompute(self) -> Column:
         """A group needs a base re-aggregation iff its changelog window
         contains a delete that may have removed a stored extremum: the
-        deleted value touches [stored min, stored max], or the group
-        had no stored row (created AND deleted inside one window —
+        deleted value touches [stored min, stored max] — or, for a KMV
+        distinct sketch, the deleted value's hash is ≤ the stored k-th
+        smallest hash (it may occupy a sketch slot) — or the group had
+        no stored row (created AND deleted inside one window —
         insert-only delta math can't see which rows survived)."""
-        if not self.minmax_cols:
+        if not (self.minmax_cols or self.distinct_cols):
             return F.lit(False)
         had_del = F.coalesce(F.col("_d_ndel"), F.lit(0)) > 0
         touches = F.lit(False)
@@ -299,9 +396,24 @@ class IncrementalRollup:
                 | (F.col(f"_del_min_{c}") <= F.col(f"min_{c}"))
                 | (F.col(f"_del_max_{c}") >= F.col(f"max_{c}"))
             )
+        for c in self.distinct_cols:
+            touches = (
+                touches
+                | F.col("cnt").isNull()
+                | (
+                    F.col(f"_del_minh_{c}")
+                    <= F.element_at(F.col(f"kmv_{c}"), -1)
+                )
+            )
         absent = F.lit(False)
         for c in self.minmax_cols:
             absent = absent | F.col(f"min_{c}").isNull()
+        for c in self.distinct_cols:
+            absent = (
+                absent
+                | F.col(f"kmv_{c}").isNull()
+                | (F.size(F.col(f"kmv_{c}")) == 0)
+            )
         # coalesce: deletes whose values are all NULL for a column make
         # the touch comparison NULL — NULLs never hold an extremum
         # (MIN/MAX ignore them), so that's a fast-path False, and a
@@ -309,16 +421,24 @@ class IncrementalRollup:
         return F.coalesce(had_del & (touches | absent), F.lit(False))
 
     def _targeted_recompute(
-        self, base: LakeTable, rec: DataFrame, out_cols: list[str]
+        self,
+        base: LakeTable,
+        rec: DataFrame,
+        out_cols: list[str],
+        version: int | None = None,
     ) -> DataFrame:
         """Re-aggregate MIN/MAX from the base for exactly the flagged
         groups (semi-join restriction — O(base partitions containing
         those groups), not a full re-scan of aggregates: cnt/sum stay
-        on the exact delta math)."""
+        on the exact delta math). The scan is PINNED to `version` — the
+        base version this refresh planned its changelog window against —
+        so a concurrent base commit landing mid-refresh cannot leak
+        newer rows into the recomputed extrema (the rollup must equal a
+        recompute at exactly source_version)."""
         keys = rec.select(
             *[F.col(c).alias(f"_k_{c}") for c in self.group_cols]
         ).distinct()
-        b = base.scan()
+        b = base.scan(version=version)
         cond = None
         for c in self.group_cols:
             eq = b[c].eqNullSafe(keys[f"_k_{c}"])
@@ -334,7 +454,11 @@ class IncrementalRollup:
                         F.min(c).alias(f"_f_min_{c}"),
                         F.max(c).alias(f"_f_max_{c}"),
                     )
-                ]
+                ],
+                *[
+                    self._kmv(c).alias(f"_f_kmv_{c}")
+                    for c in self.distinct_cols
+                ],
             )
         )
         rcond = None
@@ -354,10 +478,22 @@ class IncrementalRollup:
                     F.col(f"_f_max_{c}").alias(f"max_{c}"),
                 )
             ],
+            *[
+                F.coalesce(F.col(f"_f_kmv_{c}"), _empty_kmv()).alias(
+                    f"kmv_{c}"
+                )
+                for c in self.distinct_cols
+            ],
         )
         return out.select(*out_cols)
 
     def df(self, with_avg: bool = False) -> DataFrame:
+        """The maintained rollup. KMV sketch columns are exposed as
+        `distinct_<c>` estimates (EXACT below k distinct values,
+        (k−1)·P/h_k beyond — pure integer math, oracle-replayable);
+        the raw sketch arrays stay internal."""
+        from ..operators.sampling import SAMPLE_P
+
         out = self.table.scan().drop(_GB)
         if with_avg:
             for c in self.sum_cols:
@@ -365,4 +501,16 @@ class IncrementalRollup:
                     f"avg_{c}",
                     F.col(f"sum_{c}").cast("double") / F.col("cnt"),
                 )
+        for c in self.distinct_cols:
+            kmv = F.col(f"kmv_{c}")
+            n = F.size(kmv)
+            kth = F.element_at(kmv, self.kmv_k)
+            out = out.withColumn(
+                f"distinct_{c}",
+                F.when(n < self.kmv_k, n.cast("long")).otherwise(
+                    F.floor(
+                        F.lit((self.kmv_k - 1) * SAMPLE_P) / kth
+                    ).cast("long")
+                ),
+            ).drop(f"kmv_{c}")
         return out

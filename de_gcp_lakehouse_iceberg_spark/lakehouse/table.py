@@ -128,13 +128,21 @@ class _SortedKeys:
         self.unsortable = []
         for k in self.keys:
             sv = _stat_value(k)
-            if sv is None:
+            # NaN is unorderable but does NOT raise on comparison — it
+            # silently breaks sort order (every comparison False), so a
+            # key list containing NaN would leave svs unsorted while
+            # sortable=True and bisect would then MISS in-range keys,
+            # wrongly pruning files. Route NaN to the always-candidate
+            # unsortable bucket instead (same contract as None).
+            if sv is None or sv != sv:
                 self.unsortable.append(k)
             else:
                 pairs.append((sv, k))
         try:
             pairs.sort(key=lambda p: p[0])
-            self.sortable = True
+            self.sortable = all(
+                pairs[i][0] <= pairs[i + 1][0] for i in range(len(pairs) - 1)
+            )  # belt-and-braces: verify monotonicity post-sort
         except TypeError:  # mixed incomparable types — keep O(keys)
             self.sortable = False
         self.svs = [p[0] for p in pairs]

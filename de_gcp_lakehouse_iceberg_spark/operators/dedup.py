@@ -29,6 +29,62 @@ from pyspark.sql import functions as F
 
 from ..functions.text import shingles
 
+
+def _unpersist_quiet(jdf) -> None:
+    """Drop a cached intermediate's blocks. Best-effort — the owning
+    session may already be stopped."""
+    try:
+        jdf.unpersist(False)
+    except Exception:
+        pass
+
+
+# Bounded LRU of lazily-persisted signing results (the per-doc shingle
+# key arrays). The whole Jaccard family — pairs, max_df variant,
+# clusters, canonical selection, corpus clean — derives from the SAME
+# signing plan over the same corpus, so one cached result serves them
+# all: Spark's CacheManager substitutes cached data by logical-plan
+# match, and this registry pins the entry alive across calls. Capacity
+# eviction unpersists the LRU entry, fixing the unbounded
+# cache-accumulation a bare persist() had in a long-lived session
+# (round-6 leak) WITHOUT round 7's eager-localCheckpoint regression
+# (RDD-block serialization + an unguardable `Scan ExistingRDD` plan).
+_SIGNING_CACHE: list[DataFrame] = []  # most-recent-first
+_SIGNING_CACHE_CAP = 4
+_SIGNING_LOCK = __import__("threading").Lock()
+
+
+def _cached_signing(dk: DataFrame) -> DataFrame:
+    """Return a lazily-persisted DataFrame for `dk`'s plan, reusing a
+    live cache entry when the analyzed plans are equivalent
+    (`sameResult` — the exact test the CacheManager applies)."""
+    with _SIGNING_LOCK:
+        for i, old in enumerate(_SIGNING_CACHE):
+            try:
+                same = (
+                    old._jdf.queryExecution()
+                    .analyzed()
+                    .sameResult(dk._jdf.queryExecution().analyzed())
+                )
+            except Exception:  # stale entry from a stopped session
+                same = False
+            if same:
+                _SIGNING_CACHE.insert(0, _SIGNING_CACHE.pop(i))
+                return old
+        dk = dk.persist()  # lazy: nothing runs until a consumer does
+        _SIGNING_CACHE.insert(0, dk)
+        while len(_SIGNING_CACHE) > _SIGNING_CACHE_CAP:
+            _unpersist_quiet(_SIGNING_CACHE.pop()._jdf)
+        return dk
+
+
+def clear_signing_cache() -> None:
+    """Unpersist and forget every cached signing result (test hook /
+    explicit release)."""
+    with _SIGNING_LOCK:
+        while _SIGNING_CACHE:
+            _unpersist_quiet(_SIGNING_CACHE.pop()._jdf)
+
 # SimHash per-token key: char-level polynomial hash (base 31, Mersenne
 # modulus). Cross-engine deterministic — the DuckDB oracle re-derives it
 # from these constants (plans/dedup_queries.py).
@@ -120,16 +176,14 @@ def ngram_jaccard_pairs(
     )
     if base.rdd.getNumPartitions() < cpus:
         base = base.repartition(cpus, "doc_id")
-    # localCheckpoint (eager) the signed arrays: the inverted-index
-    # self-join (and the df-cap pre-pass) would otherwise re-run the
-    # Arrow signing once per consumer. Checkpoint, not persist — the
-    # returned DataFrame keeps consuming these blocks lazily, so an
-    # explicit unpersist here would be premature and a bare persist
-    # would leak cached blocks across repeated calls in a long-lived
-    # session; checkpoint blocks are freed when the plan is GC'd.
-    dk = base.select(
-        "doc_id", doc_keys2_udf(n)(F.col("_t")).alias("keys")
-    ).localCheckpoint()
+    # Lazily persist the signed arrays via the bounded signing cache:
+    # the inverted-index self-join (and the df-cap pre-pass) would
+    # otherwise re-run the Arrow signing once per consumer, and the
+    # whole Jaccard family re-derives this same plan — one columnar
+    # cache entry serves them all (see _cached_signing).
+    dk = _cached_signing(
+        base.select("doc_id", doc_keys2_udf(n)(F.col("_t")).alias("keys"))
+    )
     ex = dk.select("doc_id", F.explode("keys").alias("sh"))
     if max_df is None:
         sizes = dk.select(

@@ -55,12 +55,21 @@ def test_sq8_candidates_avoid_global_window(spark, sf_dir):
 
 def test_jaccard_fast_path_has_no_string_shingle_shuffle(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
-    p = _plan(ngram_jaccard_pairs(docs, threshold=0.5))
-    # signing happens in ONE Arrow stage; the join keys are longs from
-    # the UDF output, not exploded shingle strings
+    out = ngram_jaccard_pairs(docs, threshold=0.5)
+    p = _plan(out)
+    # The invariant: per-doc signing is ONE lazy Arrow stage whose long
+    # keys feed the inverted-index join — no exploded shingle STRINGS
+    # are ever hashed/shuffled, and the signing is not eagerly
+    # materialized at call time (r7's eager localCheckpoint hid the
+    # stage behind `Scan ExistingRDD` and serialized through the RDD
+    # block manager — slower AND unguardable).
+    assert "Scan ExistingRDD" not in p  # lazy: no pre-materialized RDD
     assert "ArrowEvalPython" in p or "PythonUDF" in p
     assert "xxhash64" not in p
     assert "CartesianProduct" not in p
+    # every consumer reads the signing result from the columnar cache —
+    # exactly one signing pass at execution time
+    assert "InMemoryTableScan" in p
 
 
 def test_dhash_media_is_single_pass(spark):

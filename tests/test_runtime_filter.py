@@ -192,3 +192,29 @@ def test_sorted_key_candidates_match_bruteforce(spark, tmp_path):
             )
             fast = _file_survives(f, [("k", "in", sk)], [])
             assert slow == fast, (keys, f.path)
+
+
+def test_sorted_keys_nan_does_not_break_order(spark):
+    """A NaN in a float key list is unorderable but raises nothing —
+    pre-fix it silently left svs unsorted with sortable=True, so bisect
+    MISSED in-range keys and runtime-filtered scans dropped rows
+    (ADVICE r7, high). NaN must be routed to the always-candidate
+    unsortable bucket and the sorted keys must stay bisect-able."""
+    import math
+
+    from de_gcp_lakehouse_iceberg_spark.lakehouse.table import _SortedKeys
+
+    nan = float("nan")
+    sk = _SortedKeys([3.0, 5.0, 7.0, nan, 1.0])
+    assert sk.sortable
+    assert sk.svs == sorted(sk.svs)
+    assert any(math.isnan(k) for k in sk.unsortable)
+    # the exact ADVICE repro: file stats [0.5, 1.5] must keep key 1.0
+    cand = sk.candidates([0.5, 1.5])
+    assert 1.0 in cand
+    # stats straddling nothing: only the NaN fallback candidate remains
+    cand2 = sk.candidates([8.0, 9.0])
+    assert [k for k in cand2 if not math.isnan(k)] == []
+    # all-NaN key list: degenerate but every key stays a candidate
+    sk2 = _SortedKeys([nan, nan])
+    assert len(sk2.candidates([0.0, 1.0])) == 2
