@@ -157,6 +157,79 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # B1 write-mixed leg: the reference's envelope is a LIVE system —
+    # 10 parallel analytical readers against a table a writer is
+    # CONCURRENTLY appending to (main.py:362-370 streams inserts while
+    # queries run). Readers hit the lakehouse table mid-commit; snapshot
+    # isolation means each read plans a consistent file set while the
+    # writer lands batches. Disable with SPARK_GRAFT_CONCURRENCY=0.
+    concurrent_writes: dict = {}
+    if os.environ.get("SPARK_GRAFT_CONCURRENCY", "1") != "0":
+        try:
+            import shutil
+            from concurrent.futures import ThreadPoolExecutor
+
+            from pyspark.sql import functions as F
+
+            from de_gcp_lakehouse_iceberg_spark.lakehouse import LakeTable
+            from de_gcp_lakehouse_iceberg_spark.tables import table as _tbl
+
+            root = "/tmp/bench_write_mixed"
+            shutil.rmtree(root, ignore_errors=True)
+            events = _tbl(spark, sf_dir, "events")
+            lt = LakeTable.create(spark, root)
+            lt.append(events.coalesce(8), operation="load")
+            n_batches = 8
+            batch = events.limit(5000).localCheckpoint()
+            writer_lat: list[float] = []
+
+            def _writer() -> None:
+                for i in range(n_batches):
+                    t0 = time.perf_counter()
+                    lt.append(batch, operation=f"live_{i}")
+                    writer_lat.append(time.perf_counter() - t0)
+
+            def _reader(i: int) -> float:
+                t0 = time.perf_counter()
+                (
+                    lt.scan()
+                    .groupBy("event_type")
+                    .agg(
+                        F.count("*").alias("n"),
+                        F.sum(
+                            F.col("value").cast("decimal(18,2)")
+                        ).alias("s"),
+                    )
+                    .collect()
+                )
+                return round(time.perf_counter() - t0, 3)
+
+            tw0 = time.perf_counter()
+            with ThreadPoolExecutor(max_workers=11) as pool:
+                wfut = pool.submit(_writer)
+                lats = list(pool.map(_reader, range(10)))
+                wfut.result()
+            concurrent_writes = {
+                "readers": 10,
+                "writer_batches": n_batches,
+                "wall": round(time.perf_counter() - tw0, 3),
+                "avg": round(sum(lats) / len(lats), 3),
+                "max": round(max(lats), 3),
+                "writer_avg_commit": round(
+                    sum(writer_lat) / len(writer_lat), 3
+                ),
+            }
+            print(
+                f"# concurrent_with_writes x10 (+{n_batches} appends): "
+                f"avg {concurrent_writes['avg']}s "
+                f"max {concurrent_writes['max']}s "
+                f"writer_commit {concurrent_writes['writer_avg_commit']}s",
+                file=sys.stderr,
+            )
+            shutil.rmtree(root, ignore_errors=True)
+        except Exception as exc:  # noqa: BLE001 — never void the bench
+            print(f"# write-mixed leg failed: {exc}", file=sys.stderr)
+
     out = {
         "metric": "query_corpus_wall",
         "value": round(sum(timings.values()), 3),
@@ -169,6 +242,8 @@ def main() -> None:
         out["concurrent"] = {
             k: v for k, v in concurrent.items() if k != "latencies"
         }
+    if concurrent_writes:
+        out["concurrent_with_writes"] = concurrent_writes
     if errors:
         out["errors"] = errors
 
@@ -188,6 +263,7 @@ def main() -> None:
         "min": timings,
         "first": first_run,
         "concurrent": concurrent,
+        "concurrent_with_writes": concurrent_writes,
         "errors": errors,
     }
     ledger_path = os.environ.get(

@@ -281,10 +281,20 @@ def cleanup_orphans(
     older_than_days: float = DEFAULT_ORPHAN_AGE_DAYS,
     dry_run: bool = False,
 ) -> dict[str, Any]:
-    """M4 (iceberg_maintenance.py:129-152)."""
+    """M4 (iceberg_maintenance.py:129-152). Also expires WAP stage
+    manifests past the same age bound (a crashed writer's stage would
+    otherwise protect its files from orphan collection forever); the
+    freed files are swept by this SAME pass, since they now fail the
+    stage-protection check and carry mtimes older than the cutoff."""
     cutoff = int(time.time() * 1000) - int(older_than_days * 86400_000)
+    stages = table.expire_staged(older_than_ms=cutoff, dry_run=dry_run)
     orphans = table.remove_orphans(older_than_ms=cutoff, dry_run=dry_run)
-    return {"status": "success", "dry_run": dry_run, "orphans": orphans}
+    return {
+        "status": "success",
+        "dry_run": dry_run,
+        "orphans": orphans,
+        "expired_stages": stages,
+    }
 
 
 def analyze_partitions(table: LakeTable) -> list[dict[str, Any]]:

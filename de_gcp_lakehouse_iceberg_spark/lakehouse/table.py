@@ -108,6 +108,42 @@ def _footer_stats(meta) -> dict[str, list]:
     return acc
 
 
+def _footer_rg_stats(meta) -> list[dict[str, list]]:
+    """Per-ROW-GROUP [min, max] stats — the granularity below the
+    manifest's per-file stats (Iceberg carries the same idea as split
+    offsets + column sizes; Parquet footers give it for free). One dict
+    per row group, same value conventions as `_footer_stats`; a column
+    missing from a group's dict carries no stats there (⇒ that group is
+    never pruned on it). Size: O(row-groups × prunable columns) per
+    file — the same order as the footer itself, fine for manifests."""
+    out: list[dict[str, list]] = []
+    for rg in range(meta.num_row_groups):
+        acc: dict[str, list] = {}
+        for ci in range(meta.num_columns):
+            col = meta.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if name.startswith("_p_"):
+                continue
+            st = col.statistics
+            try:
+                lo = (
+                    _stat_value(st.min)
+                    if st is not None and st.has_min_max
+                    else None
+                )
+                hi = (
+                    _stat_value(st.max)
+                    if st is not None and st.has_min_max
+                    else None
+                )
+            except Exception:  # noqa: BLE001 — pyarrow stat extraction
+                lo = hi = None
+            if lo is not None and hi is not None:
+                acc[name] = [lo, hi]
+        out.append(acc)
+    return out
+
+
 _PRUNE_OPS = {"=", "==", "<", "<=", ">", ">=", "in"}
 
 
@@ -179,11 +215,13 @@ def _normalize_where(where):
     return out
 
 
-def _file_may_match(entry: "FileEntry", col: str, op: str, value) -> bool:
-    """Conservative stats pruning: False ONLY when the file provably
-    holds no matching row (NULLs never satisfy these comparisons, so
-    min/max bounds over non-null values are sufficient)."""
-    s = entry.stats.get(col)
+def _stats_may_match(stats: dict, col: str, op: str, value) -> bool:
+    """Conservative [min,max]-stats pruning for ONE conjunct: False
+    ONLY when the stats PROVE no matching row (NULLs never satisfy
+    these comparisons, so bounds over non-null values are sufficient).
+    Shared by file-level (`_file_may_match`) and row-group-level
+    (`_rg_survives`) skipping — same decision, different granularity."""
+    s = stats.get(col)
     if s is None:
         return True
     lo, hi = s
@@ -200,6 +238,33 @@ def _file_may_match(entry: "FileEntry", col: str, op: str, value) -> bool:
         return hi > v
     if op == ">=":
         return hi >= v
+    return True
+
+
+def _file_may_match(entry: "FileEntry", col: str, op: str, value) -> bool:
+    return _stats_may_match(entry.stats, col, op, value)
+
+
+def _rg_survives(
+    stats: dict, where: list[tuple[str, str, Any]] | None
+) -> bool:
+    """Row-group survival under a conjunction — stats-only (bloom and
+    partition-transform pruning are file-level and already applied by
+    the time row groups are considered)."""
+    for col, op, value in where or []:
+        if op == "in":
+            sk = (
+                value
+                if isinstance(value, _SortedKeys)
+                else _SortedKeys(value)
+            )
+            if not any(
+                _stats_may_match(stats, col, "=", k)
+                for k in sk.candidates(stats.get(col))
+            ):
+                return False
+        elif not _stats_may_match(stats, col, op, value):
+            return False
     return True
 
 
@@ -279,6 +344,10 @@ class FileEntry:
     # sequence number): merge-on-read deletes apply only to files with
     # seq < the delete's seq. 0 ⇒ pre-MOR manifest.
     seq: int = 0
+    # per-ROW-GROUP stats (list aligned with the file's row groups),
+    # harvested at write time; None ⇒ pre-row-group manifest, the whole
+    # file is read when it survives file-level pruning.
+    rg_stats: list[dict[str, list]] | None = None
 
     def to_json(self) -> dict[str, Any]:
         d = {
@@ -292,6 +361,8 @@ class FileEntry:
             d["spec"] = self.spec
         if self.seq:
             d["seq"] = self.seq
+        if self.rg_stats is not None:
+            d["rg_stats"] = self.rg_stats
         return d
 
     @staticmethod
@@ -304,6 +375,7 @@ class FileEntry:
             d.get("stats", {}),
             d.get("spec"),
             d.get("seq", 0),
+            d.get("rg_stats"),
         )
 
 
@@ -511,6 +583,25 @@ class LakeTable:
             if fn.startswith("staged-") and fn.endswith(".json")
         )
 
+    def expire_staged(
+        self, older_than_ms: int, dry_run: bool = False
+    ) -> list[str]:
+        """Drop WAP stage manifests older than the cutoff — stages a
+        crashed writer abandoned before audit/publish. Live stages are
+        protected from `remove_orphans` indefinitely, so without this
+        an interrupted ingest pins its files forever; after the stage
+        manifest is dropped the staged data files become ordinary
+        orphans the next `remove_orphans` pass collects (Iceberg's
+        remove_orphan_files treats aborted commits the same way)."""
+        dropped: list[str] = []
+        for wap_id in self.staged_ids():
+            p = self._staged_path(wap_id)
+            if os.path.getmtime(p) * 1000 <= older_than_ms:
+                dropped.append(wap_id)
+                if not dry_run:
+                    os.remove(p)
+        return dropped
+
     def stage_append(self, df: DataFrame) -> str:
         """WAP step 1 (write): materialize `df` as data files plus a
         STAGED manifest, without moving the table pointer — readers
@@ -696,7 +787,12 @@ class LakeTable:
     # ------------------------------------------------------------------
     # write paths
     # ------------------------------------------------------------------
-    def _write_files(self, df: DataFrame, subdir: str | None = None) -> list[FileEntry]:
+    def _write_files(
+        self,
+        df: DataFrame,
+        subdir: str | None = None,
+        writer_options: dict[str, Any] | None = None,
+    ) -> list[FileEntry]:
         """Write a DataFrame as immutable parquet files under data/ and
         return their manifest entries. Uses a unique staging prefix so
         files from aborted writes are never visible (they become orphans
@@ -727,6 +823,10 @@ class LakeTable:
                 f"_p_{t.name}", t.expr().cast("string")
             )
         writer = writer_df.write.mode("error")
+        for k, v in (writer_options or {}).items():
+            # e.g. parquet.block.size to control row-group granularity
+            # (passed into the write job's hadoop conf by Spark)
+            writer = writer.option(k, v)
         if transforms:
             writer = writer.partitionBy(*[f"_p_{t.name}" for t in transforms])
         writer.parquet(out_dir)
@@ -773,6 +873,7 @@ class LakeTable:
                         bytes=os.path.getsize(full),
                         partition=part,
                         stats=_footer_stats(meta),
+                        rg_stats=_footer_rg_stats(meta),
                     )
                 )
         return sorted(entries, key=lambda e: e.path)
@@ -810,6 +911,7 @@ class LakeTable:
         df: DataFrame,
         operation: str = "append",
         summary: dict[str, Any] | None = None,
+        writer_options: dict[str, Any] | None = None,
     ) -> Snapshot:
         """ACID append (S10/S11: WriteToBigQuery WRITE_APPEND →
         snapshot-isolated file append). The first append defines the
@@ -824,7 +926,9 @@ class LakeTable:
             schema_json = prev.schema_json
         else:
             schema_json = df.schema.json()
-        new_files = self._stamp_seq(self._write_files(df))
+        new_files = self._stamp_seq(
+            self._write_files(df, writer_options=writer_options)
+        )
         return self._commit_snapshot(
             operation=operation,
             files=prev.files + new_files,
@@ -953,6 +1057,10 @@ class LakeTable:
                     for f in files
                 ],
                 "seq": [f.seq for f in files],
+                "rg_stats": [
+                    None if f.rg_stats is None else json.dumps(f.rg_stats)
+                    for f in files
+                ],
             }
         )
         out = self._parquet_manifest_path(version)
@@ -988,6 +1096,7 @@ class LakeTable:
 
             for pdf in batches:
                 keep = []
+                has_rg = "rg_stats" in pdf.columns
                 for i in range(len(pdf)):
                     e = FileEntry(
                         path=pdf["path"].iat[i],
@@ -1001,6 +1110,11 @@ class LakeTable:
                             else json.loads(pdf["spec"].iat[i])
                         ),
                         seq=int(pdf["seq"].iat[i]),
+                        rg_stats=(
+                            json.loads(pdf["rg_stats"].iat[i])
+                            if has_rg and pdf["rg_stats"].iat[i] is not None
+                            else None
+                        ),
                     )
                     keep.append(_file_survives(e, preds, current_spec))
                 yield pdf[pd.Series(keep, index=pdf.index)]
@@ -1016,6 +1130,12 @@ class LakeTable:
                 stats=json.loads(r["stats"]),
                 spec=None if r["spec"] is None else json.loads(r["spec"]),
                 seq=r["seq"],
+                rg_stats=(
+                    json.loads(r["rg_stats"])
+                    if "rg_stats" in r.__fields__
+                    and r["rg_stats"] is not None
+                    else None
+                ),
             )
             for r in survivors
         ]
@@ -1044,6 +1164,129 @@ class LakeTable:
         df = self._read_files(
             snap, [f.path for f in files], with_file_col=with_file_path
         )
+        return self._apply_exact_where(df, where)
+
+    def plan_row_groups(
+        self,
+        version: int | None = None,
+        where: list[tuple[str, str, Any]] | None = None,
+        partition_filter: Callable[[dict[str, str]], bool] | None = None,
+    ) -> tuple[Snapshot, list[tuple[FileEntry, list[int] | None]], dict]:
+        """Scan planning one level below `plan_files`: for every file
+        that survives partition + file-stats + bloom pruning, intersect
+        the `where` conjuncts with the manifest's per-ROW-GROUP stats
+        and keep only the groups that may hold a matching row. On a
+        sort-clustered table (maintenance.rewrite_sorted /
+        rewrite_zorder — reference: iceberg_maintenance.py:108-117,
+        PRD.md:274,821) a file surviving on its overall [min,max] still
+        skips most of its groups for a narrow predicate — the
+        granularity the reference's clustering promise implies.
+
+        Returns (snapshot, [(entry, surviving_rg_indices | None)],
+        info). `None` indices ⇒ pre-row-group manifest entry: read the
+        whole file. `info` carries rowgroups_total / rowgroups_read /
+        files_planned / files_total for observability (the q103 proof
+        query hash-gates them)."""
+        snap, files = self.plan_files(
+            version, partition_filter=partition_filter, where=where
+        )
+        preds = _normalize_where(where)
+        plans: list[tuple[FileEntry, list[int] | None]] = []
+        total = read = 0
+        for f in files:
+            if f.rg_stats is None:
+                plans.append((f, None))
+                total += 1
+                read += 1
+                continue
+            idx = [
+                i
+                for i, st in enumerate(f.rg_stats)
+                if _rg_survives(st, preds)
+            ]
+            total += len(f.rg_stats)
+            read += len(idx)
+            if idx:
+                plans.append((f, idx))
+        info = {
+            "files_total": len(snap.files),
+            "files_planned": len(files),
+            "rowgroups_total": total,
+            "rowgroups_read": read,
+        }
+        return snap, plans, info
+
+    def scan_rowgroups(
+        self,
+        version: int | None = None,
+        where: list[tuple[str, str, Any]] | None = None,
+        partition_filter: Callable[[dict[str, str]], bool] | None = None,
+    ) -> DataFrame:
+        """`scan` with row-group-level skipping: surviving files are
+        read through an Arrow `mapInPandas` task that opens ONLY the
+        planned row groups (pyarrow `read_row_groups`) — the bytes a
+        pruned group holds are never fetched. Result rows are identical
+        to `scan(where=...)` (exact predicate re-applied). Falls back
+        to `scan` when the snapshot carries merge-on-read deletes (the
+        MOR anti-join path owns that read).
+
+        Scale: one task per planned file (the file list is the same
+        thing Spark's own scan planning materializes); each task does
+        footer-free positional reads, so a 1000-executor cluster fans
+        the file plan out exactly like a native scan."""
+        snap, plans, _info = self.plan_row_groups(
+            version, where, partition_filter
+        )
+        if snap.deletes:
+            return self.scan(
+                version=version,
+                where=where,
+                partition_filter=partition_filter,
+            )
+        from pyspark.sql.types import StructType
+
+        if not snap.schema_json:
+            raise ValueError("scan_rowgroups needs a recorded schema")
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        names = [fld.name for fld in schema.fields]
+        rows = [
+            (
+                os.path.join(self.root, f.path),
+                None if idx is None else json.dumps(idx),
+            )
+            for f, idx in plans
+        ]
+        if not rows:
+            return self.spark.createDataFrame([], schema)
+        plan_df = self.spark.createDataFrame(
+            rows, "_path string, _rgs string"
+        ).repartition(
+            min(len(rows), self.spark.sparkContext.defaultParallelism)
+        )
+
+        def read_groups(batches):
+            import pandas as pd
+            import pyarrow.parquet as pq
+
+            for pdf in batches:
+                for path, idx_json in zip(pdf["_path"], pdf["_rgs"]):
+                    pf = pq.ParquetFile(path)
+                    idx = (
+                        list(range(pf.metadata.num_row_groups))
+                        if idx_json is None
+                        else json.loads(idx_json)
+                    )
+                    if not idx:
+                        continue
+                    present = set(pf.schema_arrow.names)
+                    cols = [c for c in names if c in present]
+                    out = pf.read_row_groups(idx, columns=cols).to_pandas()
+                    for c in names:  # additive schema evolution → NULL
+                        if c not in out.columns:
+                            out[c] = None
+                    yield out[names]
+
+        df = plan_df.mapInPandas(read_groups, schema=schema)
         return self._apply_exact_where(df, where)
 
     def _apply_exact_where(

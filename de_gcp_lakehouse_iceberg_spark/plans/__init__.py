@@ -44,6 +44,8 @@ from . import bigram_query  # noqa: F401  (registers q93)
 from . import selection_queries  # noqa: F401  (registers q94-q95, q97; similarity_queries adds q96)
 from . import ivm_query  # noqa: F401  (registers q98)
 from . import sql_gateway_query  # noqa: F401  (registers q99)
+from . import ivm_distinct_query  # noqa: F401  (registers q102)
+from . import rowgroup_query  # noqa: F401  (registers q103)
 
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The driver's CORRECTNESS check covers the FIRST
@@ -56,43 +58,48 @@ from . import sql_gateway_query  # noqa: F401  (registers q99)
 # oracle-parity replica (tests/test_oracle_parity.py) still checks ALL
 # of them at two scale factors every run.
 _GATE_PRIORITY = [
-    # (a) NEW this round (r6), never driver-verified: the stored
-    # signature-index probe, join-driven file skipping, dHash image
-    # dedup, interpolated bigram LM
-    "q90_signature_index_probe", "q91_join_runtime_filter",
-    "q92_dhash_image_dedup", "q93_bigram_lm_score",
-    "q94_source_doc_cap", "q95_quality_threshold_sweep",
-    "q96_sq8_ann", "q97_canonical_selection", "q98_ivm_delta_rollup",
-    "q99_bigquery_sql_text", "q100_centroid_rollup",
-    "q101_sliding_distinct_kmv",
-    # (b) implementation touched this round: plan_files/_file_survives
-    # restructured for the "in" op + scan() row-filter change — q91
-    # (new, above) exercises the full stats∧bloom∧spec per-key path
-    # in-window; q60/q67/q68/q73 exercise the same code but ride fresh
-    # r5 rows + the vanilla-session subprocess guard + pytest. q88's
-    # refactor (corpus_index param) is exercised by q90 in-window;
-    # q21/q47 likewise ride fresh r5 rows.
-    # (c) rotation hygiene: q25/q27/q28 ride r3 rows (oldest in the
-    # ledger), then the ENTIRE r4 cohort — after r6 no green row is
-    # older than two rounds. q35/q46 (Arrow signing path rewrite) and
-    # q37/q44/q64 (shared _batch_shingles refactor) are in this cohort
-    # anyway.
-    "q25_streaming_tumbling", "q27_row_number_ids", "q28_stddev",
-    "q35_ngram_jaccard", "q46_jaccard_maxdf", "q37_minhash_lsh",
-    "q44_corpus_clean",
-    # (q64_corpus_clean_lsh ages one extra round: its LSH route is
-    # exercised in-window by q37/q44/q90 and by pytest at two SFs)
-    "q01_global_count", "q05_consistency_check", "q07_star_join_revenue",
-    "q10_daily_stats", "q13_rank_selfjoin", "q14_lag_rolling",
-    "q15_median_per_group", "q41_media_bytes", "q42_media_features",
-    "q48_schema_evolution", "q49_widen_column", "q50_source_mix",
-    "q51_pack_chunks", "q52_stratified_sample", "q53_dup_clusters",
-    "q54_contamination", "q55_repetition_filter",
-    "q57_token_budget_selection", "q58_kmeans", "q59_click_attribution",
-    "q61_overlap_chunking", "q62_token_rarity", "q65_temperature_mix",
-    "q66_pii_scrub", "q70_semdedup", "q71_shuffle_shard",
-    "q72_dup_span_coverage", "q74_corpus_build_e2e", "q77_funnel",
-    "q78_retention_cohorts", "q79_split_census",
+    # (a) NEW this round (r8), never driver-verified: the KMV
+    # distinct-count IVM rollup and the row-group skipping proof
+    "q102_ivm_distinct_kmv", "q103_rowgroup_prune_proof",
+    # (b) implementation touched this round, re-gated on the NEW code:
+    # q35 — ngram_jaccard_pairs signing-cache rewrite (bounded LRU of
+    # lazily-persisted signing results) feeds the whole Jaccard family
+    # (q44/q46/q53/q97 share the exact same cached plan and ride fresh
+    # r7 rows + the plan guard + pytest at two SFs); q99 — the gateway
+    # translator gained DATE_DIFF/FLOAT64/INT64/NUMERIC rules. The
+    # table.py refactors (_stats_may_match split, NaN-safe _SortedKeys,
+    # rg_stats manifests) are exercised in-window by q103 + q60/q67/
+    # q68/q73/q91 (q91 rides a fresh r7 row; the others rotate in
+    # below); ivm.py's pinned-version/noop changes by q102 in-window
+    # (q98 rides its fresh r7 row + the race test in test_ivm.py).
+    "q35_ngram_jaccard", "q99_bigquery_sql_text",
+    # (c) rotation hygiene: q64 (r4 row, 3 rounds stale — oldest in the
+    # ledger) then the r5 cohort, so after r8 the only rows older than
+    # two rounds are the five DEFERRED below.
+    "q64_corpus_clean_lsh",
+    "q02_minmax_probe", "q03_top_groups", "q04_nonnull_counts",
+    "q06_rounded_freq", "q08_hourly_pattern", "q09_dashboard_having",
+    "q11_derived_duration", "q12_period_pct_change",
+    "q16_union_federation", "q17_semijoin_topk", "q18_validation_split",
+    "q22_tumbling_window", "q23_approx_median", "q24_quality_score",
+    "q26_agg_of_agg_window", "q30_token_stats", "q31_quality_score",
+    "q32_lang_id", "q33_fingerprint", "q36_simhash",
+    "q38_cosine_topk", "q39_nearest_pairs", "q40_lsh_ann",
+    "q43_geohash_buckets", "q45_ivf_ann", "q47_changelog",
+    "q56_asof_error_context", "q60_stats_pruned_scan",
+    "q63_cdc_replica_sync", "q67_bucket_prune_proof",
+    "q68_spec_evolution_prune", "q69_wap_rollback",
+    "q73_bloom_prune_proof", "q75_kmv_distinct",
+    "q76_resample_gapfill", "q80_mor_delete_lifecycle",
+    "q81_media_resize", "q82_kmv_overlap", "q83_cm_token_freq",
+    "q84_bloom_semi_join", "q85_grouped_topk", "q86_unigram_lm_score",
+    "q87_hist_quantiles", "q88_lsh_probe_incremental",
+    "q89_json_extract",
+    # DEFERRED to lead the r9 window (r5 rows age to 3 rounds — the 5
+    # with the strongest out-of-window proxies): q19/q20/q21 (DML trio
+    # — test_dml_properties + the same dml.delete/update/append path
+    # driven in-window by q102), q29 (test_sessions.py), q34 (exact
+    # dedup — test_dedup.py; trivially stable one-shuffle shape).
 ]
 
 

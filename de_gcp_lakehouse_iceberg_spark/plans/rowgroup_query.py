@@ -1,0 +1,88 @@
+"""q103 — row-group-level skipping proof under the driver hash gate:
+lineitem is loaded SORTED by l_orderkey into a single lakehouse file
+with many small row groups (the clustered layout
+maintenance.rewrite_sorted produces; reference
+iceberg_maintenance.py:108-117 runs its sort rewrite precisely to make
+this granularity effective, PRD.md:274,821). A narrow key-range query
+then runs through `scan_rowgroups`: file-level [min,max] CANNOT prune
+(the one file spans every key), so any skipping visible in the plan is
+row-group skipping. The query RETURNS the proof — rowgroups were
+skipped, the whole file survived file-level planning — alongside the
+range aggregate, so the driver's hash gate verifies both the numbers
+and that the pruning actually happened.
+
+Bounds are integer arithmetic on min/max(l_orderkey) — bit-identical
+in both engines."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lakehouse import LakeTable
+from ..tables import table
+from .queries import _dsum, register
+
+_ROOT = "/tmp/lakehouse_rowgroup_query"
+
+
+@register(
+    "q103_rowgroup_prune_proof",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi FROM lineitem),
+    cut AS (
+      SELECT lo + (hi - lo) * 45 // 100 AS a,
+             lo + (hi - lo) * 50 // 100 AS b
+      FROM bounds),
+    hit AS (
+      SELECT l.* FROM lineitem l, cut
+      WHERE l.l_orderkey >= cut.a AND l.l_orderkey < cut.b)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty,
+           CAST(1 AS BIGINT) AS rg_pruned,
+           CAST(1 AS BIGINT) AS files_planned,
+           CAST(1 AS BIGINT) AS files_total
+    FROM hit
+    """,
+)
+def q103_rowgroup_prune_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_suppkey"
+    )
+    lo, hi = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    a = lo + (hi - lo) * 45 // 100
+    b = lo + (hi - lo) * 50 // 100
+
+    root = os.path.join(_ROOT, os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(root, ignore_errors=True)
+    t = LakeTable.create(spark, root)
+    # ONE file sorted on the key, tiny row groups: file-level stats span
+    # everything, so only row-group skipping can prune this layout
+    t.append(
+        li.sort("l_orderkey").coalesce(1),
+        operation="clustered_load",
+        # 16 KiB row groups: even the sf0.001 fixture (6k rows) yields
+        # ~9 groups, so the skipping proof holds at every test SF
+        writer_options={"parquet.block.size": 16 * 1024},
+    )
+
+    where = [("l_orderkey", ">=", int(a)), ("l_orderkey", "<", int(b))]
+    _snap, _plans, info = t.plan_row_groups(where=where)
+    hit = t.scan_rowgroups(where=where)
+    rg_pruned = int(
+        0 < info["rowgroups_read"] < info["rowgroups_total"] / 2
+    )
+    return hit.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        _dsum("l_quantity", 2).alias("sum_qty"),
+        F.lit(rg_pruned).cast("long").alias("rg_pruned"),
+        F.lit(info["files_planned"]).cast("long").alias("files_planned"),
+        F.lit(info["files_total"]).cast("long").alias("files_total"),
+    )

@@ -75,6 +75,10 @@ _SYSTEM_TIME_BETWEEN = re.compile(
 _FORMAT_DATE = re.compile(
     r"\bFORMAT_DATE\s*\(\s*'%A'\s*,\s*([^()]+?)\s*\)", re.IGNORECASE
 )
+_DATE_DIFF = re.compile(
+    r"\bDATE_DIFF\s*\(\s*([^,]+?)\s*,\s*([^,]+?)\s*,\s*DAY\s*\)",
+    re.IGNORECASE,
+)
 
 
 def translate(sql: str) -> str:
@@ -95,8 +99,16 @@ def translate(sql: str) -> str:
         s,
     )
     s = _FORMAT_DATE.sub(lambda m: f"date_format({m.group(1)}, 'EEEE')", s)
+    # BigQuery DATE_DIFF(a, b, DAY) = a − b in days → Spark datediff(a, b)
+    s = _DATE_DIFF.sub(lambda m: f"datediff({m.group(1)}, {m.group(2)})", s)
     s = re.sub(r"\bCOUNTIF\s*\(", "count_if(", s, flags=re.IGNORECASE)
     s = re.sub(r"\bSAFE_DIVIDE\s*\(", "try_divide(", s, flags=re.IGNORECASE)
+    # BigQuery type spellings → Spark SQL types. NUMERIC(p,s) keeps its
+    # parameters; bare NUMERIC is BigQuery's fixed DECIMAL(38,9).
+    s = re.sub(r"\bFLOAT64\b", "DOUBLE", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bINT64\b", "BIGINT", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bNUMERIC\s*\(", "DECIMAL(", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bNUMERIC\b", "DECIMAL(38,9)", s, flags=re.IGNORECASE)
     return s
 
 
