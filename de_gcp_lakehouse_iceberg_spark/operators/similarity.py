@@ -48,6 +48,32 @@ def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
     return dot(a, b) / (norm_a * norm_b)
 
 
+def pair_dot_udf():
+    """Arrow fast path for PAIR-stage dot products, bit-identical to
+    the `dot()` expression fold: the fold is a LEFT-sequential float64
+    accumulation over dimensions, so accumulating dimension-by-
+    dimension with a float64 numpy vector (vectorized over the ROWS of
+    the batch) performs the exact same additions in the exact same
+    order per pair — same doubles, ~10× less interpreter overhead than
+    Catalyst's interpreted higher-order lambda on the O(pairs) hot
+    path (the O(rows) norm stays on the expression form). Equality is
+    pinned in tests/test_similarity.py."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _pair_dot(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series(np.zeros(0, dtype=np.float64))
+        A = np.vstack(va.to_numpy())
+        B = np.vstack(vb.to_numpy())
+        acc = np.zeros(len(va), dtype=np.float64)
+        for d in range(A.shape[1]):
+            acc += A[:, d].astype(np.float64) * B[:, d].astype(np.float64)
+        return pd.Series(acc)
+
+    return _pair_dot
+
+
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Precompute the L2 norm once per row (narrow projection)."""
     return df.withColumn("_norm", norm(F.col(vec_col)))
@@ -108,30 +134,75 @@ def nearest_pairs_blocked(
     the block key at 100 TB comes from a coarse clustering or LSH bucket.
     """
     n = with_norm(corpus, vec_col)
-    a = n.select(
+    # Per-block GEMM instead of a pair JOIN: the join shape shuffles
+    # O(Σ c_i²) pair rows each dragging TWO vectors; this shape
+    # shuffles each block's c_i ROWS once and forms the pair matrix in
+    # numpy. The accumulation is dimension-sequential (acc += outer
+    # products, d ascending), so every pair's double is BIT-IDENTICAL
+    # to the cosine() expression fold the oracles replay — pinned in
+    # tests/test_similarity.py. Per-block top-n (ties kept by the
+    # exact global order) is a superset of the global top-n.
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    grouped_in = n.select(
         F.col(block_col).alias("_blk"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("_va"),
-        F.col("_norm").alias("_na"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        "_norm",
     )
-    b = n.select(
-        F.col(block_col).alias("_blk"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("_vb"),
-        F.col("_norm").alias("_nb"),
+    out_schema = StructType(
+        [
+            StructField(block_col, n.schema[block_col].dataType),
+            StructField("id_a", n.schema[id_col].dataType),
+            StructField("id_b", n.schema[id_col].dataType),
+            StructField("cosine", DoubleType()),
+        ]
     )
-    pairs = (
-        a.join(b, "_blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            F.col("_blk").alias(block_col),
-            "id_a",
-            "id_b",
-            cosine(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")).alias(
-                "cosine"
-            ),
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id").reset_index(drop=True)
+        c = len(pdf)
+        if c < 2:
+            return pd.DataFrame(
+                {block_col: [], "id_a": [], "id_b": [], "cosine": []}
+            )
+        A = np.vstack(pdf["_vec"].to_numpy()).astype(np.float64)
+        norms = pdf["_norm"].to_numpy(dtype=np.float64)
+        ids = pdf["_id"].to_numpy()
+        d = A.shape[1]
+        outs = []
+        chunk = max(1, min(c, 8 * 1024 * 1024 // max(c, 1)))  # ≤64MB acc
+        for s in range(0, c, chunk):
+            e = min(c, s + chunk)
+            acc = np.zeros((e - s, c), dtype=np.float64)
+            for k in range(d):  # dimension-sequential == the fold
+                acc += np.multiply.outer(A[s:e, k], A[:, k])
+            cosm = acc / np.multiply.outer(norms[s:e], norms)
+            ii, jj = np.nonzero(
+                np.arange(c)[None, :] > np.arange(s, e)[:, None]
+            )
+            cos = cosm[ii, jj]
+            if len(cos) > top_n:
+                kth = np.partition(cos, len(cos) - top_n)[len(cos) - top_n]
+                keep = cos >= kth  # ties at the cut retained
+                ii, jj, cos = ii[keep], jj[keep], cos[keep]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        block_col: np.repeat(pdf["_blk"].iloc[0], len(cos)),
+                        "id_a": ids[ii + s],
+                        "id_b": ids[jj],
+                        "cosine": cos,
+                    }
+                )
+            )
+        out = pd.concat(outs, ignore_index=True)
+        order = np.lexsort(
+            (out["id_b"], out["id_a"], -out["cosine"].to_numpy())
         )
-    )
+        return out.iloc[order[: top_n]]
+
+    pairs = grouped_in.groupBy("_blk").applyInPandas(score, out_schema)
     return (
         pairs.orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
         .limit(top_n)

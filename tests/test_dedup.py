@@ -269,3 +269,23 @@ def test_lsh_probe_pairs_incremental(spark):
         # the corpus-internal (1,2) dup is NOT in the output; both
         # corpus copies match the new doc
         assert got == [(100, 1), (100, 2)], mode
+
+
+def test_prefix_filtered_jaccard_identical_pairs(spark, sf_dir):
+    """prefix_filter=True (AllPairs/PPJoin candidate generation) must
+    return the bit-identical pair set as the naive inverted-index
+    join — it is a candidate-superset + exact verify, not an
+    approximation. Covers the capped (max_df) route too."""
+    docs = table(spark, sf_dir, "documents")
+    for kw in ({}, {"max_df": 40}, {"threshold": 0.3}):
+        plain = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 12))
+            for r in dedup.ngram_jaccard_pairs(docs, **kw).collect()
+        }
+        pp = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 12))
+            for r in dedup.ngram_jaccard_pairs(
+                docs, prefix_filter=True, **kw
+            ).collect()
+        }
+        assert pp == plain and plain, kw

@@ -158,3 +158,31 @@ def test_sq8_codes_bounds_and_determinism(spark, sf_dir):
     assert stats["lo"] >= 0 and stats["hi"] <= 255 and stats["dims"] == 1
     # per-dim extremes map to 0 / 255 (the codebook is tight)
     assert stats["lo"] == 0 and stats["hi"] == 255
+
+
+def test_pair_dot_udf_bit_identical_to_fold(spark, sf_dir):
+    """The Arrow pair-dot fast path must reproduce the expression
+    fold's doubles EXACTLY (same per-dimension accumulation order) —
+    any ULP drift would change ranks vs the DuckDB oracles."""
+    from pyspark.sql import functions as F
+
+    from de_gcp_lakehouse_iceberg_spark.operators.similarity import (
+        dot,
+        pair_dot_udf,
+    )
+    from de_gcp_lakehouse_iceberg_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings").limit(200)
+    a = emb.select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(b, F.col("ia") < F.col("ib")).limit(5000)
+    pdot = pair_dot_udf()
+    rows = pairs.select(
+        dot(F.col("ea"), F.col("eb")).alias("expr"),
+        pdot(F.col("ea"), F.col("eb")).alias("arrow"),
+    ).collect()
+    assert rows and all(r["expr"] == r["arrow"] for r in rows)
