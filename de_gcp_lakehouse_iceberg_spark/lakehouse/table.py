@@ -193,6 +193,8 @@ class _SortedKeys:
         lo, hi = stats
         if (type(self.svs[0]) is str) != (type(lo) is str):
             return self.keys  # incomparable stat domain — keep all
+        if lo != lo or hi != hi:  # NaN file stats (parquet min/max is
+            return self.keys  # unreliable with NaNs) — keep every key
         import bisect
 
         i = bisect.bisect_left(self.svs, lo)

@@ -215,43 +215,53 @@ def ngram_jaccard_pairs(
     )
     ex = dk.select("doc_id", F.explode("keys").alias("sh"))
     if max_df is None:
-        sizes = dk.select("doc_id", F.size("keys").alias("n_shingles"))
+        # set size rides every exploded row for FREE (array length) —
+        # no post-aggregation size joins needed
+        exs = dk.select(
+            "doc_id",
+            F.size("keys").alias("nsh"),
+            F.explode("keys").alias("sh"),
+        )
         dfc = None
     else:
         df_counts = ex.groupBy("sh").agg(F.count("*").alias("_df"))
         dfc = df_counts.filter(F.col("_df") <= max_df)
         ex = ex.join(dfc, "sh").select("doc_id", "sh")
-        sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+        sizes = ex.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+        exs = ex.join(sizes, "doc_id")
     if prefix_filter:
         return _jaccard_prefix_filtered(ex, dfc, threshold)
-    a = ex.alias("a")
-    b = ex.alias("b")
+    a = exs.select(
+        F.col("doc_id").alias("doc_a"), "sh", F.col("nsh").alias("na")
+    )
+    b = exs.select(
+        F.col("doc_id").alias("doc_b"), "sh", F.col("nsh").alias("nb")
+    )
+    eps = 1e-9
     common = (
         a.join(
             b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (a["sh"] == b["sh"])
+            & (F.col("doc_a") < F.col("doc_b"))
+            # length filter BEFORE the shuffle-aggregate: J ≥ t implies
+            # t·max(|a|,|b|) ≤ min(|a|,|b|) — rows failing it can never
+            # reach the threshold, so dropping them is exact
+            & (
+                F.least(F.col("na"), F.col("nb")).cast("double")
+                >= F.lit(threshold)
+                * F.greatest(F.col("na"), F.col("nb"))
+                - F.lit(eps)
+            ),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("common"))
-    )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb")
+        .groupBy("doc_a", "doc_b", "na", "nb")  # na/nb functionally
+        .agg(F.count("*").alias("common"))  # determined by the ids
     )
     jac = F.col("common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("common")
     )
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return common.select(
+        "doc_a", "doc_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def _jaccard_prefix_filtered(

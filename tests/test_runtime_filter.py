@@ -218,3 +218,8 @@ def test_sorted_keys_nan_does_not_break_order(spark):
     # all-NaN key list: degenerate but every key stays a candidate
     sk2 = _SortedKeys([nan, nan])
     assert len(sk2.candidates([0.0, 1.0])) == 2
+    # NaN FILE stats (parquet min/max is unreliable with NaNs): bisect
+    # against NaN bounds would return an empty range — keep every key
+    sk3 = _SortedKeys([1.0, 2.0, 3.0])
+    assert sk3.candidates([nan, nan]) == sk3.keys
+    assert sk3.candidates([1.5, nan]) == sk3.keys
