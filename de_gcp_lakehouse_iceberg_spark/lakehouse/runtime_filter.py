@@ -87,11 +87,45 @@ def scan_with_join_filter(
         snap, planned = fact.plan_files(
             version=snap0.version, where=where
         )
-    df = fact._apply_exact_where(
-        fact._read_files(snap, [f.path for f in planned]), where
-    )
+    # Row-group refinement: surviving files whose manifest entries
+    # carry per-row-group stats are narrowed to the groups the key set
+    # can actually touch (the `in` op binary-searches each group's
+    # [min,max] — same decision as file level, finer floor on bytes
+    # read). Delete-free snapshots only; the sorted-key candidates
+    # machinery makes each group's check O(log keys + keys-in-range).
+    from .table import _normalize_where, _rg_survives
+
+    rg_total = rg_read = 0
+    plans: list = []
+    preds = _normalize_where(where)
+    if not snap.deletes:
+        for f in planned:
+            if f.rg_stats is None:
+                plans.append((f, None))
+                rg_total += 1
+                rg_read += 1
+                continue
+            idx = [
+                i
+                for i, st in enumerate(f.rg_stats)
+                if _rg_survives(st, preds)
+            ]
+            rg_total += len(f.rg_stats)
+            rg_read += len(idx)
+            if idx:
+                plans.append((f, idx))
+    if not snap.deletes and rg_read < rg_total:
+        df = fact._apply_exact_where(
+            fact._read_planned_row_groups(snap, plans), where
+        )
+    else:
+        df = fact._apply_exact_where(
+            fact._read_files(snap, [f.path for f in planned]), where
+        )
     return df, {
         "files_total": len(snap0.files),
         "files_planned": len(planned),
         "n_keys": len(keys),
+        "rowgroups_total": rg_total,
+        "rowgroups_read": rg_read,
     }

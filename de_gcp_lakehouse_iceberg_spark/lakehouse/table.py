@@ -1245,10 +1245,22 @@ class LakeTable:
                 where=where,
                 partition_filter=partition_filter,
             )
+        df = self._read_planned_row_groups(snap, plans)
+        return self._apply_exact_where(df, where)
+
+    def _read_planned_row_groups(
+        self,
+        snap: Snapshot,
+        plans: list[tuple[FileEntry, list[int] | None]],
+    ) -> DataFrame:
+        """Positional row-group reader for a (file, surviving-groups)
+        plan: one Arrow task per planned file opens ONLY the listed
+        groups. Callers own MOR-delete handling (this reader sees raw
+        file rows) and the exact predicate re-application."""
         from pyspark.sql.types import StructType
 
         if not snap.schema_json:
-            raise ValueError("scan_rowgroups needs a recorded schema")
+            raise ValueError("row-group read needs a recorded schema")
         schema = StructType.fromJson(json.loads(snap.schema_json))
         names = [fld.name for fld in schema.fields]
         rows = [
@@ -1288,8 +1300,7 @@ class LakeTable:
                             out[c] = None
                     yield out[names]
 
-        df = plan_df.mapInPandas(read_groups, schema=schema)
-        return self._apply_exact_where(df, where)
+        return plan_df.mapInPandas(read_groups, schema=schema)
 
     def _apply_exact_where(
         self, df: DataFrame, where: list[tuple[str, str, Any]] | None

@@ -223,3 +223,26 @@ def test_sorted_keys_nan_does_not_break_order(spark):
     sk3 = _SortedKeys([1.0, 2.0, 3.0])
     assert sk3.candidates([nan, nan]) == sk3.keys
     assert sk3.candidates([1.5, nan]) == sk3.keys
+
+
+def test_join_filter_refines_to_row_groups(spark, tmp_path):
+    """On a sort-clustered fact, the runtime filter must narrow
+    surviving files to the row groups the harvested keys can touch —
+    and still return exactly the join's rows."""
+    from de_gcp_lakehouse_iceberg_spark.lakehouse.runtime_filter import (
+        scan_with_join_filter,
+    )
+
+    t = LakeTable.create(spark, str(tmp_path / "fact"))
+    t.append(
+        spark.range(40_000)
+        .select(F.col("id").alias("k"), (F.col("id") % 9).alias("g"))
+        .sort("k")
+        .coalesce(1),
+        writer_options={"parquet.block.size": 32 * 1024},
+    )
+    dim = spark.createDataFrame([(7,), (123,), (39_900,)], "k bigint")
+    out, info = scan_with_join_filter(t, "k", dim)
+    assert info["rowgroups_total"] > 2
+    assert 0 < info["rowgroups_read"] < info["rowgroups_total"]
+    assert sorted(r["k"] for r in out.collect()) == [7, 123, 39_900]
