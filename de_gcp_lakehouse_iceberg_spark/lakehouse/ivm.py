@@ -183,16 +183,34 @@ class IncrementalRollup:
             .withColumn(_GB, self._bucket())
         )
 
-    # -- refresh -------------------------------------------------------
-    def refresh(self) -> dict:
-        """Apply the base's changelog since the last refresh. Returns
-        {"mode", "delta_rows", "source_version", "files_rewritten",
-        "files_total"}. Scans the base ONLY for groups whose stored
-        extremum a delete may have removed (MIN/MAX targeted
-        recompute); COUNT/SUM never read the base."""
+    # -- source abstraction (overridden by JoinRollup) -----------------
+    def _source_cursor(self):
+        """(handle, last_marker, cur_marker): the source handle the
+        other hooks receive, plus the freshness markers compared for
+        the noop check and recorded in the snapshot summary."""
         base = LakeTable.load(self.spark, self.base_root)
         last = self.table.snapshot().summary["source_version"]
-        cur = base.current_version()
+        return base, last, base.current_version()
+
+    def _change_rows(self, handle, last, cur) -> DataFrame:
+        """The signed row-change feed between the markers: rows with
+        `_change_type` (INSERT/DELETE) plus every column the rollup
+        aggregates over."""
+        return dml.changelog(handle, last, cur)
+
+    def _base_df_at(self, handle, cur) -> DataFrame:
+        """The logical source relation PINNED at `cur` — what the
+        MIN/MAX/KMV targeted recompute re-aggregates."""
+        return handle.scan(version=cur)
+
+    # -- refresh -------------------------------------------------------
+    def refresh(self) -> dict:
+        """Apply the source's change feed since the last refresh.
+        Returns {"mode", "delta_rows", "source_version",
+        "files_rewritten", "files_total"}. Scans the source ONLY for
+        groups whose stored extremum/sketch a delete may have touched
+        (targeted recompute); COUNT/SUM never read the source."""
+        base, last, cur = self._source_cursor()
         if cur == last:
             return {
                 "mode": "noop",
@@ -202,7 +220,7 @@ class IncrementalRollup:
                 "files_total": len(self.table.snapshot().files),
                 "partitions_rewritten": 0,
             }
-        ch = dml.changelog(base, last, cur)
+        ch = self._change_rows(base, last, cur)
         delta_rows = ch.count()
         is_ins = F.col("_change_type") == "INSERT"
         sign = F.when(is_ins, F.lit(1)).otherwise(F.lit(-1))
@@ -438,7 +456,7 @@ class IncrementalRollup:
         keys = rec.select(
             *[F.col(c).alias(f"_k_{c}") for c in self.group_cols]
         ).distinct()
-        b = base.scan(version=version)
+        b = self._base_df_at(base, version)
         cond = None
         for c in self.group_cols:
             eq = b[c].eqNullSafe(keys[f"_k_{c}"])
@@ -514,3 +532,129 @@ class IncrementalRollup:
                 ),
             ).drop(f"kmv_{c}")
         return out
+
+
+class JoinRollup(IncrementalRollup):
+    """Delta IVM over a JOIN view — the reference's enriched rollups
+    (README.md:548-557 zone join; daily_zone_stats' dimension lookup):
+    a maintained group-by over `fact ⋈ dim` on an equi-key, kept fresh
+    from BOTH tables' changelogs without re-joining history.
+
+    The delta algebra is the exact bilinear identity
+        F_cur⋈D_cur − F_old⋈D_old  =  ΔF⋈D_cur  +  F_old⋈ΔD
+    (signed multisets; every UPDATE is a DELETE+INSERT pair), so the
+    change feed handed to the shared IncrementalRollup machinery is
+    two key-joins: the fact changelog against the dim AT ITS NEW
+    version (the ΔF⋈ΔD cross term rides along), plus the fact AT ITS
+    OLD version against the dim changelog. Everything downstream —
+    abelian cnt/sum deltas, MIN/MAX + KMV hybrid recompute,
+    bucket-partitioned O(affected-groups) writes — is inherited
+    unchanged; the targeted recompute re-joins at the PINNED pair of
+    versions, so the rollup always equals a from-scratch recompute of
+    the join at its recorded (fact_version, dim_version).
+
+    Scale: each refresh joins O(changelog) rows against one table —
+    ΔF⋈D is a broadcast when the dim is dimension-sized, F_old⋈ΔD
+    shuffles only the changed keys' fact rows when the fact side is
+    key-partitioned (and ΔD is empty for append-mostly dims, making
+    the second term vanish entirely)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        super().__init__(spark, root)
+        with open(os.path.join(self.root, _CONFIG)) as f:
+            cfg = json.load(f)
+        self.dim_root: str = cfg["dim_root"]
+        self.join_keys: list[str] = cfg["join_keys"]
+
+    @classmethod
+    def create_join(
+        cls,
+        spark: SparkSession,
+        root: str,
+        fact: LakeTable,
+        dim: LakeTable,
+        join_keys: list[str],
+        group_cols: list[str],
+        sum_cols: list[str],
+        minmax_cols: list[str] | None = None,
+        distinct_cols: list[str] | None = None,
+        kmv_k: int = 64,
+        buckets: int = 16,
+    ) -> "JoinRollup":
+        root = os.path.abspath(root)
+        LakeTable.create(spark, root, partition_by=[_GB])
+        cfg = {
+            "base_root": fact.root,
+            "dim_root": dim.root,
+            "join_keys": join_keys,
+            "group_cols": group_cols,
+            "sum_cols": sum_cols,
+            "minmax_cols": minmax_cols or [],
+            "distinct_cols": distinct_cols or [],
+            "kmv_k": kmv_k,
+            "buckets": buckets,
+        }
+        tmp = os.path.join(root, _CONFIG + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(cfg, f)
+        os.replace(tmp, os.path.join(root, _CONFIG))
+        rollup = cls(spark, root)
+        src_v = {"fact": fact.current_version(), "dim": dim.current_version()}
+        rollup.table.overwrite(
+            rollup._full_compute((fact, dim)),
+            operation="ivm_join_bootstrap",
+            summary={"source_version": src_v},
+        )
+        return rollup
+
+    # -- source hooks --------------------------------------------------
+    def _source_cursor(self):
+        fact = LakeTable.load(self.spark, self.base_root)
+        dim = LakeTable.load(self.spark, self.dim_root)
+        last = dict(self.table.snapshot().summary["source_version"])
+        cur = {
+            "fact": fact.current_version(),
+            "dim": dim.current_version(),
+        }
+        return (fact, dim), last, cur
+
+    def _joined(self, fdf: DataFrame, ddf: DataFrame) -> DataFrame:
+        cond = None
+        for k in self.join_keys:
+            eq = fdf[k] == ddf[k]
+            cond = eq if cond is None else (cond & eq)
+        return fdf.join(ddf, cond).drop(*[ddf[k] for k in self.join_keys])
+
+    def _full_compute(self, handle) -> DataFrame:
+        fact, dim = handle
+        return (
+            self._joined(fact.scan(), dim.scan())
+            .groupBy(*self.group_cols)
+            .agg(*self._aggs())
+            .withColumn(_GB, self._bucket())
+        )
+
+    def _change_rows(self, handle, last, cur) -> DataFrame:
+        fact, dim = handle
+        terms = []
+        if cur["fact"] != last["fact"]:
+            # ΔF ⋈ D@cur_d — keeps ΔF's _change_type (the cross term
+            # ΔF⋈ΔD is included because the dim is at its NEW version)
+            df_ = dml.changelog(fact, last["fact"], cur["fact"])
+            terms.append(self._joined(df_, dim.scan(version=cur["dim"])))
+        if cur["dim"] != last["dim"]:
+            # F@last_f ⋈ ΔD — keeps ΔD's _change_type
+            dd = dml.changelog(dim, last["dim"], cur["dim"])
+            terms.append(
+                self._joined(fact.scan(version=last["fact"]), dd)
+            )
+        out = terms[0]
+        for t in terms[1:]:
+            out = out.unionByName(t, allowMissingColumns=True)
+        return out
+
+    def _base_df_at(self, handle, cur) -> DataFrame:
+        fact, dim = handle
+        return self._joined(
+            fact.scan(version=cur["fact"]), dim.scan(version=cur["dim"])
+        )

@@ -342,6 +342,27 @@ def _jaccard_prefix_filtered(
     )
 
 
+def repetition_ratio_fast(text: Column | str, n: int = 3) -> Column:
+    """Arrow fast path for functions.text.repetition_ratio: the
+    duplicate-n-gram ratio 1 − distinct/total. `doc_keys2_udf` already
+    computes each doc's DISTINCT shingle count in one vectorized pass
+    (its shingle construction mirrors `shingles()` exactly, including
+    the ≥1-shingle short-doc convention), and the TOTAL count is pure
+    arithmetic on the token count — so the whole ratio needs no
+    interpreted higher-order lambdas. Distinct keys vs distinct shingle
+    STRINGS differ only on a within-doc 62-bit collision (~d²/2⁶² per
+    doc), the same accepted class as the Jaccard family. Equality with
+    the expression form is pinned in tests/test_curation.py."""
+    c = F.col(text) if isinstance(text, str) else text
+    total = F.greatest(
+        F.size(F.split(c, " ")) - n, F.lit(0)
+    ) + F.lit(1)
+    return (
+        F.lit(1.0)
+        - F.size(doc_keys2_udf(n)(c)).cast("double") / total
+    )
+
+
 def _char_poly_key(w: Column) -> Column:
     """Char-level polynomial word hash: fold (acc·31 + codepoint) mod M.
 

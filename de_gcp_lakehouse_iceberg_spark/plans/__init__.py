@@ -46,6 +46,7 @@ from . import ivm_query  # noqa: F401  (registers q98)
 from . import sql_gateway_query  # noqa: F401  (registers q99)
 from . import ivm_distinct_query  # noqa: F401  (registers q102)
 from . import rowgroup_query  # noqa: F401  (registers q103)
+from . import ivm_join_query  # noqa: F401  (registers q104)
 
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The driver's CORRECTNESS check covers the FIRST
@@ -59,8 +60,10 @@ from . import rowgroup_query  # noqa: F401  (registers q103)
 # of them at two scale factors every run.
 _GATE_PRIORITY = [
     # (a) NEW this round (r8), never driver-verified: the KMV
-    # distinct-count IVM rollup and the row-group skipping proof
+    # distinct-count IVM rollup, the row-group skipping proof, and the
+    # bilinear join-view IVM
     "q102_ivm_distinct_kmv", "q103_rowgroup_prune_proof",
+    "q104_ivm_join_rollup",
     # (b) implementation touched this round, re-gated on the NEW code:
     # q35 — ngram_jaccard_pairs signing-cache rewrite (bounded LRU of
     # lazily-persisted signing results) feeds the whole Jaccard family
@@ -94,12 +97,13 @@ _GATE_PRIORITY = [
     "q81_media_resize", "q82_kmv_overlap", "q83_cm_token_freq",
     "q84_bloom_semi_join", "q85_grouped_topk", "q86_unigram_lm_score",
     "q87_hist_quantiles", "q88_lsh_probe_incremental",
-    "q89_json_extract",
-    # DEFERRED to lead the r9 window (r5 rows age to 3 rounds — the 5
+    # DEFERRED to lead the r9 window (r5 rows age to 3 rounds — the 6
     # with the strongest out-of-window proxies): q19/q20/q21 (DML trio
     # — test_dml_properties + the same dml.delete/update/append path
-    # driven in-window by q102), q29 (test_sessions.py), q34 (exact
-    # dedup — test_dedup.py; trivially stable one-shuffle shape).
+    # driven in-window by q102/q104), q29 (test_sessions.py), q34
+    # (exact dedup — test_dedup.py; trivially stable one-shuffle
+    # shape), q89 (single get_json_object projection, oracle-replayed
+    # by test_oracle_parity at two SFs every run).
 ]
 
 

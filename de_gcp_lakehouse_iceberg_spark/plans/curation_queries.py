@@ -10,8 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.text import repetition_ratio
 from ..operators.asof import asof_join
+from ..operators.dedup import repetition_ratio_fast
 from ..operators.corpus import contamination_overlap, select_within_token_budget
 from ..tables import table
 from .dedup_queries import _SHINGLE_SQL
@@ -108,7 +108,7 @@ _REP_T = 0.2
 def q55_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     rep = docs.select(
-        "source", repetition_ratio("text", 3).alias("rep_ratio")
+        "source", repetition_ratio_fast("text", 3).alias("rep_ratio")
     )
     return (
         rep.groupBy("source")

@@ -118,3 +118,31 @@ def test_token_budget_selection_prefix(spark):
     got = {(r.lang, r.doc_id): r.cum_tokens for r in sel.collect()}
     assert set(got) == {("en", 1), ("en", 2), ("fr", 4)}
     assert got[("en", 2)] == 70
+
+
+def test_repetition_ratio_fast_equals_expression(spark, sf_dir):
+    """The Arrow repetition ratio must equal the Column-expression form
+    exactly (same integer sizes -> same doubles) on the fixture."""
+    from pyspark.sql import functions as F
+
+    from de_gcp_lakehouse_iceberg_spark.functions.text import (
+        repetition_ratio,
+    )
+    from de_gcp_lakehouse_iceberg_spark.operators.dedup import (
+        repetition_ratio_fast,
+    )
+    from de_gcp_lakehouse_iceberg_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    rows = docs.select(
+        repetition_ratio("text", 3).alias("expr"),
+        repetition_ratio_fast("text", 3).alias("arrow"),
+    ).collect()
+    assert rows and all(r["expr"] == r["arrow"] for r in rows)
+    # short-doc convention: < n tokens still yields one shingle
+    tiny = spark.createDataFrame([("one two",), ("x",)], "text string")
+    t = tiny.select(
+        repetition_ratio("text", 3).alias("expr"),
+        repetition_ratio_fast("text", 3).alias("arrow"),
+    ).collect()
+    assert all(r["expr"] == r["arrow"] for r in t)

@@ -481,3 +481,165 @@ def test_distinct_kmv_insert_only_no_base_scan(spark, tmp_path):
     )
     assert rollup.refresh()["mode"] == "delta"
     _assert_distinct_matches(spark, rollup, base)
+
+
+# ---------------------------------------------------------------------------
+# JoinRollup — delta IVM over fact ⋈ dim
+# ---------------------------------------------------------------------------
+from de_gcp_lakehouse_iceberg_spark.lakehouse.ivm import JoinRollup
+
+
+def _join_tables(spark, tmp_path, facts=400, dims=23):
+    fact = LakeTable.create(spark, str(tmp_path / "fact"))
+    fact.append(
+        spark.range(facts).select(
+            F.col("id").alias("fk"),
+            (F.col("id") % dims).alias("k"),
+            (F.col("id") * 1.5).alias("v"),
+        )
+    )
+    dim = LakeTable.create(spark, str(tmp_path / "dim"))
+    dim.append(
+        spark.range(dims).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("seg"), (F.col("id") % 4)).alias("seg"),
+        )
+    )
+    return fact, dim
+
+
+def _assert_join_matches(rollup, fact, dim):
+    got = {
+        r["seg"]: (r["cnt"], float(r["sum_v"]))
+        for r in rollup.df().collect()
+    }
+    f, d = fact.scan(), dim.scan()
+    want = {
+        r["seg"]: (r["cnt"], float(r["s"]))
+        for r in f.join(d, f["k"] == d["k"])
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("v").cast("decimal(28,6)")).alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_join_rollup_fact_dml_only(spark, tmp_path):
+    fact, dim = _join_tables(spark, tmp_path)
+    ru = JoinRollup.create_join(
+        spark, str(tmp_path / "ru"), fact, dim, ["k"], ["seg"], ["v"]
+    )
+    _assert_join_matches(ru, fact, dim)
+    dml.delete(fact, "fk % 7 = 3")
+    dml.update(fact, {"v": "v * 2.0"}, "fk % 5 = 1")
+    fact.append(
+        spark.range(400, 460).select(
+            F.col("id").alias("fk"),
+            (F.col("id") % 23).alias("k"),
+            (F.col("id") * 1.5).alias("v"),
+        )
+    )
+    res = ru.refresh()
+    assert res["mode"] == "delta" and res["delta_rows"] > 0
+    _assert_join_matches(ru, fact, dim)
+
+
+def test_join_rollup_dim_update_moves_groups(spark, tmp_path):
+    """A dimension UPDATE re-segments every joined fact row — the
+    F_old ⋈ ΔD term must move their contributions between groups."""
+    fact, dim = _join_tables(spark, tmp_path)
+    ru = JoinRollup.create_join(
+        spark, str(tmp_path / "ru"), fact, dim, ["k"], ["seg"], ["v"]
+    )
+    dml.update(dim, {"seg": "'seg_recoded'"}, "k % 4 = 2")
+    res = ru.refresh()
+    assert res["mode"] == "delta"
+    _assert_join_matches(ru, fact, dim)
+    assert ru.df().filter(F.col("seg") == "seg_recoded").count() == 1
+
+
+def test_join_rollup_both_sides_one_window(spark, tmp_path):
+    """Fact and dim change in the SAME refresh window — the bilinear
+    identity's cross term (ΔF⋈ΔD rides the dim-at-new-version join)
+    must keep parity, including a fact insert joining a dim row that
+    was deleted in the same window (it must NOT appear)."""
+    fact, dim = _join_tables(spark, tmp_path)
+    ru = JoinRollup.create_join(
+        spark, str(tmp_path / "ru"), fact, dim, ["k"], ["seg"], ["v"]
+    )
+    dml.delete(dim, "k = 5")          # dim row gone…
+    fact.append(
+        spark.range(1000, 1010).select(
+            F.col("id").alias("fk"),
+            F.lit(5).alias("k"),      # …new facts pointing at it
+            (F.col("id") * 1.0).alias("v"),
+        )
+    )
+    dml.delete(fact, "fk % 11 = 4")
+    dml.update(dim, {"seg": "'hot'"}, "k = 7")
+    res = ru.refresh()
+    assert res["mode"] == "delta"
+    _assert_join_matches(ru, fact, dim)
+
+
+def test_join_rollup_minmax_and_distinct(spark, tmp_path):
+    fact, dim = _join_tables(spark, tmp_path)
+    ru = JoinRollup.create_join(
+        spark, str(tmp_path / "ru"), fact, dim, ["k"], ["seg"], ["v"],
+        minmax_cols=["v"], distinct_cols=["fk"],
+    )
+    dml.delete(fact, "fk >= 390")     # removes per-group maxima
+    dml.update(dim, {"seg": "'mix'"}, "k % 5 = 0")
+    assert ru.refresh()["mode"] == "delta"
+    f, d = fact.scan(), dim.scan()
+    want = {
+        r["seg"]: (r["cnt"], r["mn"], r["mx"])
+        for r in f.join(d, f["k"] == d["k"])
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    got = {
+        r["seg"]: (r["cnt"], r["min_v"], r["max_v"])
+        for r in ru.df().collect()
+    }
+    assert got == want
+    # maintained sketches == from-scratch sketches over the join
+    from de_gcp_lakehouse_iceberg_spark.operators.sampling import id_hash
+
+    want_raw = {
+        r["seg"]: list(r["sk"])
+        for r in f.join(d, f["k"] == d["k"])
+        .groupBy("seg")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_set(id_hash(F.col("fk")))), 1, 64
+            ).alias("sk")
+        )
+        .collect()
+    }
+    got_raw = {
+        r["seg"]: list(r["kmv_fk"])
+        for r in ru.table.scan().collect()
+    }
+    assert got_raw == want_raw
+
+
+def test_join_rollup_noop_and_reload(spark, tmp_path):
+    fact, dim = _join_tables(spark, tmp_path, facts=50)
+    ru = JoinRollup.create_join(
+        spark, str(tmp_path / "ru"), fact, dim, ["k"], ["seg"], ["v"]
+    )
+    assert ru.refresh()["mode"] == "noop"
+    dml.delete(fact, "fk < 10")
+    re = JoinRollup(spark, str(tmp_path / "ru"))
+    assert re.refresh()["mode"] == "delta"
+    _assert_join_matches(re, fact, dim)
+    assert re.refresh()["mode"] == "noop"
