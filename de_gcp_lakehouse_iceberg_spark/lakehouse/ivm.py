@@ -658,3 +658,13 @@ class JoinRollup(IncrementalRollup):
         return self._joined(
             fact.scan(version=cur["fact"]), dim.scan(version=cur["dim"])
         )
+
+
+def load_rollup(spark: SparkSession, root: str) -> IncrementalRollup:
+    """Open a persisted rollup as its concrete class — the config tells
+    a single-table rollup (base_root only) from a join rollup
+    (dim_root + join_keys)."""
+    with open(os.path.join(os.path.abspath(root), _CONFIG)) as f:
+        cfg = json.load(f)
+    cls = JoinRollup if "dim_root" in cfg else IncrementalRollup
+    return cls(spark, root)

@@ -30,6 +30,8 @@ Actions (M1-M10 in SURVEY.md §2.11):
                [--version | --tag-name]; BigQuery CREATE SNAPSHOT TABLE)
   ivm-create / ivm-refresh — maintain a changelog-delta COUNT/SUM
                rollup (--rollup-root, --group-cols a,b [--sum-cols x])
+  ivm-join-create — maintain a rollup over fact ⋈ dim (--dim-table,
+               --join-keys k; refresh via the same ivm-refresh)
 """
 
 from __future__ import annotations
@@ -172,12 +174,37 @@ def run_action(args: argparse.Namespace) -> dict:
         return {"action": "ivm-create", "rollup_root": rollup.root,
                 "rows": rollup.df().count(),
                 "source_version": t.current_version()}
+    if args.action == "ivm-join-create":
+        from .lakehouse.ivm import JoinRollup
+
+        if not (args.rollup_root and args.group_cols and args.dim_table
+                and args.join_keys):
+            raise ValueError(
+                "--rollup-root, --group-cols, --dim-table and "
+                "--join-keys required"
+            )
+        dim = _table(spark, args.warehouse, args.dim_table)
+        rollup = JoinRollup.create_join(
+            spark,
+            args.rollup_root,
+            t,
+            dim,
+            join_keys=args.join_keys.split(","),
+            group_cols=args.group_cols.split(","),
+            sum_cols=[c for c in args.sum_cols.split(",") if c],
+        )
+        return {"action": "ivm-join-create", "rollup_root": rollup.root,
+                "rows": rollup.df().count(),
+                "source_version": {"fact": t.current_version(),
+                                   "dim": dim.current_version()}}
     if args.action == "ivm-refresh":
-        from .lakehouse.ivm import IncrementalRollup
+        from .lakehouse.ivm import load_rollup
 
         if not args.rollup_root:
             raise ValueError("--rollup-root required")
-        rollup = IncrementalRollup(spark, args.rollup_root)
+        # load_rollup dispatches on the persisted config: single-table
+        # rollups and join rollups refresh through the same action
+        rollup = load_rollup(spark, args.rollup_root)
         return {"action": "ivm-refresh", **rollup.refresh()}
     if args.action == "full":
         report = maintenance.run_full_maintenance(
@@ -251,6 +278,7 @@ def build_parser() -> argparse.ArgumentParser:
             "cdc-export",
             "clone",
             "ivm-create",
+            "ivm-join-create",
             "ivm-refresh",
             "delete-mor",
             "materialize-deletes",
@@ -266,6 +294,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clone-to", default="")
     p.add_argument("--group-cols", default="")
     p.add_argument("--sum-cols", default="")
+    p.add_argument("--dim-table", default="")
+    p.add_argument("--join-keys", default="")
     p.add_argument("--table", default="taxi_trips")
     p.add_argument("--retention-days", type=float, default=7.0)
     p.add_argument("--orphan-age-days", type=float, default=3.0)

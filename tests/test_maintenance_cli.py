@@ -194,3 +194,68 @@ def test_clone_action(spark, warehouse, tmp_path):
     src = LakeTable.load(spark, f"{warehouse}/taxi_trips")
     dst = LakeTable.load(spark, dest)
     assert dst.scan().count() == src.scan().count()
+
+
+def test_cli_ivm_join_rollup_lifecycle(spark, tmp_path):
+    """ivm-join-create then the generic ivm-refresh (load_rollup
+    dispatches on the persisted config) — a dim update must move the
+    joined contributions and parity must hold with a re-join."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from de_gcp_lakehouse_iceberg_spark.lakehouse import LakeTable, dml
+    from de_gcp_lakehouse_iceberg_spark.maintenance_cli import (
+        build_parser,
+        run_action,
+    )
+
+    wh = str(tmp_path / "wh")
+    os.makedirs(wh)
+    fact = LakeTable.create(spark, os.path.join(wh, "fact"))
+    fact.append(
+        spark.range(120).select(
+            F.col("id").alias("fk"),
+            (F.col("id") % 7).alias("k"),
+            (F.col("id") * 2.0).alias("v"),
+        )
+    )
+    dim = LakeTable.create(spark, os.path.join(wh, "dim"))
+    dim.append(
+        spark.range(7).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("g"), F.col("id") % 3).alias("seg"),
+        )
+    )
+    ru_root = str(tmp_path / "ru")
+    res = run_action(build_parser().parse_args([
+        "--warehouse", wh, "--action", "ivm-join-create",
+        "--table", "fact", "--dim-table", "dim",
+        "--join-keys", "k", "--rollup-root", ru_root,
+        "--group-cols", "seg", "--sum-cols", "v",
+    ]))
+    assert res["rows"] == 3
+    dml.update(dim, {"seg": "'moved'"}, "k = 2")
+    dml.delete(fact, "fk % 5 = 0")
+    res = run_action(build_parser().parse_args([
+        "--warehouse", wh, "--action", "ivm-refresh",
+        "--table", "fact", "--rollup-root", ru_root,
+    ]))
+    assert res["mode"] == "delta"
+
+    from de_gcp_lakehouse_iceberg_spark.lakehouse.ivm import load_rollup
+
+    ru = load_rollup(spark, ru_root)
+    f, d = fact.scan(), dim.scan()
+    want = {
+        r["seg"]: (r["cnt"], float(r["s"]))
+        for r in f.join(d, f["k"] == d["k"]).groupBy("seg").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("v").cast("decimal(28,6)")).alias("s"),
+        ).collect()
+    }
+    got = {
+        r["seg"]: (r["cnt"], float(r["sum_v"]))
+        for r in ru.df().collect()
+    }
+    assert got == want and "moved" in got
