@@ -120,6 +120,7 @@ def stream_append_to_laketable(
     table: LakeTable,
     poll_timeout_s: float = 120.0,
     checkpoint_name: str = "stream_append",
+    refresh_rollups: list | None = None,
 ) -> int:
     """Continuous append of a bounded stream into a LakeTable via
     foreachBatch (S11: the streaming Iceberg append). Exactly-once =
@@ -147,6 +148,15 @@ def stream_append_to_laketable(
             summary={"stream_watermarks": {checkpoint_name: batch_id}},
         )
         batches["n"] += 1
+        # STREAMING IVM: downstream rollups ride the micro-batch —
+        # each commit is followed by a changelog-delta refresh, so the
+        # maintained aggregates are as fresh as the sink itself. The
+        # refresh is idempotent (noop when already at the sink's head)
+        # and crash-safe: a failure between append and refresh leaves
+        # the rollup stale by one commit, which the NEXT batch's (or
+        # any manual) refresh catches up — never wrong, only late.
+        for rollup in refresh_rollups or []:
+            rollup.refresh()
 
     q = (
         source.writeStream.foreachBatch(_commit)

@@ -232,3 +232,49 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
 
     got = sorted(r.event_id for r in spark.table(sink).collect())
     assert got == [0, 1, 2, 3, 4, 9]  # replays suppressed, new event kept
+
+
+def test_stream_append_maintains_rollup(spark, sf_dir, tmp_path):
+    """Streaming IVM: a rollup passed via refresh_rollups is delta-
+    refreshed after every micro-batch commit, so when the stream
+    drains the maintained aggregates equal a from-scratch recompute
+    and the rollup's freshness marker sits at the sink's head."""
+    from de_gcp_lakehouse_iceberg_spark.lakehouse.ivm import (
+        IncrementalRollup,
+    )
+
+    t = LakeTable.create(spark, str(tmp_path / "sink"))
+    # seed a first commit so the rollup can bootstrap a schema
+    seed = table(spark, sf_dir, "events").limit(50)
+    t.append(seed, operation="seed")
+    rollup = IncrementalRollup.create(
+        spark, str(tmp_path / "ru"), t,
+        group_cols=["event_type"], sum_cols=["value"],
+    )
+    n = stream_append_to_laketable(
+        spark,
+        read_events_stream(spark, sf_dir),
+        t,
+        checkpoint_name="ivm_ck",
+        refresh_rollups=[rollup],
+    )
+    assert n >= 1
+    assert (
+        rollup.table.snapshot().summary["source_version"]
+        == t.current_version()
+    )
+    got = {
+        r["event_type"]: (r["cnt"], float(r["sum_value"]))
+        for r in rollup.df().collect()
+    }
+    want = {
+        r["event_type"]: (r["cnt"], float(r["s"]))
+        for r in t.scan()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
