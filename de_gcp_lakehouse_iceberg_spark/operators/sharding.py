@@ -55,3 +55,99 @@ def write_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def write_webdataset(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str | None = "text",
+    meta_cols: list[str] | None = None,
+    payload_col: str | None = None,
+    payload_ext: str = "bin",
+) -> list[str]:
+    """Export the deterministically-shuffled corpus as WebDataset-style
+    tar shards — the sequential-read delivery format multimodal
+    training loaders consume (one `shard-NNNNN.tar` per shard; each
+    sample contributes `<key>.txt` for text, `<key>.json` for metadata,
+    and optionally `<key>.<payload_ext>` for a binary column).
+
+    Layout and order are fully deterministic: shard membership and
+    within-shard position come from `shuffle_shard`'s portable hash, so
+    re-exporting an identical corpus yields byte-stable member ORDER
+    and names (tar timestamps are pinned to epoch 0). Each shard is
+    written by exactly ONE task (mapInPandas over shard-partitioned
+    rows — no driver data), so at 100 TB this is n_shards parallel
+    sequential writers; pick n_shards ≈ corpus_bytes / shard_bytes.
+
+    Returns the shard file paths. Pure stdlib (tarfile) — no codecs:
+    payloads are written verbatim, matching the engine's opaque-binary
+    multimodal column policy."""
+    import json as _json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    keep = [id_col] + ([text_col] if text_col else [])
+    keep += list(meta_cols or [])
+    if payload_col:
+        keep.append(payload_col)
+    sharded = (
+        shuffle_shard(df.select(*keep), n_shards, id_col)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+    )
+
+    def write_tars(batches):
+        import io
+        import tarfile
+
+        import pandas as pd
+
+        tars: dict[int, tarfile.TarFile] = {}
+
+        def member(tf, name, data: bytes):
+            info = tarfile.TarInfo(name=name)
+            info.size = len(data)
+            info.mtime = 0  # pinned: byte-stable re-exports
+            tf.addfile(info, io.BytesIO(data))
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                d = row._asdict()
+                shard = int(d["shard"])
+                tf = tars.get(shard)
+                if tf is None:
+                    tf = tarfile.open(
+                        os.path.join(path, f"shard-{shard:05d}.tar"), "w"
+                    )
+                    tars[shard] = tf
+                key = f"{d[id_col]:012d}" if isinstance(
+                    d[id_col], int
+                ) else str(d[id_col])
+                if text_col:
+                    member(
+                        tf, f"{key}.txt", str(d[text_col]).encode("utf-8")
+                    )
+                meta = {c: d[c] for c in (meta_cols or [])}
+                meta["__pos__"] = int(d["pos"])
+                member(
+                    tf,
+                    f"{key}.json",
+                    _json.dumps(meta, sort_keys=True, default=str).encode(),
+                )
+                if payload_col and d[payload_col] is not None:
+                    member(
+                        tf, f"{key}.{payload_ext}", bytes(d[payload_col])
+                    )
+            yield pd.DataFrame({"shard": []})
+        for tf in tars.values():
+            tf.close()
+
+    # the empty-yield mapInPandas drives the per-partition writers
+    sharded.mapInPandas(write_tars, "shard long").count()
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".tar")
+    )
