@@ -99,7 +99,10 @@ def compact(
 
 
 def rewrite_sorted(
-    table: LakeTable, sort_columns: list[str], partition_filter=None
+    table: LakeTable,
+    sort_columns: list[str],
+    partition_filter=None,
+    rowgroup_bytes: int | None = None,
 ) -> dict[str, Any]:
     """M3: sort-order rewrite (Z-order-style clustering,
     iceberg_maintenance.py:95-127). Rewrites the selected files with
@@ -131,6 +134,11 @@ def rewrite_sorted(
         [f.path for f in targets], df, operation="rewrite_sorted",
         summary={"sort_columns": sort_columns},
         expected_base=snap.version,
+        writer_options=(
+            {"parquet.block.size": rowgroup_bytes}
+            if rowgroup_bytes
+            else None
+        ),
     )
     return {
         "status": "success",
@@ -146,6 +154,7 @@ def rewrite_zorder(
     bits_per_column: int = 8,
     partition_filter=None,
     target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
+    rowgroup_bytes: int | None = None,
 ) -> dict[str, Any]:
     """M3 (true multi-dimensional form): Z-order rewrite — interleave
     the bits of min-max-scaled column values into one z-value and sort
@@ -201,10 +210,18 @@ def rewrite_zorder(
         .sortWithinPartitions("_z")
         .drop("_z")
     )
+    # rowgroup_bytes tunes the WITHIN-file stats granularity the
+    # clustering exists to sharpen: smaller row groups → finer
+    # plan_row_groups/scan_rowgroups skipping on every z-ordered column
     new_snap = table.replace_files(
         [f.path for f in targets], out, operation="rewrite_zorder",
         summary={"zorder_columns": zorder_columns},
         expected_base=snap.version,
+        writer_options=(
+            {"parquet.block.size": rowgroup_bytes}
+            if rowgroup_bytes
+            else None
+        ),
     )
     return {
         "status": "success",

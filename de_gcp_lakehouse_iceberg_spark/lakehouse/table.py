@@ -965,6 +965,7 @@ class LakeTable:
         operation: str,
         summary: dict[str, Any] | None = None,
         expected_base: int | None = None,
+        writer_options: dict[str, Any] | None = None,
     ) -> Snapshot:
         """Copy-on-write commit primitive: drop `remove` (relative paths)
         from the live file set, add files written from `add_df`. Used by
@@ -986,7 +987,9 @@ class LakeTable:
         if add_df is not None and prev.schema_json:
             add_df = self._align_to_schema(add_df, prev.schema_json)
         new_files = (
-            self._stamp_seq(self._write_files(add_df))
+            self._stamp_seq(
+                self._write_files(add_df, writer_options=writer_options)
+            )
             if add_df is not None
             else []
         )

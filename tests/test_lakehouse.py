@@ -294,11 +294,12 @@ def test_maintenance_rewrites_carry_occ_expected_base(spark, tmp_path, monkeypat
     seen: list[int | None] = []
     real = LakeTable.replace_files
 
-    def spy(self, remove, add_df, operation, summary=None, expected_base=None):
+    def spy(self, remove, add_df, operation, summary=None,
+            expected_base=None, writer_options=None):
         seen.append(expected_base)
         return real(
             self, remove, add_df, operation, summary=summary,
-            expected_base=expected_base,
+            expected_base=expected_base, writer_options=writer_options,
         )
 
     monkeypatch.setattr(LakeTable, "replace_files", spy)

@@ -94,3 +94,45 @@ def test_rg_stats_survive_manifest_roundtrip(spark, tmp_path):
     # pruned on
     _snap, _plans, info = re.plan_row_groups(where=[("missing", ">", 5)])
     assert info["rowgroups_read"] == info["rowgroups_total"]
+
+
+def test_zorder_rewrite_enables_multicolumn_rg_skipping(spark, tmp_path):
+    """After a Z-order rewrite, narrow predicates on EITHER clustered
+    column must skip most row groups — the synergy the reference's
+    clustering promise implies (sort rewrite exists to make stats
+    granularity effective). The rewrite path harvests rg_stats
+    automatically (_write_files)."""
+    from de_gcp_lakehouse_iceberg_spark.lakehouse.maintenance import (
+        rewrite_zorder,
+    )
+
+    t = LakeTable.create(spark, str(tmp_path / "z"))
+    df = spark.range(40_000).select(
+        (F.col("id") * 2_654_435_761 % 40_000).alias("x"),
+        (F.col("id") * 40_503 % 40_000).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    t.append(df.coalesce(2), writer_options={"parquet.block.size": 64 * 1024})
+    # unclustered: a narrow x-range survives in ~every group
+    _s, _p, before = t.plan_row_groups(
+        where=[("x", ">=", 1000), ("x", "<", 2000)]
+    )
+    rewrite_zorder(
+        t, ["x", "y"], target_file_size=256 * 1024,
+        rowgroup_bytes=32 * 1024,
+    )
+    snap = t.snapshot()
+    assert all(f.rg_stats is not None for f in snap.files)
+    for col in ("x", "y"):
+        _s, _p, info = t.plan_row_groups(
+            where=[(col, ">=", 1000), (col, "<", 2000)]
+        )
+        assert info["rowgroups_total"] > 4
+        assert info["rowgroups_read"] < info["rowgroups_total"] / 2, (
+            col,
+            info,
+        )
+        got = t.scan_rowgroups(
+            where=[(col, ">=", 1000), (col, "<", 2000)]
+        ).count()
+        assert got == 1000
