@@ -47,6 +47,9 @@ from . import sql_gateway_query  # noqa: F401  (registers q99)
 from . import ivm_distinct_query  # noqa: F401  (registers q102)
 from . import rowgroup_query  # noqa: F401  (registers q103)
 from . import ivm_join_query  # noqa: F401  (registers q104)
+from . import tfidf_queries  # noqa: F401  (registers q105)
+from . import bpe_query  # noqa: F401  (registers q106)
+from . import bm25_query  # noqa: F401  (registers q107)
 
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The driver's CORRECTNESS check covers the FIRST
@@ -60,10 +63,11 @@ from . import ivm_join_query  # noqa: F401  (registers q104)
 # of them at two scale factors every run.
 _GATE_PRIORITY = [
     # (a) NEW this round (r8), never driver-verified: the KMV
-    # distinct-count IVM rollup, the row-group skipping proof, and the
-    # bilinear join-view IVM
+    # distinct-count IVM rollup, the row-group skipping proof, the
+    # bilinear join-view IVM, TF-IDF top terms, and BPE merge learning
     "q102_ivm_distinct_kmv", "q103_rowgroup_prune_proof",
-    "q104_ivm_join_rollup",
+    "q104_ivm_join_rollup", "q105_tfidf_terms", "q106_bpe_merges",
+    "q107_bm25_topk",
     # (b) implementation touched this round, re-gated on the NEW code:
     # q35 — ngram_jaccard_pairs signing-cache rewrite (bounded LRU of
     # lazily-persisted signing results) feeds the whole Jaccard family
@@ -95,15 +99,19 @@ _GATE_PRIORITY = [
     "q73_bloom_prune_proof", "q75_kmv_distinct",
     "q76_resample_gapfill", "q80_mor_delete_lifecycle",
     "q81_media_resize", "q82_kmv_overlap", "q83_cm_token_freq",
-    "q84_bloom_semi_join", "q85_grouped_topk", "q86_unigram_lm_score",
-    "q87_hist_quantiles", "q88_lsh_probe_incremental",
-    # DEFERRED to lead the r9 window (r5 rows age to 3 rounds — the 6
+    "q84_bloom_semi_join", "q85_grouped_topk",
+    # DEFERRED to lead the r9 window (r5 rows age to 3 rounds — the 9
     # with the strongest out-of-window proxies): q19/q20/q21 (DML trio
     # — test_dml_properties + the same dml.delete/update/append path
     # driven in-window by q102/q104), q29 (test_sessions.py), q34
     # (exact dedup — test_dedup.py; trivially stable one-shuffle
-    # shape), q89 (single get_json_object projection, oracle-replayed
-    # by test_oracle_parity at two SFs every run).
+    # shape), q86 (unigram LM — q93's interpolated bigram rode a fresh
+    # r7 row over the same vocab-stats machinery; test_sketches),
+    # q87 (test_sketches.py shard-additivity + oracle parity),
+    # q88 (the stored-index probe q90 rode a fresh r7 row over the
+    # SAME oracle pipeline; test_dedup mode-parity), q89 (single
+    # get_json_object projection, oracle-replayed by
+    # test_oracle_parity at two SFs every run).
 ]
 
 

@@ -28,6 +28,12 @@ reference's documented query set):
 - `FOR SYSTEM_TIME BETWEEN '<a>' AND '<b>'` → the lakehouse changelog
   between the snapshots bracketing [a, b], with `_CHANGE_TYPE` /
   `_CHANGE_TIMESTAMP` exposed under their BigQuery names
+- `QUALIFY <window predicate>` (BigQuery's dedup/top-k idiom, e.g.
+  `QUALIFY ROW_NUMBER() OVER (...) = 1`) → the predicate is computed
+  as a helper column inside a wrapping subquery, filtered outside,
+  and dropped via `SELECT * EXCEPT` — Spark has no QUALIFY clause.
+  One top-level QUALIFY per statement; `SELECT DISTINCT ... QUALIFY`
+  is out of scope (the helper column would join the DISTINCT key)
 
 Constructs Spark already accepts unchanged (DATE(x), CURRENT_DATE(),
 EXTRACT(.. FROM ..), GROUP BY / HAVING on select aliases) pass
@@ -81,10 +87,87 @@ _DATE_DIFF = re.compile(
 )
 
 
+def _depth0_index(s: str, word: str, start: int = 0) -> int:
+    """Index of the first whole-word, paren-depth-0, non-quoted
+    occurrence of `word` (upper-cased match) at/after `start`; -1 if
+    none."""
+    depth = 0
+    in_str = False
+    up = s.upper()
+    w = word.upper()
+    i = start
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and up.startswith(w, i)
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and (
+                i + len(w) >= len(s)
+                or not (s[i + len(w)].isalnum() or s[i + len(w)] == "_")
+            )
+        ):
+            return i
+        i += 1
+    return -1
+
+
+def _rewrite_qualify(s: str) -> str:
+    """BigQuery `QUALIFY <window pred>` → wrap: compute the predicate
+    as a helper column inside a subquery, filter on it outside, and
+    drop it with `* EXCEPT`. Handles one top-level QUALIFY (the
+    reference's dedup/top-k idiom, e.g.
+    `QUALIFY ROW_NUMBER() OVER (...) = 1`); QUALIFY inside a
+    parenthesized subquery is recursed into by the caller re-running
+    translate on that text. ORDER BY / LIMIT after the QUALIFY stay on
+    the outer query, where select-list aliases still resolve through
+    `*`."""
+    q = _depth0_index(s, "QUALIFY")
+    if q < 0:
+        return s
+    # Predicate runs until a top-level ORDER BY / LIMIT or end-of-text.
+    tail_at = len(s)
+    for kw in ("ORDER", "LIMIT"):
+        j = _depth0_index(s, kw, q + 7)
+        if j >= 0:
+            tail_at = min(tail_at, j)
+    pred = s[q + 7 : tail_at].strip()
+    tail = s[tail_at:].strip()
+    head = s[:q].rstrip()
+    # Insert the helper column just before the main SELECT's FROM —
+    # the first depth-0 FROM (CTE bodies are parenthesized).
+    f = _depth0_index(head, "FROM")
+    if f < 0:
+        return s
+    inner = (
+        head[:f].rstrip()
+        + f", ({pred}) AS __qualify__ "
+        + head[f:]
+    )
+    out = (
+        "SELECT * EXCEPT (__qualify__) FROM ("
+        + inner
+        + ") WHERE __qualify__"
+    )
+    if tail:
+        out += " " + tail
+    return out
+
+
 def translate(sql: str) -> str:
     """BigQuery dialect → Spark SQL (text-level, documented subset)."""
     s = sql.strip().rstrip(";")
     s = _BACKTICK.sub(r"\1", s)
+    s = _rewrite_qualify(s)
     s = _DTRUNC.sub(lambda m: f"date_trunc('{m.group(3).upper()}', {m.group(2)})", s)
     s = _TS_ARITH.sub(
         lambda m: (

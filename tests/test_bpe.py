@@ -1,0 +1,122 @@
+"""BPE merge learning: Spark pipeline vs an independent pure-Python
+reference implementation, greedy application semantics, and the
+pairs+words==tokens identity the one-aggregate-per-iteration
+optimization relies on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from de_gcp_lakehouse_iceberg_spark.operators.bpe import (
+    bpe_apply,
+    bpe_learn,
+    word_frequencies,
+)
+
+
+# ---------------------------------------------------------------- reference
+def _ref_bpe(word_freq: dict[str, int], n_merges: int):
+    """Straight-line reference: symbols as tuples, overlap-inclusive
+    pair counting (zip convention), greedy left-to-right application."""
+    vocab = {tuple(w): f for w, f in word_freq.items()}
+    merges = []
+    for step in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (lhs, rhs), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == lhs
+                    and syms[i + 1] == rhs
+                ):
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+        tokens_after = sum(len(s) * f for s, f in vocab.items())
+        merges.append((step, lhs, rhs, cnt, tokens_after))
+    return merges
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_learn_matches_reference(spark):
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest wide wide wide",
+        "low newer wide wide",
+    ]
+    docs = _docs(spark, texts)
+    wf = {
+        r["word"]: r["freq"]
+        for r in word_frequencies(docs).collect()
+    }
+    expected = _ref_bpe(wf, 6)
+    got = [
+        (r.step, r.lhs, r.rhs, r.pair_count, r.tokens_after)
+        for r in bpe_learn(spark, docs, n_merges=6).collect()
+    ]
+    assert got == expected
+
+
+def test_learn_stops_when_fully_merged(spark):
+    docs = _docs(spark, ["ab ab ab"])
+    rows = bpe_learn(spark, docs, n_merges=10).collect()
+    # one word of two symbols: exactly one merge possible
+    assert len(rows) == 1
+    assert (rows[0].lhs, rows[0].rhs) == ("a", "b")
+    assert rows[0].tokens_after == 3  # three occurrences, one token each
+
+
+def test_apply_greedy_non_overlapping(spark):
+    df = spark.createDataFrame([("a a a aa",)], "text string")
+    toks = df.select(
+        bpe_apply("text", [("a", "a")]).alias("t")
+    ).collect()[0]["t"]
+    # words are independent: 'a','a','a' are separate words (no pairs
+    # cross spaces); 'aa' is a word of symbols a,a -> merged
+    assert toks == ["a", "a", "a", "aa"]
+
+    df2 = spark.createDataFrame([("aaa",)], "text string")
+    toks2 = df2.select(
+        bpe_apply("text", [("a", "a")]).alias("t")
+    ).collect()[0]["t"]
+    # greedy left-to-right within the word: aa + a, NOT a + aa
+    assert toks2 == ["aa", "a"]
+
+
+def test_apply_respects_merge_order(spark):
+    df = spark.createDataFrame([("abc abc",)], "text string")
+    toks = df.select(
+        bpe_apply("text", [("a", "b"), ("ab", "c")]).alias("t")
+    ).collect()[0]["t"]
+    assert toks == ["abc", "abc"]
+
+
+def test_tokens_after_matches_applied_corpus(spark):
+    texts = ["spark spark shuffle shuffle sort", "spark sort sort merge"]
+    docs = _docs(spark, texts)
+    learned = bpe_learn(spark, docs, n_merges=4).collect()
+    merges = [(r.lhs, r.rhs) for r in learned]
+    applied_total = docs.select(
+        F.size(bpe_apply("text", merges)).alias("n")
+    ).agg(F.sum("n").alias("t")).collect()[0]["t"]
+    assert applied_total == learned[-1].tokens_after

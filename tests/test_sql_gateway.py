@@ -218,3 +218,61 @@ def test_system_time_binds_to_its_own_table(spark, tmp_path):
                 JOIN trips FOR SYSTEM_TIME AS OF '{asof}' b
                 ON a.trip_id = b.trip_id"""
         )
+
+
+def test_qualify_translation_text():
+    out = translate(
+        "SELECT a, b FROM t QUALIFY ROW_NUMBER() OVER "
+        "(PARTITION BY a ORDER BY b) = 1 ORDER BY a LIMIT 3"
+    )
+    assert out == (
+        "SELECT * EXCEPT (__qualify__) FROM (SELECT a, b, "
+        "(ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) = 1) AS "
+        "__qualify__ FROM t) WHERE __qualify__ ORDER BY a LIMIT 3"
+    )
+    # no QUALIFY -> untouched; the word inside a string literal too
+    assert translate("SELECT 'QUALIFY' AS x FROM t") == (
+        "SELECT 'QUALIFY' AS x FROM t"
+    )
+
+
+def test_qualify_executes_like_window_subquery(spark, tmp_path):
+    wh, valid = _trips_warehouse(spark, tmp_path)
+    gw = SqlGateway(spark, {"taxi_trips": wh.table("taxi_trips")})
+    got = gw.sql(
+        """SELECT vendor_id, trip_id, total_amount
+           FROM `p.d.taxi_trips`
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY vendor_id
+                    ORDER BY total_amount DESC, trip_id) = 1
+           ORDER BY vendor_id"""
+    ).collect()
+    want = gw.sql(
+        """SELECT vendor_id, trip_id, total_amount FROM (
+             SELECT vendor_id, trip_id, total_amount,
+                    ROW_NUMBER() OVER (PARTITION BY vendor_id
+                      ORDER BY total_amount DESC, trip_id) AS rn
+             FROM `p.d.taxi_trips`) WHERE rn = 1
+           ORDER BY vendor_id"""
+    ).collect()
+    assert got == want
+    assert [f.name for f in gw.sql(
+        "SELECT vendor_id, trip_id FROM taxi_trips QUALIFY "
+        "ROW_NUMBER() OVER (ORDER BY trip_id) <= 2"
+    ).schema] == ["vendor_id", "trip_id"]  # helper column dropped
+
+
+def test_qualify_with_cte(spark, tmp_path):
+    wh, _ = _trips_warehouse(spark, tmp_path)
+    gw = SqlGateway(spark, {"taxi_trips": wh.table("taxi_trips")})
+    got = gw.sql(
+        """WITH per_zone AS (
+             SELECT pickup_location_id AS zone, COUNT(*) AS trips
+             FROM taxi_trips GROUP BY pickup_location_id)
+           SELECT zone, trips FROM per_zone
+           QUALIFY RANK() OVER (ORDER BY trips DESC, zone) <= 3
+           ORDER BY trips DESC, zone"""
+    ).collect()
+    assert len(got) >= 1
+    trips_desc = [r["trips"] for r in got]
+    assert trips_desc == sorted(trips_desc, reverse=True)
+    assert len(got) <= 3
