@@ -50,6 +50,8 @@ from . import ivm_join_query  # noqa: F401  (registers q104)
 from . import tfidf_queries  # noqa: F401  (registers q105)
 from . import bpe_query  # noqa: F401  (registers q106)
 from . import bm25_query  # noqa: F401  (registers q107)
+from . import overlap_matrix_query  # noqa: F401  (registers q108)
+from . import dispersion_query  # noqa: F401  (registers q109)
 
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The driver's CORRECTNESS check covers the FIRST
@@ -64,10 +66,13 @@ from . import bm25_query  # noqa: F401  (registers q107)
 _GATE_PRIORITY = [
     # (a) NEW this round (r8), never driver-verified: the KMV
     # distinct-count IVM rollup, the row-group skipping proof, the
-    # bilinear join-view IVM, TF-IDF top terms, and BPE merge learning
+    # bilinear join-view IVM, TF-IDF top terms, BPE merge learning,
+    # BM25 retrieval, the KMV source-overlap matrix, and embedding
+    # dispersion
     "q102_ivm_distinct_kmv", "q103_rowgroup_prune_proof",
     "q104_ivm_join_rollup", "q105_tfidf_terms", "q106_bpe_merges",
-    "q107_bm25_topk",
+    "q107_bm25_topk", "q108_source_overlap_matrix",
+    "q109_embedding_dispersion",
     # (b) implementation touched this round, re-gated on the NEW code:
     # q35 — ngram_jaccard_pairs signing-cache rewrite (bounded LRU of
     # lazily-persisted signing results) feeds the whole Jaccard family
@@ -96,17 +101,19 @@ _GATE_PRIORITY = [
     "q56_asof_error_context", "q60_stats_pruned_scan",
     "q63_cdc_replica_sync", "q67_bucket_prune_proof",
     "q68_spec_evolution_prune", "q69_wap_rollback",
-    "q73_bloom_prune_proof", "q75_kmv_distinct",
+    "q73_bloom_prune_proof",
     "q76_resample_gapfill", "q80_mor_delete_lifecycle",
-    "q81_media_resize", "q82_kmv_overlap", "q83_cm_token_freq",
+    "q81_media_resize", "q83_cm_token_freq",
     "q84_bloom_semi_join", "q85_grouped_topk",
-    # DEFERRED to lead the r9 window (r5 rows age to 3 rounds — the 9
+    # DEFERRED to lead the r9 window (r5 rows age to 3 rounds — the 11
     # with the strongest out-of-window proxies): q19/q20/q21 (DML trio
     # — test_dml_properties + the same dml.delete/update/append path
     # driven in-window by q102/q104), q29 (test_sessions.py), q34
     # (exact dedup — test_dedup.py; trivially stable one-shuffle
     # shape), q86 (unigram LM — q93's interpolated bigram rode a fresh
     # r7 row over the same vocab-stats machinery; test_sketches),
+    # q75/q82 (KMV distinct + overlap — q102/q108 drive the identical
+    # kmv_sketch/kmv_overlap machinery in-window; test_sketches),
     # q87 (test_sketches.py shard-additivity + oracle parity),
     # q88 (the stored-index probe q90 rode a fresh r7 row over the
     # SAME oracle pipeline; test_dedup mode-parity), q89 (single
