@@ -34,6 +34,13 @@ reference's documented query set):
   and dropped via `SELECT * EXCEPT` — Spark has no QUALIFY clause.
   One top-level QUALIFY per statement; `SELECT DISTINCT ... QUALIFY`
   is out of scope (the helper column would join the DISTINCT key)
+- DML text (`SqlGateway.execute`): `DELETE FROM t WHERE …`,
+  `UPDATE t SET … WHERE …`, `INSERT INTO t [cols] VALUES|SELECT …`,
+  and canonical `MERGE INTO … USING … ON … WHEN MATCHED THEN UPDATE
+  SET … [WHEN NOT MATCHED THEN INSERT ROW]` dispatch to the lakehouse
+  DML layer (atomic snapshot commits, the reference's PRD.md:769-797
+  upsert/anonymize/retention statements); non-DML falls through to
+  `sql()`
 
 Constructs Spark already accepts unchanged (DATE(x), CURRENT_DATE(),
 EXTRACT(.. FROM ..), GROUP BY / HAVING on select aliases) pass
@@ -286,3 +293,228 @@ class SqlGateway:
                 df, s = self._resolve(name, s)
                 df.createOrReplaceTempView(name)
         return self.spark.sql(s)
+
+    # ------------------------------------------------------------------
+    # DML statements as text — the reference's users also paste
+    # BigQuery DML (PRD.md:769-797: MERGE upserts, anonymizing UPDATEs,
+    # retention DELETEs). Each documented canonical shape dispatches to
+    # the lakehouse DML layer (one atomic snapshot commit); everything
+    # else falls through to sql(). Scalar predicates/expressions only
+    # (they evaluate inside the rewrite scan) — subquery predicates
+    # raise from Spark's expression parser.
+    # ------------------------------------------------------------------
+    _DELETE = re.compile(
+        r"^DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _UPDATE = re.compile(
+        r"^UPDATE\s+(\w+)\s+SET\s+(.+)$", re.IGNORECASE | re.DOTALL
+    )
+    _INSERT = re.compile(
+        r"^INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\))?\s*"
+        r"((?:SELECT|VALUES|WITH)\b.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _MERGE = re.compile(
+        r"^MERGE\s+INTO\s+(\w+)(?:\s+AS)?(?:\s+(\w+))?\s+USING\s+(.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _lake(self, name: str) -> LakeTable:
+        t = self.tables.get(name)
+        if not isinstance(t, LakeTable):
+            raise ValueError(f"DML target {name!r} must be a LakeTable")
+        return t
+
+    def execute(self, text: str):
+        """Run one statement: DML returns the committed Snapshot,
+        anything else returns sql(text)'s DataFrame."""
+        from .lakehouse import dml
+
+        s = translate(text)
+        m = self._DELETE.match(s)
+        if m:
+            return dml.delete(self._lake(m.group(1)), m.group(2).strip())
+        m = self._UPDATE.match(s)
+        if m:
+            body = m.group(2)
+            w = _depth0_index(body, "WHERE")
+            if w < 0:
+                raise ValueError("UPDATE requires a WHERE clause")
+            assigns = _parse_assignments(body[:w])
+            return dml.update(
+                self._lake(m.group(1)), assigns, body[w + 5 :].strip()
+            )
+        m = self._INSERT.match(s)
+        if m:
+            name, cols, src = m.group(1), m.group(2), m.group(3).strip()
+            lake = self._lake(name)
+            if src.upper().startswith("VALUES"):
+                if not cols:
+                    raise ValueError(
+                        "INSERT … VALUES needs an explicit column list"
+                    )
+                col_list = ", ".join(
+                    c.strip() for c in cols.split(",")
+                )
+                df = self.spark.sql(
+                    f"SELECT * FROM ({src}) AS _v({col_list})"
+                )
+            else:
+                df = self.sql(src)
+                if cols:
+                    df = df.toDF(*[c.strip() for c in cols.split(",")])
+            lake.append(df)
+            return lake.snapshot()
+        m = self._MERGE.match(s)
+        if m:
+            return self._merge(m.group(1), m.group(2), m.group(3))
+        return self.sql(text)
+
+    def _merge(self, target: str, tgt_alias: str | None, rest: str):
+        """Canonical MERGE shape: USING (name | (subquery)) [AS] alias
+        ON t.k = s.k [AND …] WHEN MATCHED THEN UPDATE SET a = expr, …
+        [WHEN NOT MATCHED THEN INSERT ROW]. Insert semantics are
+        whole-source-row (the dml layer's contract); a column-list
+        INSERT must be the identity projection of the source."""
+        from .lakehouse import dml
+
+        lake = self._lake(target)
+        rest = rest.strip()
+        src_alias = None
+        if rest.startswith("("):
+            depth, i = 0, 0
+            for i, ch in enumerate(rest):
+                depth += ch == "("
+                depth -= ch == ")"
+                if depth == 0:
+                    break
+            source_df = self.sql(rest[1:i])
+            rest = rest[i + 1 :].strip()
+        else:
+            mm = re.match(r"^(\w+)", rest)
+            src_name = mm.group(1)
+            src = self.tables[src_name]
+            source_df = src.scan() if isinstance(src, LakeTable) else src
+            rest = rest[mm.end() :].strip()
+            src_alias = src_name  # a bare name is its own alias
+        am = re.match(r"^(?:AS\s+)?(\w+)\s+(?=ON\b)", rest, re.IGNORECASE)
+        if am:
+            src_alias = am.group(1)
+            rest = rest[am.end() :].strip()
+        tgt_alias = tgt_alias or target  # likewise for the target
+        if not rest.upper().startswith("ON"):
+            raise ValueError("MERGE needs an ON clause")
+        rest = rest[2:].strip()
+        w = _depth0_index(rest, "WHEN")
+        on_text, clauses = rest[:w], rest[w:]
+
+        def _strip_alias(expr: str) -> str:
+            e = expr
+            for a, repl in ((tgt_alias, "t"), (src_alias, "source")):
+                if a:
+                    e = re.sub(rf"\b{re.escape(a)}\.", repl + ".", e)
+            return e.strip()
+
+        on_cols = []
+        for part in _split_top(on_text, "AND"):
+            eq = [x.strip() for x in part.split("=")]
+            if len(eq) != 2:
+                raise ValueError(f"MERGE ON supports equi-joins: {part!r}")
+            names = {x.split(".")[-1].strip() for x in eq}
+            if len(names) != 1:
+                raise ValueError(
+                    "MERGE ON columns must share a name on both sides "
+                    f"(got {part!r}) — alias the source projection first"
+                )
+            on_cols.append(names.pop())
+
+        update_set: dict[str, str] | None = None
+        insert = False
+        um = re.search(
+            r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*?)"
+            r"(?=WHEN\s+NOT\s+MATCHED|$)",
+            clauses,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if um:
+            update_set = {
+                k.split(".")[-1].strip(): _strip_alias(v)
+                for k, v in (
+                    a.split("=", 1) for a in _split_top(um.group(1), ",")
+                )
+            }
+        im = re.search(
+            r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*(ROW|\(.*)?$",
+            clauses,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if im:
+            spec = (im.group(1) or "ROW").strip()
+            if spec.upper() != "ROW":
+                cm = re.match(
+                    r"^\(([^)]*)\)\s*VALUES\s*\(([^)]*)\)\s*$",
+                    spec,
+                    re.DOTALL,
+                )
+                ok = cm is not None and all(
+                    c.strip() == v.strip().split(".")[-1]
+                    for c, v in zip(
+                        cm.group(1).split(","), cm.group(2).split(",")
+                    )
+                )
+                if not ok:
+                    raise ValueError(
+                        "MERGE INSERT must be ROW or the identity "
+                        "projection of the source — reshape the source "
+                        "subquery instead"
+                    )
+            insert = True
+        return dml.merge(
+            lake,
+            source_df,
+            on=on_cols,
+            when_matched_update=update_set,
+            when_not_matched_insert=insert,
+        )
+
+
+def _split_top(s: str, sep: str) -> list[str]:
+    """Split on a separator at paren-depth 0 outside string literals
+    (sep is a word like AND or a single char like ,)."""
+    out, depth, in_str, last, i = [], 0, False, 0, 0
+    up, w = s.upper(), sep.upper()
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            in_str = ch != "'"
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and up.startswith(w, i) and (
+            not w.isalpha()
+            or (
+                (i == 0 or not up[i - 1].isalnum())
+                and (
+                    i + len(w) >= len(s) or not up[i + len(w)].isalnum()
+                )
+            )
+        ):
+            out.append(s[last:i])
+            i += len(w)
+            last = i
+            continue
+        i += 1
+    out.append(s[last:])
+    return [p for p in out if p.strip()]
+
+
+def _parse_assignments(text: str) -> dict[str, str]:
+    out = {}
+    for part in _split_top(text, ","):
+        k, v = part.split("=", 1)
+        out[k.strip()] = v.strip()
+    return out

@@ -276,3 +276,81 @@ def test_qualify_with_cte(spark, tmp_path):
     trips_desc = [r["trips"] for r in got]
     assert trips_desc == sorted(trips_desc, reverse=True)
     assert len(got) <= 3
+
+
+def _dml_table(spark, tmp_path, name="t"):
+    t = LakeTable.create(spark, str(tmp_path / name))
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "id int, tag string, amount double",
+        )
+    )
+    return t
+
+
+def test_execute_delete_and_update_text(spark, tmp_path):
+    t = _dml_table(spark, tmp_path, "t1")
+    gw = SqlGateway(spark, {"trips": t})
+    gw.execute("DELETE FROM `p.d.trips` WHERE id = 2")
+    assert sorted(r["id"] for r in t.scan().collect()) == [1, 3]
+    gw.execute(
+        "UPDATE trips SET amount = amount * 2, tag = 'x' WHERE id = 3"
+    )
+    rows = {r["id"]: (r["tag"], r["amount"]) for r in t.scan().collect()}
+    assert rows[3] == ("x", 60.0) and rows[1] == ("a", 10.0)
+
+
+def test_execute_insert_values_and_select(spark, tmp_path):
+    t = _dml_table(spark, tmp_path, "t2")
+    gw = SqlGateway(spark, {"trips": t})
+    gw.execute(
+        "INSERT INTO trips (id, tag, amount) VALUES (9, 'z', 90.0)"
+    )
+    assert {r["id"] for r in t.scan().collect()} == {1, 2, 3, 9}
+    gw.execute(
+        "INSERT INTO trips (id, tag, amount) "
+        "SELECT id + 100, tag, amount FROM trips WHERE id = 1"
+    )
+    assert 101 in {r["id"] for r in t.scan().collect()}
+
+
+def test_execute_merge_text(spark, tmp_path):
+    t = _dml_table(spark, tmp_path, "t3")
+    gw = SqlGateway(spark, {"trips": t})
+    src = spark.createDataFrame(
+        [(2, "B", 200.0), (7, "g", 70.0)],
+        "id int, tag string, amount double",
+    )
+    src.createOrReplaceTempView("updates_src")
+    gw.execute(
+        """MERGE INTO trips AS tt
+           USING (SELECT * FROM updates_src) AS s
+           ON tt.id = s.id
+           WHEN MATCHED THEN UPDATE SET tag = s.tag,
+                                        amount = s.amount + tt.amount
+           WHEN NOT MATCHED THEN INSERT ROW"""
+    )
+    rows = {r["id"]: (r["tag"], r["amount"]) for r in t.scan().collect()}
+    assert rows[2] == ("B", 220.0)   # matched: updated
+    assert rows[7] == ("g", 70.0)    # unmatched: inserted
+    assert rows[1] == ("a", 10.0)    # untouched
+
+    # update-only MERGE (no insert clause): unmatched rows dropped
+    src2 = spark.createDataFrame(
+        [(1, "A", 1.0), (55, "q", 5.0)], "id int, tag string, amount double"
+    )
+    gw2 = SqlGateway(spark, {"trips": t, "s2": src2})
+    gw2.execute(
+        """MERGE INTO trips USING s2 ON trips.id = s2.id
+           WHEN MATCHED THEN UPDATE SET tag = s2.tag"""
+    )
+    rows = {r["id"]: r["tag"] for r in t.scan().collect()}
+    assert rows[1] == "A" and 55 not in rows
+
+
+def test_execute_falls_through_to_select(spark, tmp_path):
+    t = _dml_table(spark, tmp_path, "t4")
+    gw = SqlGateway(spark, {"trips": t})
+    out = gw.execute("SELECT COUNT(*) AS n FROM trips")
+    assert out.first()["n"] == 3
