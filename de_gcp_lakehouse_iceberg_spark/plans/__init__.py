@@ -52,6 +52,7 @@ from . import bpe_query  # noqa: F401  (registers q106)
 from . import bm25_query  # noqa: F401  (registers q107)
 from . import overlap_matrix_query  # noqa: F401  (registers q108)
 from . import dispersion_query  # noqa: F401  (registers q109)
+from . import bpe_apply_query  # noqa: F401  (registers q110)
 
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The driver's CORRECTNESS check covers the FIRST
@@ -72,7 +73,7 @@ _GATE_PRIORITY = [
     "q102_ivm_distinct_kmv", "q103_rowgroup_prune_proof",
     "q104_ivm_join_rollup", "q105_tfidf_terms", "q106_bpe_merges",
     "q107_bm25_topk", "q108_source_overlap_matrix",
-    "q109_embedding_dispersion",
+    "q109_embedding_dispersion", "q110_bpe_segment_rollup",
     # (b) implementation touched this round, re-gated on the NEW code:
     # q35 — ngram_jaccard_pairs signing-cache rewrite (bounded LRU of
     # lazily-persisted signing results) feeds the whole Jaccard family
@@ -103,9 +104,9 @@ _GATE_PRIORITY = [
     "q68_spec_evolution_prune", "q69_wap_rollback",
     "q73_bloom_prune_proof",
     "q76_resample_gapfill", "q80_mor_delete_lifecycle",
-    "q81_media_resize", "q83_cm_token_freq",
+    "q81_media_resize",
     "q84_bloom_semi_join", "q85_grouped_topk",
-    # DEFERRED to lead the r9 window (r5 rows age to 3 rounds — the 11
+    # DEFERRED to lead the r9 window (r5 rows age to 3 rounds — the 12
     # with the strongest out-of-window proxies): q19/q20/q21 (DML trio
     # — test_dml_properties + the same dml.delete/update/append path
     # driven in-window by q102/q104), q29 (test_sessions.py), q34
@@ -114,6 +115,8 @@ _GATE_PRIORITY = [
     # r7 row over the same vocab-stats machinery; test_sketches),
     # q75/q82 (KMV distinct + overlap — q102/q108 drive the identical
     # kmv_sketch/kmv_overlap machinery in-window; test_sketches),
+    # q83 (count-min — overestimate-only + shard-additivity pinned in
+    # test_sketches; oracle-replayed at two SFs every pytest run),
     # q87 (test_sketches.py shard-additivity + oracle parity),
     # q88 (the stored-index probe q90 rode a fresh r7 row over the
     # SAME oracle pipeline; test_dedup mode-parity), q89 (single
