@@ -41,6 +41,11 @@ reference's documented query set):
   DML layer (atomic snapshot commits, the reference's PRD.md:769-797
   upsert/anonymize/retention statements); non-DML falls through to
   `sql()`
+- DDL text (`execute`, needs `warehouse_root`): `CREATE SNAPSHOT
+  TABLE new CLONE src [FOR SYSTEM_TIME AS OF ts]` (BigQuery snapshot
+  syntax → `lakehouse/clone`), `CREATE [OR REPLACE] TABLE name
+  [PARTITION BY col] AS SELECT …`, `TRUNCATE TABLE t` — created
+  tables self-register for subsequent statements
 
 Constructs Spark already accepts unchanged (DATE(x), CURRENT_DATE(),
 EXTRACT(.. FROM ..), GROUP BY / HAVING on select aliases) pass
@@ -217,9 +222,11 @@ class SqlGateway:
         self,
         spark: SparkSession,
         tables: dict[str, "DataFrame | LakeTable"],
+        warehouse_root: str | None = None,
     ):
         self.spark = spark
         self.tables = tables
+        self.warehouse_root = warehouse_root  # where DDL creates tables
 
     def _resolve(self, name: str, sql: str) -> tuple[DataFrame, str]:
         """The view to register for `name`, honoring a FOR SYSTEM_TIME
@@ -319,6 +326,20 @@ class SqlGateway:
         r"^MERGE\s+INTO\s+(\w+)(?:\s+AS)?(?:\s+(\w+))?\s+USING\s+(.+)$",
         re.IGNORECASE | re.DOTALL,
     )
+    _SNAPSHOT = re.compile(
+        r"^CREATE\s+SNAPSHOT\s+TABLE\s+(\w+)\s+CLONE\s+(\w+)"
+        r"(?:\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(?:TIMESTAMP\s+)?'([^']+)')?"
+        r"\s*$",
+        re.IGNORECASE,
+    )
+    _CTAS = re.compile(
+        r"^CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(\w+)\s*"
+        r"(?:PARTITION\s+BY\s+(\w+)\s+)?AS\s+(.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _TRUNCATE = re.compile(
+        r"^TRUNCATE\s+TABLE\s+(\w+)\s*$", re.IGNORECASE
+    )
 
     def _lake(self, name: str) -> LakeTable:
         t = self.tables.get(name)
@@ -332,6 +353,17 @@ class SqlGateway:
         from .lakehouse import dml
 
         s = translate(text)
+        m = self._SNAPSHOT.match(s)
+        if m:
+            return self._create_snapshot(m.group(1), m.group(2), m.group(3))
+        m = self._CTAS.match(s)
+        if m:
+            return self._ctas(
+                bool(m.group(1)), m.group(2), m.group(3), m.group(4)
+            )
+        m = self._TRUNCATE.match(s)
+        if m:
+            return dml.delete(self._lake(m.group(1)), F.lit(True))
         m = self._DELETE.match(s)
         if m:
             return dml.delete(self._lake(m.group(1)), m.group(2).strip())
@@ -370,6 +402,57 @@ class SqlGateway:
         if m:
             return self._merge(m.group(1), m.group(2), m.group(3))
         return self.sql(text)
+
+    def _ddl_root(self, name: str) -> str:
+        import os
+
+        if not self.warehouse_root:
+            raise ValueError(
+                "DDL needs SqlGateway(warehouse_root=…) to place new tables"
+            )
+        return os.path.join(self.warehouse_root, name)
+
+    def _create_snapshot(
+        self, new: str, src: str, asof: str | None
+    ) -> LakeTable:
+        """BigQuery `CREATE SNAPSHOT TABLE new CLONE src [FOR
+        SYSTEM_TIME AS OF ts]` → lakehouse snapshot clone (verbatim
+        file copy with stats/blooms carried — `lakehouse/clone.py`)."""
+        from .lakehouse.clone import clone_table
+
+        dst = clone_table(
+            self._lake(src),
+            self._ddl_root(new),
+            as_of_ms=_parse_ts_ms(asof) if asof else None,
+        )
+        self.tables[new] = dst
+        return dst
+
+    def _ctas(
+        self, replace: bool, name: str, part_col: str | None, select: str
+    ) -> LakeTable:
+        """`CREATE [OR REPLACE] TABLE name [PARTITION BY col] AS
+        SELECT …`. PARTITION BY takes a plain column of the projection
+        (materialize derived partition columns in the SELECT — the
+        lakehouse layer's hidden transforms cover the DATE(ts) cases
+        programmatically)."""
+        df = self.sql(select)
+        existing = self.tables.get(name)
+        if isinstance(existing, LakeTable):
+            if not replace:
+                raise ValueError(f"table {name!r} exists — use OR REPLACE")
+            existing.overwrite(df)
+            return existing
+        if existing is not None and not replace:
+            raise ValueError(f"table {name!r} exists — use OR REPLACE")
+        t = LakeTable.create(
+            self.spark,
+            self._ddl_root(name),
+            partition_by=[part_col] if part_col else None,
+        )
+        t.append(df)
+        self.tables[name] = t
+        return t
 
     def _merge(self, target: str, tgt_alias: str | None, rest: str):
         """Canonical MERGE shape: USING (name | (subquery)) [AS] alias

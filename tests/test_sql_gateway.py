@@ -354,3 +354,36 @@ def test_execute_falls_through_to_select(spark, tmp_path):
     gw = SqlGateway(spark, {"trips": t})
     out = gw.execute("SELECT COUNT(*) AS n FROM trips")
     assert out.first()["n"] == 3
+
+
+def test_execute_ddl_snapshot_ctas_truncate(spark, tmp_path):
+    t = _dml_table(spark, tmp_path, "t5")
+    gw = SqlGateway(spark, {"trips": t}, warehouse_root=str(tmp_path / "wh5"))
+
+    # CTAS (+ self-registration for follow-up statements)
+    gw.execute(
+        "CREATE TABLE big AS SELECT id, amount FROM trips WHERE amount > 15"
+    )
+    assert sorted(r["id"] for r in gw.sql("SELECT id FROM big").collect()) == [2, 3]
+
+    # snapshot clone is frozen at clone time
+    gw.execute("CREATE SNAPSHOT TABLE trips_snap CLONE trips")
+    gw.execute("DELETE FROM trips WHERE id = 1")
+    assert gw.sql("SELECT COUNT(*) AS n FROM trips").first()["n"] == 2
+    assert gw.sql("SELECT COUNT(*) AS n FROM trips_snap").first()["n"] == 3
+
+    # OR REPLACE overwrites in place (new snapshot, same table)
+    gw.execute(
+        "CREATE OR REPLACE TABLE big AS SELECT id FROM trips WHERE id = 3"
+    )
+    assert [r["id"] for r in gw.sql("SELECT id FROM big").collect()] == [3]
+
+    # TRUNCATE empties but keeps history (it is a delete commit)
+    gw.execute("TRUNCATE TABLE big")
+    assert gw.sql("SELECT COUNT(*) AS n FROM big").first()["n"] == 0
+
+    # CREATE without OR REPLACE on an existing name is an error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="OR REPLACE"):
+        gw.execute("CREATE TABLE big AS SELECT 1 AS x")
