@@ -46,6 +46,9 @@ reference's documented query set):
   syntax → `lakehouse/clone`), `CREATE [OR REPLACE] TABLE name
   [PARTITION BY col] AS SELECT …`, `TRUNCATE TABLE t` — created
   tables self-register for subsequent statements
+- Metadata tables: `<table>.files` / `.snapshots` / `.partitions` /
+  `.refs` / `.history` resolve to the lakehouse metadata DataFrames
+  (Iceberg's metadata-table surface, `SELECT * FROM t.snapshots`)
 
 Constructs Spark already accepts unchanged (DATE(x), CURRENT_DATE(),
 EXTRACT(.. FROM ..), GROUP BY / HAVING on select aliases) pass
@@ -293,9 +296,28 @@ class SqlGateway:
                 "join a table to its own history"
             )
 
+    # Iceberg-style metadata tables, queryable as `<table>.<meta>`
+    # (`SELECT * FROM trips.snapshots`) — the SQL face of the
+    # files/snapshots/partitions/refs/history DataFrames.
+    _META_VIEWS = {
+        "files": "files_df",
+        "snapshots": "snapshots_df",
+        "partitions": "partitions_df",
+        "refs": "refs_df",
+        "history": "history_df",
+    }
+
     def sql(self, text: str) -> DataFrame:
         s = translate(text)
         for name in self.tables:
+            src = self.tables[name]
+            if isinstance(src, LakeTable):
+                for meta, attr in self._META_VIEWS.items():
+                    pat = rf"\b{re.escape(name)}\.{meta}\b"
+                    if re.search(pat, s):
+                        view = f"{name}__{meta}"
+                        getattr(src, attr)().createOrReplaceTempView(view)
+                        s = re.sub(pat, view, s)
             if re.search(rf"\b{re.escape(name)}\b", s):
                 df, s = self._resolve(name, s)
                 df.createOrReplaceTempView(name)

@@ -387,3 +387,27 @@ def test_execute_ddl_snapshot_ctas_truncate(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="OR REPLACE"):
         gw.execute("CREATE TABLE big AS SELECT 1 AS x")
+
+
+def test_metadata_tables_sql(spark, tmp_path):
+    t = _dml_table(spark, tmp_path, "t6")
+    gw = SqlGateway(spark, {"trips": t})
+    gw.execute("DELETE FROM trips WHERE id = 1")
+    snaps = gw.sql(
+        "SELECT COUNT(*) AS n FROM trips.snapshots"
+    ).first()["n"]
+    assert snaps == 3  # create + append + delete
+    hist = gw.sql(
+        "SELECT operation FROM trips.history ORDER BY version"
+    ).collect()
+    assert [r["operation"] for r in hist] == ["create", "append", "delete"]
+    files = gw.sql(
+        "SELECT COUNT(*) AS n FROM trips.files"
+    ).first()["n"]
+    assert files >= 1
+    # metadata join with the table itself in one statement
+    both = gw.sql(
+        """SELECT (SELECT COUNT(*) FROM trips) AS rows,
+                  (SELECT MAX(version) FROM trips.snapshots) AS v"""
+    ).first()
+    assert both["rows"] == 2 and both["v"] == 2
