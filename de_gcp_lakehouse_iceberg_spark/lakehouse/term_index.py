@@ -1,0 +1,138 @@
+"""Maintained term-statistics index — the persisted corpus side of
+BM25/TF-IDF retrieval (q107) under continuous ingestion.
+
+The problem at 100 TB: document frequencies, corpus sizes, and average
+document lengths are corpus-wide aggregates; recomputing them per
+arriving batch is O(corpus) token re-reads. This index stores the
+statistics as ADDITIVE DELTA ROWS in a snapshot-versioned LakeTable —
+each ingested batch appends its own (lang, term, df) increments and a
+per-language (n_docs, sum_len) increment in ONE atomic commit — and
+readers aggregate the deltas (a vocabulary-sized rollup, never a
+corpus re-scan). The same abelian-delta posture as `lakehouse/ivm.py`,
+applied to exploded text.
+
+Guarantees (mirrors `dedup_index.SignatureIndex`):
+- **Exactly-once ingest** via write-audit-publish: stage → audit the
+  staged delta-row count → publish; a crash before publish leaves the
+  stats untouched.
+- **Snapshot consistency**: a scorer reads ONE version's stats; time
+  travel reproduces any historical ranking.
+- Because every stat is an exact-integer sum of deltas, the stored
+  stats are BIT-IDENTICAL to a from-scratch aggregation of the same
+  documents, regardless of how ingestion was batched — the property
+  q112 hash-gates.
+
+Row layout (one table, so a batch's term and language increments
+commit atomically): term rows (lang, term, df_delta, 0, 0) and
+language rows (lang, NULL, 0, n_docs_delta, sum_len_delta).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from .table import LakeTable
+
+
+class TermStatsIndex:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+        self.table = LakeTable.load(spark, self.root)
+
+    @classmethod
+    def create(cls, spark: SparkSession, root: str) -> "TermStatsIndex":
+        root = os.path.abspath(root)
+        LakeTable.create(spark, root)
+        return cls(spark, root)
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "TermStatsIndex":
+        return cls(spark, root)
+
+    # -- ingest ---------------------------------------------------------
+    def _deltas(
+        self, docs: DataFrame, text_col: str, lang_col: str, id_col: str
+    ) -> DataFrame:
+        base = docs.select(
+            F.col(id_col).alias("_id"),
+            F.col(lang_col).alias("lang"),
+            tokens(text_col).alias("_t"),
+        )
+        occ = base.select(
+            "_id", "lang", F.explode("_t").alias("term")
+        ).distinct()
+        term_rows = occ.groupBy("lang", "term").agg(
+            F.count("*").cast("long").alias("df_delta"),
+            F.lit(0).cast("long").alias("n_docs_delta"),
+            F.lit(0).cast("long").alias("sum_len_delta"),
+        )
+        lang_rows = base.groupBy("lang").agg(
+            F.lit(0).cast("long").alias("df_delta"),
+            F.count("*").cast("long").alias("n_docs_delta"),
+            F.sum(F.size("_t")).cast("long").alias("sum_len_delta"),
+        ).select(
+            "lang",
+            F.lit(None).cast("string").alias("term"),
+            "df_delta",
+            "n_docs_delta",
+            "sum_len_delta",
+        )
+        return term_rows.select(
+            "lang", "term", "df_delta", "n_docs_delta", "sum_len_delta"
+        ).unionByName(lang_rows)
+
+    def ingest(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        lang_col: str = "lang",
+        id_col: str = "doc_id",
+        wap: bool = True,
+    ) -> dict:
+        """Add one batch's statistics increments in one atomic commit.
+        wap=True stages, audits the staged row count, then publishes."""
+        deltas = self._deltas(docs, text_col, lang_col, id_col)
+        deltas = deltas.localCheckpoint()  # consumed twice on the WAP path
+        if not wap:
+            snap = self.table.append(deltas, operation="stats_append")
+            return {"version": snap.version, "wap_id": None}
+        wap_id = self.table.stage_append(deltas)
+        n_staged = self.table.scan_staged(
+            wap_id, include_base=False
+        ).count()
+        n_batch = deltas.count()
+        if n_staged != n_batch:
+            self.table.discard_staged(wap_id)
+            raise RuntimeError(
+                f"term-stats ingest audit failed: staged {n_staged}, "
+                f"batch has {n_batch} delta rows — stage discarded"
+            )
+        snap = self.table.publish(wap_id)
+        return {"version": snap.version, "wap_id": wap_id}
+
+    # -- read -----------------------------------------------------------
+    def term_stats(self, version: int | None = None) -> DataFrame:
+        """(lang, term, df) — exact document frequencies at a version."""
+        return (
+            self.table.scan(version=version)
+            .filter(F.col("term").isNotNull())
+            .groupBy("lang", "term")
+            .agg(F.sum("df_delta").alias("df"))
+        )
+
+    def lang_stats(self, version: int | None = None) -> DataFrame:
+        """(lang, n_docs, sum_len) — corpus sizes at a version."""
+        return (
+            self.table.scan(version=version)
+            .filter(F.col("term").isNull())
+            .groupBy("lang")
+            .agg(
+                F.sum("n_docs_delta").alias("n_docs"),
+                F.sum("sum_len_delta").alias("sum_len"),
+            )
+        )

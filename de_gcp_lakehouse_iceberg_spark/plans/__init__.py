@@ -54,6 +54,7 @@ from . import overlap_matrix_query  # noqa: F401  (registers q108)
 from . import dispersion_query  # noqa: F401  (registers q109)
 from . import bpe_apply_query  # noqa: F401  (registers q110)
 from . import quality_decile_query  # noqa: F401  (registers q111)
+from . import term_index_query  # noqa: F401  (registers q112)
 
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The driver's CORRECTNESS check covers the FIRST
@@ -75,7 +76,7 @@ _GATE_PRIORITY = [
     "q104_ivm_join_rollup", "q105_tfidf_terms", "q106_bpe_merges",
     "q107_bm25_topk", "q108_source_overlap_matrix",
     "q109_embedding_dispersion", "q110_bpe_segment_rollup",
-    "q111_quality_calibration",
+    "q111_quality_calibration", "q112_incremental_term_stats",
     # (b) implementation touched this round, re-gated on the NEW code:
     # q35 — ngram_jaccard_pairs signing-cache rewrite (bounded LRU of
     # lazily-persisted signing results) feeds the whole Jaccard family
@@ -97,7 +98,7 @@ _GATE_PRIORITY = [
     "q11_derived_duration", "q12_period_pct_change",
     "q16_union_federation", "q17_semijoin_topk", "q18_validation_split",
     "q22_tumbling_window", "q23_approx_median", "q24_quality_score",
-    "q26_agg_of_agg_window", "q30_token_stats", "q31_quality_score",
+    "q26_agg_of_agg_window", "q30_token_stats",
     "q32_lang_id", "q33_fingerprint",
     "q38_cosine_topk", "q39_nearest_pairs", "q40_lsh_ann",
     "q43_geohash_buckets", "q45_ivf_ann", "q47_changelog",
@@ -108,7 +109,7 @@ _GATE_PRIORITY = [
     "q76_resample_gapfill", "q80_mor_delete_lifecycle",
     "q81_media_resize",
     "q84_bloom_semi_join", "q85_grouped_topk",
-    # DEFERRED to lead the r9 window (r5 rows age to 3 rounds — the 13
+    # DEFERRED to lead the r9 window (r5 rows age to 3 rounds — the 14
     # with the strongest out-of-window proxies): q19/q20/q21 (DML trio
     # — test_dml_properties + the same dml.delete/update/append path
     # driven in-window by q102/q104), q29 (test_sessions.py), q34
@@ -121,6 +122,8 @@ _GATE_PRIORITY = [
     # test_sketches; oracle-replayed at two SFs every pytest run),
     # q36 (SimHash — the 10x fast==expression equality anchor in
     # test_dedup pins the whole pipeline; oracle-replayed at two SFs),
+    # q31 (quality score — q111 drives the IDENTICAL score expression
+    # and oracle mirror in-window through the histogram calibration),
     # q87 (test_sketches.py shard-additivity + oracle parity),
     # q88 (the stored-index probe q90 rode a fresh r7 row over the
     # SAME oracle pipeline; test_dedup mode-parity), q89 (single
