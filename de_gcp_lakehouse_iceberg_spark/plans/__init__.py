@@ -69,9 +69,10 @@ from . import term_index_query  # noqa: F401  (registers q112)
 _GATE_PRIORITY = [
     # (a) NEW this round (r8), never driver-verified: the KMV
     # distinct-count IVM rollup, the row-group skipping proof, the
-    # bilinear join-view IVM, TF-IDF top terms, BPE merge learning,
-    # BM25 retrieval, the KMV source-overlap matrix, and embedding
-    # dispersion
+    # bilinear join-view IVM, TF-IDF top terms, BPE merge learning +
+    # segmentation, BM25 retrieval, the KMV source-overlap matrix,
+    # embedding dispersion, histogram quality calibration, and the
+    # incremental term-statistics index
     "q102_ivm_distinct_kmv", "q103_rowgroup_prune_proof",
     "q104_ivm_join_rollup", "q105_tfidf_terms", "q106_bpe_merges",
     "q107_bm25_topk", "q108_source_overlap_matrix",

@@ -49,6 +49,8 @@ reference's documented query set):
 - Metadata tables: `<table>.files` / `.snapshots` / `.partitions` /
   `.refs` / `.history` resolve to the lakehouse metadata DataFrames
   (Iceberg's metadata-table surface, `SELECT * FROM t.snapshots`)
+- `EXPORT DATA OPTIONS(uri='…', format='PARQUET|JSON|ORC|CSV') AS
+  SELECT …` (BigQuery's export statement) → the S14 export writers
 
 Constructs Spark already accepts unchanged (DATE(x), CURRENT_DATE(),
 EXTRACT(.. FROM ..), GROUP BY / HAVING on select aliases) pass
@@ -362,6 +364,12 @@ class SqlGateway:
     _TRUNCATE = re.compile(
         r"^TRUNCATE\s+TABLE\s+(\w+)\s*$", re.IGNORECASE
     )
+    _EXPORT = re.compile(
+        r"^EXPORT\s+DATA\s+OPTIONS\s*\(\s*uri\s*=\s*'([^']+)'\s*,\s*"
+        r"format\s*=\s*'(PARQUET|JSON|JSONL|ORC|CSV)'\s*"
+        r"(?:,\s*overwrite\s*=\s*(true|false)\s*)?\)\s*AS\s+(.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
 
     def _lake(self, name: str) -> LakeTable:
         t = self.tables.get(name)
@@ -386,6 +394,23 @@ class SqlGateway:
         m = self._TRUNCATE.match(s)
         if m:
             return dml.delete(self._lake(m.group(1)), F.lit(True))
+        m = self._EXPORT.match(s)
+        if m:
+            uri, fmt, _ow, sel = m.groups()
+            df = self.sql(sel)
+            from .sources import ingest as _ing
+
+            writer = {
+                "PARQUET": _ing.export_parquet,
+                "JSON": _ing.export_jsonl,
+                "JSONL": _ing.export_jsonl,
+                "ORC": _ing.export_orc,
+            }.get(fmt.upper())
+            if writer is None:  # CSV has no helper: plain writer
+                df.write.mode("overwrite").option("header", True).csv(uri)
+            else:
+                writer(df, uri)
+            return df
         m = self._DELETE.match(s)
         if m:
             return dml.delete(self._lake(m.group(1)), m.group(2).strip())

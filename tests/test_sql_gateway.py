@@ -411,3 +411,22 @@ def test_metadata_tables_sql(spark, tmp_path):
                   (SELECT MAX(version) FROM trips.snapshots) AS v"""
     ).first()
     assert both["rows"] == 2 and both["v"] == 2
+
+
+def test_execute_export_data(spark, tmp_path):
+    t = _dml_table(spark, tmp_path, "t7")
+    gw = SqlGateway(spark, {"trips": t})
+    out = str(tmp_path / "out_parquet")
+    gw.execute(
+        f"""EXPORT DATA OPTIONS(uri='{out}', format='PARQUET') AS
+            SELECT id, amount FROM trips WHERE amount >= 20"""
+    )
+    back = spark.read.parquet(out)
+    assert sorted(r["id"] for r in back.collect()) == [2, 3]
+    out_csv = str(tmp_path / "out_csv")
+    gw.execute(
+        f"EXPORT DATA OPTIONS(uri='{out_csv}', format='CSV') AS "
+        "SELECT id FROM trips"
+    )
+    n = spark.read.option("header", True).csv(out_csv).count()
+    assert n == 3

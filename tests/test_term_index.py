@@ -89,7 +89,6 @@ def test_ingest_batching_shape_is_bit_identical(spark, tmp_path):
     a.ingest(docs)
     for k in range(4):
         b.ingest(docs.filter(F.col("doc_id") % 4 == k))
-    key = lambda r: (r["lang"], r["term"])  # noqa: E731
     assert sorted(map(tuple, a.term_stats().collect())) == sorted(
         map(tuple, b.term_stats().collect())
     )
