@@ -55,6 +55,7 @@ from . import dispersion_query  # noqa: F401  (registers q109)
 from . import bpe_apply_query  # noqa: F401  (registers q110)
 from . import quality_decile_query  # noqa: F401  (registers q111)
 from . import term_index_query  # noqa: F401  (registers q112)
+from . import bm25_index_query  # noqa: F401  (registers q113)
 
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The driver's CORRECTNESS check covers the FIRST
@@ -71,13 +72,14 @@ _GATE_PRIORITY = [
     # distinct-count IVM rollup, the row-group skipping proof, the
     # bilinear join-view IVM, TF-IDF top terms, BPE merge learning +
     # segmentation, BM25 retrieval, the KMV source-overlap matrix,
-    # embedding dispersion, histogram quality calibration, and the
-    # incremental term-statistics index
+    # embedding dispersion, histogram quality calibration, the
+    # incremental term-statistics index, and BM25-from-stored-index
     "q102_ivm_distinct_kmv", "q103_rowgroup_prune_proof",
     "q104_ivm_join_rollup", "q105_tfidf_terms", "q106_bpe_merges",
     "q107_bm25_topk", "q108_source_overlap_matrix",
     "q109_embedding_dispersion", "q110_bpe_segment_rollup",
     "q111_quality_calibration", "q112_incremental_term_stats",
+    "q113_bm25_from_index",
     # (b) implementation touched this round, re-gated on the NEW code:
     # q35 — ngram_jaccard_pairs signing-cache rewrite (bounded LRU of
     # lazily-persisted signing results) feeds the whole Jaccard family
@@ -92,14 +94,14 @@ _GATE_PRIORITY = [
     "q35_ngram_jaccard", "q99_bigquery_sql_text",
     # (c) rotation hygiene: q64 (r4 row, 3 rounds stale — oldest in the
     # ledger) then the r5 cohort, so after r8 the only rows older than
-    # two rounds are the five DEFERRED below.
+    # two rounds are the 15 DEFERRED below.
     "q64_corpus_clean_lsh",
     "q02_minmax_probe", "q03_top_groups", "q04_nonnull_counts",
     "q06_rounded_freq", "q08_hourly_pattern", "q09_dashboard_having",
     "q11_derived_duration", "q12_period_pct_change",
     "q16_union_federation", "q17_semijoin_topk", "q18_validation_split",
     "q22_tumbling_window", "q23_approx_median", "q24_quality_score",
-    "q26_agg_of_agg_window", "q30_token_stats",
+    "q26_agg_of_agg_window",
     "q32_lang_id", "q33_fingerprint",
     "q38_cosine_topk", "q39_nearest_pairs", "q40_lsh_ann",
     "q43_geohash_buckets", "q45_ivf_ann", "q47_changelog",
@@ -110,7 +112,7 @@ _GATE_PRIORITY = [
     "q76_resample_gapfill", "q80_mor_delete_lifecycle",
     "q81_media_resize",
     "q84_bloom_semi_join", "q85_grouped_topk",
-    # DEFERRED to lead the r9 window (r5 rows age to 3 rounds — the 14
+    # DEFERRED to lead the r9 window (r5 rows age to 3 rounds — the 15
     # with the strongest out-of-window proxies): q19/q20/q21 (DML trio
     # — test_dml_properties + the same dml.delete/update/append path
     # driven in-window by q102/q104), q29 (test_sessions.py), q34
@@ -125,6 +127,8 @@ _GATE_PRIORITY = [
     # test_dedup pins the whole pipeline; oracle-replayed at two SFs),
     # q31 (quality score — q111 drives the IDENTICAL score expression
     # and oracle mirror in-window through the histogram calibration),
+    # q30 (token stats — tokens()/token_count drive q105/q110/q112
+    # in-window; oracle-replayed at two SFs every pytest run),
     # q87 (test_sketches.py shard-additivity + oracle parity),
     # q88 (the stored-index probe q90 rode a fresh r7 row over the
     # SAME oracle pipeline; test_dedup mode-parity), q89 (single
