@@ -537,6 +537,8 @@ class SqlGateway:
             raise ValueError("MERGE needs an ON clause")
         rest = rest[2:].strip()
         w = _depth0_index(rest, "WHEN")
+        if w < 0:
+            raise ValueError("MERGE needs at least one WHEN clause")
         on_text, clauses = rest[:w], rest[w:]
 
         def _strip_alias(expr: str) -> str:
