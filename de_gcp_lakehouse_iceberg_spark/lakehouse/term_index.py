@@ -115,6 +115,28 @@ class TermStatsIndex:
         snap = self.table.publish(wap_id)
         return {"version": snap.version, "wap_id": wap_id}
 
+    # -- maintenance ------------------------------------------------------
+    def compact_stats(self) -> dict:
+        """Semantic compaction: fold the accumulated delta rows into
+        one row per (lang, term) + one per lang, in a single overwrite
+        commit. Reader results are bit-identical before and after
+        (exact-integer sums); history (and so time travel to
+        pre-compaction versions) is preserved by the snapshot log.
+        Run this when deltas outgrow the vocabulary — read cost drops
+        from O(vocab × batches) back to O(vocab)."""
+        cur = self.table.snapshot()
+        folded = (
+            self.table.scan(version=cur.version)
+            .groupBy("lang", "term")
+            .agg(
+                F.sum("df_delta").alias("df_delta"),
+                F.sum("n_docs_delta").alias("n_docs_delta"),
+                F.sum("sum_len_delta").alias("sum_len_delta"),
+            )
+        )
+        snap = self.table.overwrite(folded, operation="stats_compact")
+        return {"version": snap.version, "from_version": cur.version}
+
     # -- read -----------------------------------------------------------
     def term_stats(self, version: int | None = None) -> DataFrame:
         """(lang, term, df) — exact document frequencies at a version."""

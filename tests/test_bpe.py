@@ -120,3 +120,34 @@ def test_tokens_after_matches_applied_corpus(spark):
         F.size(bpe_apply("text", merges)).alias("n")
     ).agg(F.sum("n").alias("t")).collect()[0]["t"]
     assert applied_total == learned[-1].tokens_after
+
+
+def test_learn_matches_reference_property(spark):
+    """Randomized corpora (tiny alphabet maximizes merge collisions
+    and tie-breaks) must match the pure-Python reference exactly."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="ab", min_size=1, max_size=4)
+    doc = st.lists(word, min_size=1, max_size=6).map(" ".join)
+    corpus = st.lists(doc, min_size=1, max_size=4)
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(corpus)
+    def inner(texts):
+        docs = _docs(spark, texts)
+        wf = {
+            r["word"]: r["freq"] for r in word_frequencies(docs).collect()
+        }
+        expected = _ref_bpe(wf, 3)
+        got = [
+            (r.step, r.lhs, r.rhs, r.pair_count, r.tokens_after)
+            for r in bpe_learn(spark, docs, n_merges=3).collect()
+        ]
+        assert got == expected
+
+    inner()

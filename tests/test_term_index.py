@@ -95,3 +95,28 @@ def test_ingest_batching_shape_is_bit_identical(spark, tmp_path):
     assert sorted(map(tuple, a.lang_stats().collect())) == sorted(
         map(tuple, b.lang_stats().collect())
     )
+
+
+def test_compact_stats_is_bit_identical_and_time_travels(spark, tmp_path):
+    idx = TermStatsIndex.create(spark, str(tmp_path / "ti"))
+    for k in range(5):
+        idx.ingest(
+            _docs(spark, [(k, "en", f"w{k % 2} common"), (100 + k, "fr", "fr common")])
+        )
+    before_t = sorted(map(tuple, idx.term_stats().collect()))
+    before_l = sorted(map(tuple, idx.lang_stats().collect()))
+    pre_rows = idx.table.scan().count()
+    res = idx.compact_stats()
+    # folded: one row per (lang, term) + one per lang
+    assert idx.table.scan().count() < pre_rows
+    assert sorted(map(tuple, idx.term_stats().collect())) == before_t
+    assert sorted(map(tuple, idx.lang_stats().collect())) == before_l
+    # pre-compaction version still readable (time travel preserved)
+    old = sorted(
+        map(tuple, idx.term_stats(version=res["from_version"]).collect())
+    )
+    assert old == before_t
+    # ingest keeps working after compaction
+    idx.ingest(_docs(spark, [(999, "en", "brandnew")]))
+    ts = {(r["lang"], r["term"]): r["df"] for r in idx.term_stats().collect()}
+    assert ts[("en", "brandnew")] == 1 and ts[("en", "common")] == 5
