@@ -1,0 +1,72 @@
+"""Unit tests for the gateway's text-level helpers — the pieces every
+DML/QUALIFY rewrite stands on — plus cross-query invariants of the
+shared-oracle pattern."""
+
+from __future__ import annotations
+
+from de_gcp_lakehouse_iceberg_spark.sql_gateway import (
+    _depth0_index,
+    _parse_assignments,
+    _rewrite_qualify,
+    _split_top,
+)
+
+
+def test_depth0_index_skips_parens_and_strings():
+    s = "a WHERE (x WHERE y) 'WHERE' WHERE z"
+    i = _depth0_index(s, "WHERE")
+    assert s[i:].startswith("WHERE (x")  # first depth-0 non-quoted hit
+    j = _depth0_index(s, "WHERE", i + 1)
+    assert s[j:] == "WHERE z"
+    assert _depth0_index("nowhere here", "WHERE") == -1  # word boundary
+
+
+def test_split_top_word_and_char_separators():
+    assert _split_top("a = 1, b = f(x, y), c = 'p,q'", ",") == [
+        "a = 1",
+        " b = f(x, y)",
+        " c = 'p,q'",
+    ]
+    assert _split_top("x = 1 AND (a AND b) AND c LIKE '%AND%'", "AND") == [
+        "x = 1 ",
+        " (a AND b) ",
+        " c LIKE '%AND%'",
+    ]
+    # ANDy column names must not split
+    assert _split_top("android = 1 AND b", "AND") == ["android = 1 ", " b"]
+
+
+def test_parse_assignments_keeps_exprs_whole():
+    a = _parse_assignments("x = CASE WHEN a >= 1 THEN f(b, c) ELSE 0 END, y = 'lit,eral'")
+    assert a == {
+        "x": "CASE WHEN a >= 1 THEN f(b, c) ELSE 0 END",
+        "y": "'lit,eral'",
+    }
+
+
+def test_qualify_rewrite_keeps_order_inside_over():
+    out = _rewrite_qualify(
+        "SELECT a FROM t QUALIFY RANK() OVER (ORDER BY a) <= 2 LIMIT 1"
+    )
+    assert out == (
+        "SELECT * EXCEPT (__qualify__) FROM (SELECT a, "
+        "(RANK() OVER (ORDER BY a) <= 2) AS __qualify__ FROM t) "
+        "WHERE __qualify__ LIMIT 1"
+    )
+    # no-op cases
+    assert _rewrite_qualify("SELECT a FROM t") == "SELECT a FROM t"
+    assert (
+        _rewrite_qualify("SELECT 'QUALIFY' FROM t")
+        == "SELECT 'QUALIFY' FROM t"
+    )
+
+
+def test_q113_shares_q107_oracle_exactly():
+    """The stored-index BM25 gate is only meaningful if its oracle IS
+    the direct path's oracle (the q88/q90 pattern) — pin it."""
+    from de_gcp_lakehouse_iceberg_spark.plans import ORACLE_SQL
+
+    assert (
+        ORACLE_SQL["q113_bm25_from_index"]
+        == ORACLE_SQL["q107_bm25_topk"]
+    )
