@@ -67,8 +67,20 @@ def q113_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("idf"),
     )
     idf_row = idf.groupBy().pivot("term", _TERMS).agg(F.first("idf"))
-    idf_row = idf_row.select(
-        *[F.col(t).alias(f"idf_{t}") for t in _TERMS]
+    # A query term ABSENT from the stored index pivots to NULL, which
+    # would null every bm25 score; the direct path (q107) scores a
+    # missing term with the finite df=0 idf — coalesce to that value so
+    # both paths agree exactly where the shared oracle can't see it.
+    idf_df0 = (
+        F.floor(
+            F.log2(1 + (F.col("n").cast("double") + 0.5) / 0.5)
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        / 1_000_000
+    )
+    idf_row = idf_row.crossJoin(F.broadcast(ls)).select(
+        *[F.coalesce(F.col(t), idf_df0).alias(f"idf_{t}") for t in _TERMS]
     )
     corpus = ls.select(
         (F.col("sum_len").cast("double") / F.col("n")).alias("avgdl")

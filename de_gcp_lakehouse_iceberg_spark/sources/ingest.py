@@ -128,21 +128,36 @@ def read_nyc_csv(spark: SparkSession, path_glob: str) -> DataFrame:
     )
 
 
-def export_parquet(df: DataFrame, uri: str, partition_by: list[str] | None = None) -> None:
+def export_parquet(
+    df: DataFrame,
+    uri: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
     """S14: EXPORT DATA ... format='PARQUET' (PRD.md:1379-1393)."""
-    _export(df, uri, "parquet", partition_by)
+    _export(df, uri, "parquet", partition_by, mode)
 
 
-def export_jsonl(df: DataFrame, uri: str, partition_by: list[str] | None = None) -> None:
+def export_jsonl(
+    df: DataFrame,
+    uri: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
     """S14 family: newline-delimited JSON export (EXPORT DATA
     format='JSON') — the interchange format the ingest side reads."""
-    _export(df, uri, "json", partition_by)
+    _export(df, uri, "json", partition_by, mode)
 
 
-def export_orc(df: DataFrame, uri: str, partition_by: list[str] | None = None) -> None:
+def export_orc(
+    df: DataFrame,
+    uri: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
     """S14 family: ORC export — Spark-native columnar alternative for
     consumers standardized on the Hive/ORC stack."""
-    _export(df, uri, "orc", partition_by)
+    _export(df, uri, "orc", partition_by, mode)
 
 
 def _export(
@@ -150,8 +165,9 @@ def _export(
     uri: str,
     fmt: str,
     partition_by: list[str] | None = None,
+    mode: str = "overwrite",
 ) -> None:
-    writer = df.write.mode("overwrite")
+    writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.format(fmt).save(uri)

@@ -33,7 +33,14 @@ reference's documented query set):
   as a helper column inside a wrapping subquery, filtered outside,
   and dropped via `SELECT * EXCEPT` — Spark has no QUALIFY clause.
   One top-level QUALIFY per statement; `SELECT DISTINCT ... QUALIFY`
-  is out of scope (the helper column would join the DISTINCT key)
+  is out of scope (the helper column would join the DISTINCT key).
+  Applied only to SELECT/WITH statements (DML/DDL text re-translates
+  its inner SELECT); a depth-0 set op after QUALIFY is rejected with
+  a clear error instead of being swallowed into the predicate
+- `PERCENTILE_CONT(expr, frac) OVER (…)` (BigQuery's analytic form,
+  PRD.md:853) → `percentile(expr, frac) OVER (…)` — Spark's exact
+  interpolating percentile as a window aggregate, same value; the
+  ANSI `WITHIN GROUP` spelling passes through unchanged
 - DML text (`SqlGateway.execute`): `DELETE FROM t WHERE …`,
   `UPDATE t SET … WHERE …`, `INSERT INTO t [cols] VALUES|SELECT …`,
   and canonical `MERGE INTO … USING … ON … WHEN MATCHED THEN UPDATE
@@ -138,6 +145,36 @@ def _depth0_index(s: str, word: str, start: int = 0) -> int:
     return -1
 
 
+def _rewrite_percentile_analytic(s: str) -> str:
+    """BigQuery's analytic `PERCENTILE_CONT(expr, frac) OVER (…)`
+    (PRD.md:853 Query 2's spelling) → Spark's `percentile(expr, frac)
+    OVER (…)` — Spark's exact `percentile` aggregate computes the same
+    linear-interpolated value and is valid as a window function. The
+    ANSI one-argument `percentile_cont(f) WITHIN GROUP (ORDER BY x)`
+    spelling passes through untouched (Spark executes it natively).
+    A tiny scanner (not a regex) so nested parens in the value
+    expression — EXTRACT(...), CAST(...) — are handled."""
+    pat = re.compile(r"\bPERCENTILE_CONT\s*\(", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = pat.search(s, pos)
+        if m is None:
+            return s
+        depth, i = 1, m.end()
+        while i < len(s) and depth:
+            depth += s[i] == "("
+            depth -= s[i] == ")"
+            i += 1
+        args = s[m.end() : i - 1]
+        parts = _split_top(args, ",")
+        if len(parts) != 2 or not s[i:].lstrip().upper().startswith("OVER"):
+            pos = m.end()
+            continue
+        repl = f"percentile({parts[0].strip()}, {parts[1].strip()})"
+        s = s[: m.start()] + repl + s[i:]
+        pos = m.start() + len(repl)
+
+
 def _rewrite_qualify(s: str) -> str:
     """BigQuery `QUALIFY <window pred>` → wrap: compute the predicate
     as a helper column inside a subquery, filter on it outside, and
@@ -151,6 +188,16 @@ def _rewrite_qualify(s: str) -> str:
     q = _depth0_index(s, "QUALIFY")
     if q < 0:
         return s
+    # A depth-0 set operation after QUALIFY would be swallowed into the
+    # helper-column predicate — reject loudly instead of producing a
+    # confusing downstream parse error (QUALIFY binds per SELECT; wrap
+    # the branch in parentheses to combine it with a set op).
+    for op in ("UNION", "INTERSECT", "EXCEPT"):
+        if _depth0_index(s, op, q + 7) >= 0:
+            raise ValueError(
+                f"QUALIFY followed by a top-level {op} is not supported — "
+                "parenthesize the QUALIFY branch as a subquery"
+            )
     # Predicate runs until a top-level ORDER BY / LIMIT or end-of-text.
     tail_at = len(s)
     for kw in ("ORDER", "LIMIT"):
@@ -184,7 +231,14 @@ def translate(sql: str) -> str:
     """BigQuery dialect → Spark SQL (text-level, documented subset)."""
     s = sql.strip().rstrip(";")
     s = _BACKTICK.sub(r"\1", s)
-    s = _rewrite_qualify(s)
+    # QUALIFY is a SELECT-clause construct: rewrite only query text.
+    # Inside DML/DDL (CTAS/INSERT … SELECT … QUALIFY) the wrapper would
+    # swallow the whole statement ("SELECT * EXCEPT … FROM (CREATE …)");
+    # execute() re-translates the extracted inner SELECT, which is where
+    # the rewrite then applies.
+    if re.match(r"^(SELECT|WITH)\b", s, re.IGNORECASE):
+        s = _rewrite_qualify(s)
+    s = _rewrite_percentile_analytic(s)
     s = _DTRUNC.sub(lambda m: f"date_trunc('{m.group(3).upper()}', {m.group(2)})", s)
     s = _TS_ARITH.sub(
         lambda m: (
@@ -396,10 +450,18 @@ class SqlGateway:
             return dml.delete(self._lake(m.group(1)), F.lit(True))
         m = self._EXPORT.match(s)
         if m:
-            uri, fmt, _ow, sel = m.groups()
+            uri, fmt, ow, sel = m.groups()
             df = self.sql(sel)
             from .sources import ingest as _ing
 
+            # BigQuery's overwrite option defaults to FALSE: absent or
+            # 'false' must refuse to clobber an existing destination
+            # (errorifexists), not silently overwrite.
+            mode = (
+                "overwrite"
+                if ow is not None and ow.lower() == "true"
+                else "errorifexists"
+            )
             writer = {
                 "PARQUET": _ing.export_parquet,
                 "JSON": _ing.export_jsonl,
@@ -407,9 +469,9 @@ class SqlGateway:
                 "ORC": _ing.export_orc,
             }.get(fmt.upper())
             if writer is None:  # CSV has no helper: plain writer
-                df.write.mode("overwrite").option("header", True).csv(uri)
+                df.write.mode(mode).option("header", True).csv(uri)
             else:
-                writer(df, uri)
+                writer(df, uri, mode=mode)
             return df
         m = self._DELETE.match(s)
         if m:
@@ -533,6 +595,11 @@ class SqlGateway:
             src_alias = am.group(1)
             rest = rest[am.end() :].strip()
         tgt_alias = tgt_alias or target  # likewise for the target
+        if src_alias and tgt_alias and src_alias == tgt_alias:
+            raise ValueError(
+                "MERGE target and source aliases must be distinct "
+                f"(both are {src_alias!r})"
+            )
         if not rest.upper().startswith("ON"):
             raise ValueError("MERGE needs an ON clause")
         rest = rest[2:].strip()
@@ -541,12 +608,32 @@ class SqlGateway:
             raise ValueError("MERGE needs at least one WHEN clause")
         on_text, clauses = rest[:w], rest[w:]
 
+        # Canonical-alias rewrite in ONE pass (a single alternation with
+        # a callback): sequential substitution would corrupt statements
+        # whose aliases collide with the canonical names — e.g.
+        # `MERGE INTO trips AS s USING src AS t` rewrote target refs
+        # into source refs (t. → source.) after s. → t. had run.
+        alias_map = {}
+        if tgt_alias:
+            alias_map[tgt_alias] = "t"
+        if src_alias:
+            alias_map[src_alias] = "source"
+        alias_pat = (
+            re.compile(
+                r"\b("
+                + "|".join(re.escape(a) for a in alias_map)
+                + r")\."
+            )
+            if alias_map
+            else None
+        )
+
         def _strip_alias(expr: str) -> str:
-            e = expr
-            for a, repl in ((tgt_alias, "t"), (src_alias, "source")):
-                if a:
-                    e = re.sub(rf"\b{re.escape(a)}\.", repl + ".", e)
-            return e.strip()
+            if alias_pat is None:
+                return expr.strip()
+            return alias_pat.sub(
+                lambda m: alias_map[m.group(1)] + ".", expr
+            ).strip()
 
         on_cols = []
         for part in _split_top(on_text, "AND"):

@@ -6,13 +6,14 @@ same answer" switching contract (reference sites
 scripts/verify_loaded_data.sql:5-110, README.md:546-607,
 PRD.md:923-972,3658-3691).
 
-Untranslatable constructs (documented, none block Q1-Q17):
-- Q15's BigQuery spelling `PERCENTILE_CONT(value, 0.5) OVER ()` is an
-  analytic function; the gateway passes the ANSI
-  `percentile_cont(...) WITHIN GROUP` aggregate form through instead
-  (Spark executes it natively — same number, different spelling).
-- Q18+ involve DML/streaming/time-travel surfaces exercised by their
-  own driver queries (q18-q25), not SELECT-text replays.
+Q15 replays BigQuery's ANALYTIC spelling `PERCENTILE_CONT(value, 0.5)
+OVER (PARTITION BY …)` — the PRD.md:853 form — which the gateway now
+translates to Spark's `percentile(value, 0.5) OVER (…)` (closed in
+round 9; the ANSI WITHIN GROUP spelling still passes through).
+
+Out of scope here: Q18+ involve DML/streaming/time-travel surfaces
+exercised by their own driver queries (q18-q25), not SELECT-text
+replays.
 """
 
 from __future__ import annotations
@@ -208,12 +209,13 @@ _CORPUS: dict[str, str] = {
                      * 10000 + 0.5) / 10000 AS rolling_avg_24h
         FROM hourly ORDER BY event_type, stat_hour;""",
     "q15_median_per_group": f"""
-        SELECT event_type,
-               floor(percentile_cont(0.5) WITHIN GROUP (ORDER BY value)
+        SELECT DISTINCT event_type,
+               floor(PERCENTILE_CONT(value, 0.5)
+                       OVER (PARTITION BY event_type)
                      * 1000000 + 0.5) / 1000000 AS median_value,
-               COUNT(*) AS cnt
+               COUNT(*) OVER (PARTITION BY event_type) AS cnt
         FROM {_T % 'events'}
-        GROUP BY event_type ORDER BY event_type;""",
+        ORDER BY event_type;""",
     "q16_union_federation": f"""
         WITH src_f AS (
           SELECT 'closed' AS segment, o_orderpriority,

@@ -430,3 +430,139 @@ def test_execute_export_data(spark, tmp_path):
     )
     n = spark.read.option("header", True).csv(out_csv).count()
     assert n == 3
+
+
+# ---------------------------------------------------------------------------
+# round-9 hardening: alias-collision MERGE, EXPORT overwrite semantics,
+# QUALIFY statement scoping, analytic PERCENTILE_CONT translation
+# ---------------------------------------------------------------------------
+def test_merge_alias_collision_with_canonical_names(spark, tmp_path):
+    """Target aliased `s`, source aliased `t` — the exact case a
+    sequential alias substitution corrupts (target refs rewritten into
+    source refs). The single-pass rewrite must keep them straight."""
+    t = _dml_table(spark, tmp_path, "t8")
+    src = spark.createDataFrame(
+        [(2, "B", 200.0), (7, "g", 70.0)],
+        "id int, tag string, amount double",
+    )
+    gw = SqlGateway(spark, {"trips": t, "upd": src})
+    gw.execute(
+        """MERGE INTO trips AS s USING upd AS t
+           ON s.id = t.id
+           WHEN MATCHED THEN UPDATE SET tag = t.tag,
+                                        amount = t.amount + s.amount
+           WHEN NOT MATCHED THEN INSERT ROW"""
+    )
+    rows = {r["id"]: (r["tag"], r["amount"]) for r in t.scan().collect()}
+    assert rows[2] == ("B", 220.0)  # t.amount + s.amount = 200 + 20
+    assert rows[7] == ("g", 70.0)
+    assert rows[1] == ("a", 10.0)
+
+    # `source` as the TARGET alias must also survive
+    t2 = _dml_table(spark, tmp_path, "t8b")
+    gw2 = SqlGateway(spark, {"trips": t2, "upd": src})
+    gw2.execute(
+        """MERGE INTO trips AS source USING upd AS u
+           ON source.id = u.id
+           WHEN MATCHED THEN UPDATE SET amount = source.amount + u.amount"""
+    )
+    rows = {r["id"]: r["amount"] for r in t2.scan().collect()}
+    assert rows[2] == 220.0
+
+
+def test_merge_identical_aliases_rejected(spark, tmp_path):
+    t = _dml_table(spark, tmp_path, "t9")
+    src = spark.createDataFrame([(2, "B", 1.0)], "id int, tag string, amount double")
+    gw = SqlGateway(spark, {"trips": t, "upd": src})
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="distinct"):
+        gw.execute(
+            """MERGE INTO trips AS x USING upd AS x
+               ON x.id = x.id
+               WHEN MATCHED THEN UPDATE SET tag = x.tag"""
+        )
+
+
+def test_export_data_overwrite_flag(spark, tmp_path):
+    """BigQuery default: overwrite=false. Absent/false must refuse to
+    clobber an existing destination; overwrite=true replaces it."""
+    import pytest as _pytest
+
+    t = _dml_table(spark, tmp_path, "t10")
+    gw = SqlGateway(spark, {"trips": t})
+    out = str(tmp_path / "exp")
+    gw.execute(
+        f"EXPORT DATA OPTIONS(uri='{out}', format='PARQUET') AS "
+        "SELECT id FROM trips"
+    )
+    assert spark.read.parquet(out).count() == 3
+    # absent flag → errorifexists → must raise, files untouched
+    with _pytest.raises(Exception, match="(?i)already exists"):
+        gw.execute(
+            f"EXPORT DATA OPTIONS(uri='{out}', format='PARQUET') AS "
+            "SELECT id FROM trips WHERE id = 1"
+        )
+    assert spark.read.parquet(out).count() == 3
+    with _pytest.raises(Exception, match="(?i)already exists"):
+        gw.execute(
+            f"EXPORT DATA OPTIONS(uri='{out}', format='PARQUET', "
+            "overwrite=false) AS SELECT id FROM trips WHERE id = 1"
+        )
+    # explicit overwrite=true replaces
+    gw.execute(
+        f"EXPORT DATA OPTIONS(uri='{out}', format='PARQUET', "
+        "overwrite=true) AS SELECT id FROM trips WHERE id = 1"
+    )
+    assert spark.read.parquet(out).count() == 1
+
+
+def test_qualify_inside_ctas_and_setop_rejection(spark, tmp_path):
+    """QUALIFY inside CTAS text must rewrite the inner SELECT (not wrap
+    the whole DDL); a depth-0 set op after QUALIFY raises clearly."""
+    import pytest as _pytest
+
+    t = _dml_table(spark, tmp_path, "t11")
+    gw = SqlGateway(spark, {"trips": t}, warehouse_root=str(tmp_path / "wh11"))
+    gw.execute(
+        """CREATE TABLE best AS
+           SELECT id, tag, amount FROM trips
+           QUALIFY ROW_NUMBER() OVER (ORDER BY amount DESC) = 1"""
+    )
+    rows = gw.sql("SELECT id, amount FROM best").collect()
+    assert [(r["id"], r["amount"]) for r in rows] == [(3, 30.0)]
+
+    with _pytest.raises(ValueError, match="UNION"):
+        translate(
+            "SELECT id FROM trips QUALIFY ROW_NUMBER() OVER (ORDER BY id) = 1 "
+            "UNION ALL SELECT id FROM trips"
+        )
+
+
+def test_percentile_cont_analytic_translation(spark, tmp_path):
+    """PRD.md:853's BigQuery spelling `PERCENTILE_CONT(x, f) OVER
+    (PARTITION BY …)` → Spark `percentile(x, f) OVER (…)`, same
+    interpolated value as the ANSI WITHIN GROUP aggregate."""
+    out = translate(
+        "SELECT PERCENTILE_CONT(trip_distance, 0.5) "
+        "OVER(PARTITION BY EXTRACT(HOUR FROM ts)) AS m FROM t"
+    )
+    assert "percentile(trip_distance, 0.5) OVER" in out
+    assert "PERCENTILE_CONT" not in out
+    # WITHIN GROUP single-argument spelling passes through untouched
+    keep = translate(
+        "SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY v) FROM t"
+    )
+    assert "percentile_cont(0.5) WITHIN GROUP" in keep
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 10.0), ("b", 4.0), ("b", 8.0)],
+        "g string, v double",
+    )
+    gw = SqlGateway(spark, {"obs": df})
+    got = gw.sql(
+        """SELECT DISTINCT g,
+                  PERCENTILE_CONT(v, 0.5) OVER (PARTITION BY g) AS med
+           FROM obs ORDER BY g"""
+    ).collect()
+    assert [(r["g"], r["med"]) for r in got] == [("a", 2.0), ("b", 6.0)]

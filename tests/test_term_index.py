@@ -120,3 +120,24 @@ def test_compact_stats_is_bit_identical_and_time_travels(spark, tmp_path):
     idx.ingest(_docs(spark, [(999, "en", "brandnew")]))
     ts = {(r["lang"], r["term"]): r["df"] for r in idx.term_stats().collect()}
     assert ts[("en", "brandnew")] == 1 and ts[("en", "common")] == 5
+
+
+def test_bm25_from_index_scores_missing_terms_like_direct(
+    spark, sf_dir, monkeypatch
+):
+    """ADVICE r8: a query term absent from the stored index must score
+    with the finite df=0 idf — exactly what the direct path (q107)
+    computes — not NULL out every bm25 score."""
+    from de_gcp_lakehouse_iceberg_spark.plans import (
+        bm25_index_query as biq,
+        bm25_query as bq,
+    )
+
+    terms = ["merge", "zzz_not_in_any_doc"]
+    monkeypatch.setattr(bq, "_TERMS", terms)
+    monkeypatch.setattr(biq, "_TERMS", terms)
+    direct = bq.q107_bm25_topk(spark, sf_dir).collect()
+    stored = biq.q113_bm25_from_index(spark, sf_dir).collect()
+    assert len(direct) == len(stored) > 0
+    assert all(r["bm25"] is not None for r in stored)
+    assert [tuple(r) for r in direct] == [tuple(r) for r in stored]
