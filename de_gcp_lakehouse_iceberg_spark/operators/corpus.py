@@ -12,8 +12,12 @@ oracle-checkable end-to-end (q44).
 
 Scale posture: stages are ordered cheapest-first so each shuffle sees
 fewer rows — quality/language are scan-time filters, exact dedup is one
-hash shuffle, and only the survivors pay the shingle-join (or its LSH
-replacement via `use_lsh=True`).
+hash shuffle, and only the survivors pay the near-dup stage. That stage
+AUTO-ROUTES by default: a linear Σ df² estimate over the cached shingle
+signing picks the exact inverted-index join while its fan-out is benign
+and the banded-LSH route once it is not (see clean_corpus), so the
+default a user gets at 100 TB is scale-safe without giving up the
+exact, oracle-verified baseline at gate scale.
 """
 
 from __future__ import annotations
@@ -22,7 +26,12 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import quality_score, token_count
-from .dedup import doc_shingles, minhash_lsh_pairs, ngram_jaccard_pairs
+from .dedup import (
+    choose_jaccard_route,
+    doc_shingles,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
 
 
 def clean_corpus(
@@ -30,9 +39,23 @@ def clean_corpus(
     quality_threshold: float = 0.7,
     langs: list[str] | None = None,
     jaccard_threshold: float = 0.5,
-    use_lsh: bool = False,
+    use_lsh: bool | None = None,
 ) -> DataFrame:
-    """Returns the cleaned corpus (same columns as input)."""
+    """Returns the cleaned corpus (same columns as input).
+
+    `use_lsh=None` (the default) AUTO-ROUTES the near-dup stage: one
+    linear pre-pass over the (cached) shingle signing estimates the
+    exact inverted-index join's fan-out Σ df², and the pipeline takes
+    the LSH route when the ratio Σ df² / shingle-rows exceeds
+    `dedup.JACCARD_LSH_FANOUT_RATIO` — the regime where the exact join
+    goes quadratic (saturated vocabularies / stopword-heavy corpora;
+    the r8 sf3 ledger measured q44's default at 60 s for exactly this
+    reason). Below the threshold the exact route runs and REUSES the
+    pre-pass's cached signing, so gate-scale corpora keep the exact
+    oracle-verified baseline at unchanged cost. Both routes return the
+    same survivor set at the gated thresholds (LSH recall at b=32/r=2
+    is 1−(1−t^r)^b ≈ 1−1e-4 for J ≥ 0.5; pinned by
+    test_lsh_pairs_equal_exact_pairs). Pass True/False to force."""
     kept = docs.withColumn("_q", quality_score("text")).filter(
         F.col("_q") >= quality_threshold
     )
@@ -45,6 +68,8 @@ def clean_corpus(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_q")
     )
+    if use_lsh is None:
+        use_lsh = choose_jaccard_route(kept) == "lsh"
     # near-dup removal on the survivors: drop the higher id of each pair
     if use_lsh:
         # portable mode takes the fused one-Arrow-pass fast path

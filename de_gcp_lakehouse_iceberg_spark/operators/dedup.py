@@ -157,6 +157,79 @@ def doc_shingles(
     return ex
 
 
+def _signed_keys(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(doc_id, keys) — per-doc sorted distinct 62-bit shingle keys via
+    the bounded signing cache. This exact plan is shared by the whole
+    Jaccard family AND the fan-out estimator, so building it twice
+    costs one cache lookup, not a second Arrow pass."""
+    cpus = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+    )
+    if base.rdd.getNumPartitions() < cpus:
+        base = base.repartition(cpus, "doc_id")
+    return _cached_signing(
+        base.select("doc_id", doc_keys2_udf(n)(F.col("_t")).alias("keys"))
+    )
+
+
+def shingle_fanout_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> tuple[int, float]:
+    """(total exploded shingle rows, Σ df² over shingle document
+    frequencies) — the exact fan-out of the inverted-index self-join
+    `ngram_jaccard_pairs` would run (its joined-row count is
+    Σ df·(df−1)/2 ≈ Σ df²/2). One linear aggregate over the CACHED
+    signing plan: cheap at any corpus size, and the signing result is
+    reused by whichever route runs next. Σ df² is summed as double —
+    it's a routing estimate, not a gated value."""
+    dk = _signed_keys(docs, id_col, text_col, n)
+    row = (
+        dk.select(F.explode("keys").alias("sh"))
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .agg(
+            F.sum("_df").alias("rows"),
+            F.sum(F.col("_df").cast("double") * F.col("_df")).alias("df2"),
+        )
+        .first()
+    )
+    return int(row["rows"] or 0), float(row["df2"] or 0.0)
+
+
+# Auto-routing threshold for the near-dup stage: go LSH when the
+# exact inverted-index join would fan out more than this many rows per
+# input shingle row (Σ df² / rows). Saturated-vocabulary corpora blow
+# past it (measured: ratio ≈ 90 at sf1.0, ≈ 267 at sf3.0 on the
+# fixed-31-word fixture — the family the r8 sf3 ledger showed going
+# quadratic), while Heaps-law text stays in single digits (≈ 2 at
+# sf0.01, ≈ 10 at sf0.1), so gate-scale runs keep the exact baseline.
+JACCARD_LSH_FANOUT_RATIO = 32.0
+
+
+def choose_jaccard_route(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    fanout_ratio: float = JACCARD_LSH_FANOUT_RATIO,
+) -> str:
+    """'exact' or 'lsh' — the scale-safe route decision for a near-dup
+    pass over `docs` (see JACCARD_LSH_FANOUT_RATIO)."""
+    rows, df2 = shingle_fanout_stats(docs, id_col, text_col, n)
+    if rows == 0:
+        return "exact"
+    return "lsh" if df2 > fanout_ratio * rows else "exact"
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -199,20 +272,12 @@ def ngram_jaccard_pairs(
     array-intersect verify is heavier than the narrow count
     aggregation) — hence opt-in, both paths bit-identical.
     """
-    cpus = docs.sparkSession.sparkContext.defaultParallelism
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
-    )
-    if base.rdd.getNumPartitions() < cpus:
-        base = base.repartition(cpus, "doc_id")
     # Lazily persist the signed arrays via the bounded signing cache:
     # the df pre-pass and the pairing join would otherwise re-run the
     # Arrow signing once per consumer, and the whole Jaccard family
     # re-derives this same plan — one columnar cache entry serves them
     # all (see _cached_signing).
-    dk = _cached_signing(
-        base.select("doc_id", doc_keys2_udf(n)(F.col("_t")).alias("keys"))
-    )
+    dk = _signed_keys(docs, id_col, text_col, n)
     ex = dk.select("doc_id", F.explode("keys").alias("sh"))
     if max_df is None:
         # set size rides every exploded row for FREE (array length) —
