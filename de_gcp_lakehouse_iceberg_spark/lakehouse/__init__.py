@@ -1,8 +1,9 @@
 from . import dml, evolution, maintenance, metrics
-from .table import LakeTable, Snapshot
+from .table import CommitConflict, LakeTable, Snapshot
 from .views import Warehouse
 
 __all__ = [
+    "CommitConflict",
     "LakeTable",
     "Snapshot",
     "Warehouse",

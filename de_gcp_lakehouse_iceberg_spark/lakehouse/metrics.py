@@ -43,20 +43,32 @@ class QueryMetrics:
             os.makedirs(os.path.dirname(root) or ".", exist_ok=True)
             self.table = LakeTable.create(spark, root)
 
-    def record(self, name: str, df: DataFrame) -> list:
+    def record(
+        self, name: str, df: DataFrame, planned: dict | None = None
+    ) -> list:
         """Execute `df` (collect) and append one metrics row. Input
         volume comes from the scanned files the plan reports — the
-        local analog of BigQuery's total_bytes_processed."""
-        files = df.inputFiles()
-        input_bytes = 0
-        for f in files:
-            p = f[len("file:") :] if f.startswith("file:") else f
-            while p.startswith("//"):
-                p = p[1:]
-            try:
-                input_bytes += os.path.getsize(p)
-            except OSError:
-                pass
+        local analog of BigQuery's total_bytes_processed. For lakehouse
+        queries pass `planned=table.plan_volume(...)` (the manifest's
+        planned-file sizes for THAT query's pruned plan): the manifest
+        already knows the byte volume without a single filesystem stat
+        call, which is how the estimate stays O(#files-planned) on an
+        object store."""
+        if planned is not None:
+            files_n = int(planned["files"])
+            input_bytes = int(planned["bytes"])
+        else:
+            files = df.inputFiles()
+            files_n = len(files)
+            input_bytes = 0
+            for f in files:
+                p = f[len("file:") :] if f.startswith("file:") else f
+                while p.startswith("//"):
+                    p = p[1:]
+                try:
+                    input_bytes += os.path.getsize(p)
+                except OSError:
+                    pass
         t0 = time.time()
         rows = df.collect()
         duration = time.time() - t0
@@ -68,7 +80,7 @@ class QueryMetrics:
                         int(t0 * 1000),
                         float(duration),
                         input_bytes,
-                        len(files),
+                        files_n,
                         len(rows),
                     )
                 ],

@@ -13,9 +13,15 @@ a deliberately thin metadata layer:
 - metadata: one JSON manifest per snapshot listing member files plus
   per-file row counts/bytes/partition values — the driver-side work is
   O(#files), never O(rows);
-- commits: write-new-files → write-manifest → atomically swap a pointer
-  file (os.replace). Single-writer local semantics; on a shared object
-  store this swap is exactly the role of Iceberg's catalog pointer.
+- commits: write-new-files → CAS-create the version's manifest
+  (hard-link, fails if another writer claimed the version) → swap the
+  pointer file (os.replace). Multi-writer optimistic concurrency: the
+  loser of a race gets `CommitConflict` and re-plans against the new
+  head — `append` and `publish` rebase automatically (file additions
+  commute, Iceberg's fast-append retry), while copy-on-write
+  `replace_files` surfaces the conflict to its caller, which planned
+  against specific files. On a shared object store the CAS-create +
+  pointer swap is exactly the role of Iceberg's catalog commit.
 
 Scale posture: a snapshot read hands Spark an explicit file list with
 `basePath`, so partition columns survive and Catalyst still does column
@@ -37,6 +43,12 @@ from dataclasses import dataclass, field
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+class CommitConflict(RuntimeError):
+    """Another writer committed between planning and commit. Appends
+    and publishes rebase+retry automatically; copy-on-write callers
+    must re-plan against the new head."""
+
 
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
@@ -673,47 +685,56 @@ class LakeTable:
         cherry-pick semantics for appends) — unless the table schema
         changed incompatibly since staging."""
         d = self._read_staged(wap_id)
-        base = self.current_version()
-        prev = self.snapshot(base)
-        if (
-            prev.schema_json
-            and d["schema_json"]
-            and prev.schema_json != d["schema_json"]
-        ):
-            staged_fields = {
-                f["name"]: f["type"]
-                for f in json.loads(d["schema_json"])["fields"]
-            }
-            cur_fields = {
-                f["name"]: f["type"]
-                for f in json.loads(prev.schema_json)["fields"]
-            }
-            bad = [
-                n for n, t in staged_fields.items() if cur_fields.get(n) != t
-            ]
-            if bad:
-                raise ValueError(
-                    f"cannot publish stage {wap_id}: columns {bad} no longer "
-                    "match the table schema (staged files would read wrong)"
-                )
-        staged_files = self._stamp_seq(
-            [FileEntry.from_json(x) for x in d["files"]]
-        )
-        snap = self._commit_snapshot(
-            operation="publish",
-            files=prev.files + staged_files,
-            schema_json=prev.schema_json or d["schema_json"],
-            base=base,
-            summary={
-                "wap_id": wap_id,
-                "staged_base": d["base"],
-                "added_files": len(staged_files),
-                "added_rows": sum(f.rows for f in staged_files),
-                # callers (e.g. streaming dedup ingest) ride their
-                # exactly-once watermark on the SAME atomic commit
-                **(extra_summary or {}),
-            },
-        )
+
+        def _attempt() -> Snapshot:
+            base = self.current_version()
+            prev = self.snapshot(base)
+            if (
+                prev.schema_json
+                and d["schema_json"]
+                and prev.schema_json != d["schema_json"]
+            ):
+                staged_fields = {
+                    f["name"]: f["type"]
+                    for f in json.loads(d["schema_json"])["fields"]
+                }
+                cur_fields = {
+                    f["name"]: f["type"]
+                    for f in json.loads(prev.schema_json)["fields"]
+                }
+                bad = [
+                    n
+                    for n, t in staged_fields.items()
+                    if cur_fields.get(n) != t
+                ]
+                if bad:
+                    raise ValueError(
+                        f"cannot publish stage {wap_id}: columns {bad} no "
+                        "longer match the table schema (staged files would "
+                        "read wrong)"
+                    )
+            staged_files = self._stamp_seq(
+                [FileEntry.from_json(x) for x in d["files"]]
+            )
+            return self._commit_snapshot(
+                operation="publish",
+                files=prev.files + staged_files,
+                schema_json=prev.schema_json or d["schema_json"],
+                base=base,
+                summary={
+                    "wap_id": wap_id,
+                    "staged_base": d["base"],
+                    "added_files": len(staged_files),
+                    "added_rows": sum(f.rows for f in staged_files),
+                    # callers (e.g. streaming dedup ingest) ride their
+                    # exactly-once watermark on the SAME atomic commit
+                    **(extra_summary or {}),
+                },
+            )
+
+        # additions commute: a publish losing the commit race rebases
+        # onto the new head and retries (cherry-pick semantics)
+        snap = self._rebase_retry(_attempt)
         os.remove(self._staged_path(wap_id))
         return snap
 
@@ -733,7 +754,7 @@ class LakeTable:
     ) -> Snapshot:
         cur = self.current_version()
         if base is not None and cur != base:
-            raise RuntimeError(
+            raise CommitConflict(
                 f"concurrent modification: expected base v{base}, found v{cur}"
             )
         version = 0 if cur is None else cur + 1
@@ -769,10 +790,23 @@ class LakeTable:
             "deletes": deletes,
         }
         mpath = os.path.join(self.root, MANIFEST_DIR, f"v{version:08d}.json")
-        tmp = mpath + ".tmp"
+        tmp = mpath + f".{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as f:
             json.dump(snap, f)
-        os.replace(tmp, mpath)
+        # CAS: hard-link fails with EEXIST if another writer already
+        # claimed this version number — the loser must re-plan against
+        # the new head instead of clobbering the winner's manifest
+        # (os.replace here silently LOST the loser-overwritten commit
+        # under a two-writer race).
+        try:
+            os.link(tmp, mpath)
+        except FileExistsError:
+            raise CommitConflict(
+                f"concurrent modification: v{version} was committed by "
+                "another writer while this commit was being prepared"
+            )
+        finally:
+            os.remove(tmp)
         # manifest-as-a-table: large snapshots ALSO get a columnar
         # manifest sidecar so planning can run as a Spark job
         # (plan_files_distributed) instead of a driver loop — the
@@ -908,6 +942,23 @@ class LakeTable:
                 raise ValueError(f"required column {f.name!r} missing")
         return df.select(*cols)
 
+    def _rebase_retry(
+        self, attempt: Callable[[], "Snapshot"], max_retries: int = 20
+    ) -> Snapshot:
+        """Optimistic-concurrency retry loop for commutative commits:
+        `attempt` re-plans against the CURRENT head each call, so a
+        CommitConflict loser simply rebases and tries again. The
+        backoff also covers the CAS-won-but-pointer-not-yet-swapped
+        window of a racing winner."""
+        for i in range(max_retries):
+            try:
+                return attempt()
+            except CommitConflict:
+                if i == max_retries - 1:
+                    raise
+                time.sleep(0.005 * (i + 1))
+        raise AssertionError("unreachable")
+
     def append(
         self,
         df: DataFrame,
@@ -920,26 +971,46 @@ class LakeTable:
         table schema; later appends are aligned/cast to it. `summary`
         entries are merged into the snapshot summary (used by the
         streaming sink to advance its exactly-once watermark atomically
-        with the data commit)."""
+        with the data commit). File additions commute, so losing a
+        commit race rebases the already-written files onto the new head
+        and retries (Iceberg's fast-append semantics) — both of two
+        concurrent appends survive, in some serial order."""
         base = self.current_version()
         prev = self.snapshot(base)
         if prev.schema_json:
             df = self._align_to_schema(df, prev.schema_json)
-            schema_json = prev.schema_json
+            aligned_schema = prev.schema_json
         else:
-            schema_json = df.schema.json()
-        new_files = self._stamp_seq(
-            self._write_files(df, writer_options=writer_options)
-        )
-        return self._commit_snapshot(
-            operation=operation,
-            files=prev.files + new_files,
-            schema_json=schema_json,
-            base=base,
-            summary={"added_files": len(new_files),
-                     "added_rows": sum(f.rows for f in new_files),
-                     **(summary or {})},
-        )
+            aligned_schema = df.schema.json()
+        written = self._write_files(df, writer_options=writer_options)
+
+        def _attempt() -> Snapshot:
+            head = self.current_version()
+            hprev = self.snapshot(head)
+            if (
+                head != base
+                and hprev.schema_json
+                and hprev.schema_json != aligned_schema
+            ):
+                # a concurrent commit evolved the schema after our files
+                # were written against the old one — data would read
+                # wrong; surface it instead of rebasing
+                raise ValueError(
+                    "table schema changed while this append was in "
+                    "flight — re-run the append against the new schema"
+                )
+            new_files = self._stamp_seq(written)
+            return self._commit_snapshot(
+                operation=operation,
+                files=hprev.files + new_files,
+                schema_json=hprev.schema_json or aligned_schema,
+                base=head,
+                summary={"added_files": len(new_files),
+                         "added_rows": sum(f.rows for f in new_files),
+                         **(summary or {})},
+            )
+
+        return self._rebase_retry(_attempt)
 
     def overwrite(
         self,
@@ -947,16 +1018,21 @@ class LakeTable:
         operation: str = "overwrite",
         summary: dict[str, Any] | None = None,
     ) -> Snapshot:
-        """Full-table replace (INSERT OVERWRITE / CTAS refresh, D8/D9)."""
-        base = self.current_version()
-        new_files = self._stamp_seq(self._write_files(df))
-        return self._commit_snapshot(
-            operation=operation,
-            files=new_files,
-            schema_json=df.schema.json(),
-            base=base,
-            summary=summary,
-        )
+        """Full-table replace (INSERT OVERWRITE / CTAS refresh, D8/D9).
+        Replaces whatever the head is, so a lost commit race retries
+        against the new head (last-writer-wins by definition here)."""
+        written = self._write_files(df)
+
+        def _attempt() -> Snapshot:
+            return self._commit_snapshot(
+                operation=operation,
+                files=self._stamp_seq(written),
+                schema_json=df.schema.json(),
+                base=self.current_version(),
+                summary=summary,
+            )
+
+        return self._rebase_retry(_attempt)
 
     def replace_files(
         self,
@@ -977,7 +1053,7 @@ class LakeTable:
         moved table."""
         base = self.current_version()
         if expected_base is not None and base != expected_base:
-            raise RuntimeError(
+            raise CommitConflict(
                 f"concurrent modification: planned against v{expected_base}, "
                 f"table is now at v{base}"
             )
@@ -1170,6 +1246,29 @@ class LakeTable:
             snap, [f.path for f in files], with_file_col=with_file_path
         )
         return self._apply_exact_where(df, where)
+
+    def plan_volume(
+        self,
+        version: int | None = None,
+        as_of_ms: int | None = None,
+        partition_filter: Callable[[dict[str, str]], bool] | None = None,
+        where: list[tuple[str, str, Any]] | None = None,
+        tag: str | None = None,
+    ) -> dict[str, int]:
+        """The scan volume a query over this plan will read, straight
+        from the manifest (no filesystem stats, no data touched) — the
+        engine's analog of BigQuery's total_bytes_processed estimate.
+        Feed it to `metrics.QueryMetrics.record(..., planned=...)` so
+        the M8 expensive-query analysis flags by PLANNED bytes
+        (iceberg_maintenance.py:183-197's >10 GB rule)."""
+        _, files = self.plan_files(
+            version, as_of_ms, partition_filter, where, tag=tag
+        )
+        return {
+            "files": len(files),
+            "bytes": sum(f.bytes for f in files),
+            "rows": sum(f.rows for f in files),
+        }
 
     def plan_row_groups(
         self,

@@ -58,3 +58,48 @@ def test_rate_trip_stream_flows_and_validates(spark, tmp_path):
     assert out.filter(F.col("_error_type").isNotNull()).count() == 0
     one = out.first()
     assert one.payment_type in {"card", "cash", "no_charge", "dispute"}
+
+
+def test_expensive_scan_flagged_by_planned_manifest_bytes(
+    spark, sf_dir, tmp_path
+):
+    """M8 bytes rule (iceberg_maintenance.py:183-197: flag > 10 GB
+    scanned), threshold scaled to fixture size: a full-table scan's
+    MANIFEST-planned bytes must trip the flag with the bytes
+    recommendation; a stats-pruned scan of the same table must not.
+    The volume comes from table.plan_volume — planned file sizes the
+    manifest already holds, zero filesystem stat calls."""
+    from de_gcp_lakehouse_iceberg_spark.lakehouse import LakeTable
+
+    ev = table(spark, sf_dir, "events")
+    t = LakeTable.create(spark, str(tmp_path / "ev_lake"))
+    # range-layout on event_id so column-stats file skipping has
+    # disjoint per-file ranges to prune on
+    t.append(ev.repartitionByRange(8, "event_id"))
+
+    full = t.plan_volume()
+    assert full["files"] >= 8 and full["bytes"] > 0
+    # the reference's 10 GB rule scaled to this fixture: half the table
+    threshold = full["bytes"] // 2
+
+    lo = ev.agg(F.expr("percentile(event_id, 0.05)")).first()[0]
+    where = [("event_id", "<=", int(lo))]
+    pruned = t.plan_volume(where=where)
+    assert pruned["files"] < full["files"]
+    assert pruned["bytes"] < threshold
+
+    m = QueryMetrics(spark, str(tmp_path / "qm_bytes"))
+    m.record("full_scan", t.scan().agg(F.count("*")), planned=full)
+    m.record(
+        "pruned_scan", t.scan(where=where).agg(F.count("*")), planned=pruned
+    )
+    flagged = m.analyze(slow_seconds=1e9, expensive_bytes=threshold)
+    assert [f["query_name"] for f in flagged] == ["full_scan"]
+    assert any("scans excessive data" in r for r in flagged[0]["recommendations"])
+    # the recorded rows carry the planned volumes verbatim
+    rec = {
+        r["query_name"]: (r["input_bytes"], r["input_files"])
+        for r in m.table.scan().collect()
+    }
+    assert rec["full_scan"] == (full["bytes"], full["files"])
+    assert rec["pruned_scan"] == (pruned["bytes"], pruned["files"])
