@@ -56,6 +56,8 @@ from . import bpe_apply_query  # noqa: F401  (registers q110)
 from . import quality_decile_query  # noqa: F401  (registers q111)
 from . import term_index_query  # noqa: F401  (registers q112)
 from . import bm25_index_query  # noqa: F401  (registers q113)
+from . import percentile_text_query  # noqa: F401  (registers q114)
+from . import occ_query  # noqa: F401  (registers q115)
 
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The driver's CORRECTNESS check covers the FIRST
@@ -68,71 +70,65 @@ from . import bm25_index_query  # noqa: F401  (registers q113)
 # oracle-parity replica (tests/test_oracle_parity.py) still checks ALL
 # of them at two scale factors every run.
 _GATE_PRIORITY = [
-    # (a) NEW this round (r8), never driver-verified: the KMV
-    # distinct-count IVM rollup, the row-group skipping proof, the
-    # bilinear join-view IVM, TF-IDF top terms, BPE merge learning +
-    # segmentation, BM25 retrieval, the KMV source-overlap matrix,
-    # embedding dispersion, histogram quality calibration, the
-    # incremental term-statistics index, and BM25-from-stored-index
-    "q102_ivm_distinct_kmv", "q103_rowgroup_prune_proof",
-    "q104_ivm_join_rollup", "q105_tfidf_terms", "q106_bpe_merges",
-    "q107_bm25_topk", "q108_source_overlap_matrix",
-    "q109_embedding_dispersion", "q110_bpe_segment_rollup",
-    "q111_quality_calibration", "q112_incremental_term_stats",
-    "q113_bm25_from_index",
-    # (b) implementation touched this round, re-gated on the NEW code:
-    # q35 — ngram_jaccard_pairs signing-cache rewrite (bounded LRU of
-    # lazily-persisted signing results) feeds the whole Jaccard family
-    # (q44/q46/q53/q97 share the exact same cached plan and ride fresh
-    # r7 rows + the plan guard + pytest at two SFs); q99 — the gateway
-    # translator gained DATE_DIFF/FLOAT64/INT64/NUMERIC rules. The
-    # table.py refactors (_stats_may_match split, NaN-safe _SortedKeys,
-    # rg_stats manifests) are exercised in-window by q103 + q60/q67/
-    # q68/q73/q91 (q91 rides a fresh r7 row; the others rotate in
-    # below); ivm.py's pinned-version/noop changes by q102 in-window
-    # (q98 rides its fresh r7 row + the race test in test_ivm.py).
-    "q35_ngram_jaccard", "q99_bigquery_sql_text",
-    # (c) rotation hygiene: q64 (r4 row, 3 rounds stale — oldest in the
-    # ledger) then the r5 cohort, so after r8 the only rows older than
-    # two rounds are the 15 DEFERRED below.
-    "q64_corpus_clean_lsh",
-    "q02_minmax_probe", "q03_top_groups", "q04_nonnull_counts",
-    "q06_rounded_freq", "q08_hourly_pattern", "q09_dashboard_having",
-    "q11_derived_duration", "q12_period_pct_change",
-    "q16_union_federation", "q17_semijoin_topk", "q18_validation_split",
-    "q22_tumbling_window", "q23_approx_median", "q24_quality_score",
-    "q26_agg_of_agg_window",
-    "q32_lang_id", "q33_fingerprint",
-    "q38_cosine_topk", "q39_nearest_pairs", "q40_lsh_ann",
-    "q43_geohash_buckets", "q45_ivf_ann", "q47_changelog",
-    "q56_asof_error_context", "q60_stats_pruned_scan",
-    "q63_cdc_replica_sync", "q67_bucket_prune_proof",
-    "q68_spec_evolution_prune", "q69_wap_rollback",
-    "q73_bloom_prune_proof",
-    "q76_resample_gapfill", "q80_mor_delete_lifecycle",
-    "q81_media_resize",
-    "q84_bloom_semi_join", "q85_grouped_topk",
-    # DEFERRED to lead the r9 window (r5 rows age to 3 rounds — the 15
-    # with the strongest out-of-window proxies): q19/q20/q21 (DML trio
-    # — test_dml_properties + the same dml.delete/update/append path
-    # driven in-window by q102/q104), q29 (test_sessions.py), q34
-    # (exact dedup — test_dedup.py; trivially stable one-shuffle
-    # shape), q86 (unigram LM — q93's interpolated bigram rode a fresh
-    # r7 row over the same vocab-stats machinery; test_sketches),
-    # q75/q82 (KMV distinct + overlap — q102/q108 drive the identical
-    # kmv_sketch/kmv_overlap machinery in-window; test_sketches),
-    # q83 (count-min — overestimate-only + shard-additivity pinned in
-    # test_sketches; oracle-replayed at two SFs every pytest run),
-    # q36 (SimHash — the 10x fast==expression equality anchor in
-    # test_dedup pins the whole pipeline; oracle-replayed at two SFs),
-    # q31 (quality score — q111 drives the IDENTICAL score expression
-    # and oracle mirror in-window through the histogram calibration),
-    # q30 (token stats — tokens()/token_count drive q105/q110/q112
-    # in-window; oracle-replayed at two SFs every pytest run),
-    # q87 (test_sketches.py shard-additivity + oracle parity),
-    # q88 (the stored-index probe q90 rode a fresh r7 row over the
-    # SAME oracle pipeline; test_dedup mode-parity), q89 (single
-    # get_json_object projection, oracle-replayed by
+    # (a) the 15 rows deferred from r8 LEAD the r9 window exactly as
+    # documented last round (they would otherwise age to 4 rounds):
+    # the DML trio, sessionization, token stats, quality score, exact
+    # dedup, SimHash, the KMV/count-min/histogram sketch family, the
+    # unigram LM, the incremental LSH probe, and the JSON projection.
+    "q19_merge_fix", "q20_delete_update",
+    "q21_time_travel",
+    "q29_sessionization", "q30_token_stats", "q31_quality_score",
+    "q34_exact_dedup", "q36_simhash",
+    "q75_kmv_distinct", "q82_kmv_overlap", "q83_cm_token_freq",
+    "q86_unigram_lm_score", "q87_hist_quantiles",
+    "q88_lsh_probe_incremental", "q89_json_extract",
+    # (b) NEW this round (r9), never driver-verified: the analytic
+    # PERCENTILE_CONT gateway translation (PRD.md:853 spelling) and the
+    # two-writer OCC both-commits-survive proof.
+    "q114_percentile_analytic_text", "q115_concurrent_appends",
+    # (c) implementation touched this round, re-gated on the NEW code:
+    # q44 — clean_corpus now AUTO-ROUTES the near-dup stage (exact at
+    # gate scale, LSH when Σ df² goes quadratic); q64 — the forced-LSH
+    # twin over the same changed signature; q35 — ngram_jaccard_pairs
+    # refactored onto the shared _signed_keys helper; q106/q110 — BPE
+    # learning gained checkpointing + batched merges (sequential path
+    # re-gated); q113 — the df=0 idf coalesce (ADVICE r8); q99 — the
+    # gateway translator gained QUALIFY scoping, EXPORT overwrite,
+    # MERGE single-pass aliasing, PERCENTILE_CONT rules.
+    "q44_corpus_clean", "q64_corpus_clean_lsh", "q35_ngram_jaccard",
+    "q106_bpe_merges", "q110_bpe_segment_rollup", "q113_bm25_from_index",
+    "q99_bigquery_sql_text",
+    # (d) the commit path itself changed (CAS manifest create +
+    # rebase-retry in append/publish/overwrite): re-gate the heaviest
+    # lifecycle consumers — WAP-ingesting indexes, IVM refresh chains,
+    # streaming exactly-once appends, schema evolution, MOR/CDC.
+    "q90_signature_index_probe", "q98_ivm_delta_rollup",
+    "q25_streaming_tumbling", "q48_schema_evolution",
+    "q49_widen_column",
+    # (e) rotation hygiene: r7 rows from the dedup/signing family the
+    # _signed_keys refactor feeds (q46/q37/q53/q97/q54/q70/q72/q55/q74)
+    # and the oldest remaining r7 cohort, so after r9 every query has
+    # an r8/r9 row except the 21 DEFERRED below.
+    "q46_jaccard_maxdf", "q37_minhash_lsh", "q53_dup_clusters",
+    "q97_canonical_selection", "q54_contamination",
+    "q70_semdedup", "q72_dup_span_coverage", "q55_repetition_filter",
+    "q74_corpus_build_e2e",
+    "q91_join_runtime_filter", "q92_dhash_image_dedup",
+    "q93_bigram_lm_score", "q96_sq8_ann", "q100_centroid_rollup",
+    "q101_sliding_distinct_kmv", "q27_row_number_ids", "q28_stddev",
+    "q50_source_mix", "q51_pack_chunks", "q52_stratified_sample",
+    "q57_token_budget_selection",
+    # DEFERRED to lead the r10 window (r7 rows age to 3 rounds; all 21
+    # are stable single-shape queries with strong out-of-window
+    # proxies): q01/q05/q07/q10/q13/q14/q15 (pure-SELECT TPC-H shapes,
+    # replayed against DuckDB at two SFs by test_oracle_parity every
+    # pytest run AND as gateway text by test_gateway_corpus), q41/q42
+    # (multimodal header decode — test_multimodal), q58 (k-means —
+    # test_clustering), q59/q77/q78 (behavioral windows —
+    # test_sessions/test_oracle_parity), q61/q62 (chunking/rarity —
+    # test_curation), q65 (temperature mix — test_curation), q66 (PII
+    # — test_pii), q71 (sharding — test_sharding), q79 (splits —
+    # no-Exchange plan guard), q94/q95 (selection caps/sweep —
     # test_oracle_parity at two SFs every run).
 ]
 

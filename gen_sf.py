@@ -14,11 +14,18 @@ driver's sf0.1 fixtures (TESTDATA.md, seed=42 like the originals):
   orderdate/hour bucket, 10x customers, ...).
 - nation/region: fixed dimensions, copied verbatim (they do not scale
   in TPC-H either).
-- documents: FRESHLY generated word-salad from the fixture's exact
-  vocabulary/length/lang/source distributions (numpy, seed=42) — a
-  key-shifted copy would give every doc 9 byte-identical twins and
-  blow the near-dup join fan-out ~100x instead of 10x, which would be
-  a property of the DATA, not the engine.
+- documents: FRESHLY generated text with a HEAPS-LAW vocabulary
+  (numpy, seed=42): vocabulary size grows as ~30 * sqrt(corpus
+  tokens) and word ranks are Zipf(s=1.05) draws, matching how real
+  text scales. Two reasons this is NOT the driver fixture's 31-word
+  generator: (a) a key-shifted copy would give every doc 9
+  byte-identical twins and blow the near-dup join fan-out ~100x
+  instead of 10x; (b) the 31-word vocabulary SATURATES trigram space
+  (~31^3 shingles all occur), which makes every >sf0.1 text-operator
+  measurement an adversarial worst case (Sigma df^2 grows
+  quadratically) instead of measuring the engine — the round-8 sf3
+  ledger's q35/q44 blowups were exactly this fixture artifact
+  (SCALE.md round-8 section; VERDICT r8 task #2).
 - embeddings: fresh unit-normalized 64-dim Gaussians (seed=42),
   labels uniform over the fixture's 10 classes.
 
@@ -48,14 +55,14 @@ _SHIFTS = {
     "events": {"event_id": 100_000, "user_id": 1_500},
 }
 
-_VOCAB = [
-    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
-    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
-    "order", "part", "query", "row", "scan", "slow", "small", "sort",
-    "spark", "stream", "table", "the", "value", "vector", "window",
-]
 _LANGS = ["en", "de", "es", "fr", "zh"]
 _LANG_W = [0.41, 0.1475, 0.1475, 0.1475, 0.1475]
+# Heaps' law: vocabulary ~ K * tokens^BETA; K=30/BETA=0.5 are standard
+# English-corpus constants. Zipf exponent 1.05 keeps a realistic
+# frequent-word head without letting a handful of stopwords dominate.
+_HEAPS_K = 30.0
+_HEAPS_BETA = 0.5
+_ZIPF_S = 1.05
 
 
 def _gen_relational(con, out_dir: str, copies: int) -> None:
@@ -98,10 +105,23 @@ def _gen_documents(out_dir: str, copies: int) -> None:
     rng = np.random.default_rng(42)
     n_words = rng.integers(10, 101, size=n)
     langs = rng.choice(_LANGS, size=n, p=_LANG_W)
-    texts = []
-    vocab = np.array(_VOCAB)
-    for i in range(n):
-        texts.append(" ".join(vocab[rng.integers(0, len(vocab), n_words[i])]))
+    total_tokens = int(n_words.sum())
+    vocab_size = max(2_000, int(_HEAPS_K * total_tokens**_HEAPS_BETA))
+    # rank-indexed Zipf draws via inverse CDF over the truncated
+    # harmonic weights — one vectorized searchsorted for every token
+    w = 1.0 / np.arange(1, vocab_size + 1) ** _ZIPF_S
+    cdf = np.cumsum(w / w.sum())
+    ranks = np.searchsorted(cdf, rng.random(total_tokens), side="right")
+    vocab = np.array([f"w{r}" for r in range(vocab_size)])
+    tokens = vocab[np.minimum(ranks, vocab_size - 1)]
+    bounds = np.concatenate(([0], np.cumsum(n_words)))
+    texts = [
+        " ".join(tokens[bounds[i] : bounds[i + 1]]) for i in range(n)
+    ]
+    print(
+        f"  documents vocab: {vocab_size} words over {total_tokens} tokens "
+        f"(distinct used: {len(np.unique(ranks))})"
+    )
     tbl = pa.table(
         {
             "doc_id": pa.array(range(n), pa.int64()),
