@@ -27,6 +27,20 @@ from ..lakehouse.bloom import positions_col
 
 DEFAULT_BITS = 1 << 16  # 64 Kbit = 8 KB; ~1% FPR at ~5k distinct keys
 DEFAULT_K = 5
+# auto-sizing cap: 1 Mbit = 16384-long literal (~128 KB in the plan) —
+# past this the literal-array probe is the wrong tool (docstring of
+# bloom_probe_filter); use manifest-level blooms or a real join
+MAX_AUTO_BITS = 1 << 20
+
+
+def auto_bits(n_keys: int) -> int:
+    """Filter size for ~1% FPR at k=5: ~10 bits/key (FPR ≈
+    (1−e^(−k·n/m))^k ≈ 0.009 at m/n=10), rounded up to a power of two,
+    floored at DEFAULT_BITS and capped at MAX_AUTO_BITS."""
+    bits = DEFAULT_BITS
+    while bits < 10 * max(n_keys, 1) and bits < MAX_AUTO_BITS:
+        bits <<= 1
+    return bits
 
 
 def bloom_filter_words(
@@ -93,13 +107,22 @@ def bloom_semi_join(
     big: DataFrame,
     small: DataFrame,
     key: str,
-    bits: int = DEFAULT_BITS,
+    bits: int | None = None,
     k: int = DEFAULT_K,
 ) -> DataFrame:
     """`big ⋉ small` on `key`, with the big side Bloom-pre-filtered.
     Result is EXACTLY the semi-join (the left_semi pass removes Bloom
     false positives); the win is that the shuffle/broadcast join runs
-    on the pre-filtered remnant instead of the full big side."""
+    on the pre-filtered remnant instead of the full big side.
+
+    `bits=None` AUTO-SIZES the filter from the small side's key count
+    (~10 bits/key → ~1% FPR, capped at MAX_AUTO_BITS): a fixed 64 Kbit
+    filter degraded to 9% FPR once the dim side reached ~12k keys
+    (measured at the sf3 fixture), silently inflating the exact-join
+    input 4.5× — the auto size keeps the pass-through rate flat as the
+    dim grows. The extra count() is one aggregate over the SMALL side."""
+    if bits is None:
+        bits = auto_bits(small.select(key).distinct().count())
     words = bloom_filter_words(small, key, bits, k)
     pre = bloom_probe_filter(big, key, words, bits, k)
     return pre.join(small.select(key).distinct(), key, "left_semi")

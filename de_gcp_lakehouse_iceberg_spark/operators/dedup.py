@@ -207,12 +207,15 @@ def shingle_fanout_stats(
 
 # Auto-routing threshold for the near-dup stage: go LSH when the
 # exact inverted-index join would fan out more than this many rows per
-# input shingle row (Σ df² / rows). Saturated-vocabulary corpora blow
-# past it (measured: ratio ≈ 90 at sf1.0, ≈ 267 at sf3.0 on the
-# fixed-31-word fixture — the family the r8 sf3 ledger showed going
-# quadratic), while Heaps-law text stays in single digits (≈ 2 at
-# sf0.01, ≈ 10 at sf0.1), so gate-scale runs keep the exact baseline.
-JACCARD_LSH_FANOUT_RATIO = 32.0
+# input shingle row (Σ df² / rows). Measured on this engine, the two
+# routes cross over around ratio ≈ 10-13 (q44 exact 5.3 s vs forced
+# LSH 4.5 s at the sf1 Heaps fixture, routing-point ratio 13.0); 16
+# keeps every gate fixture on the exact oracle baseline with margin
+# (7.4 at sf0.1, 13.0 at sf1.0) while the sf3 fixture (30.9) and any
+# saturated-vocabulary corpus (≈ 90-267 on the r8 fixed-31-word
+# fixture — the family the r8 sf3 ledger showed going quadratic)
+# take the banded-LSH route.
+JACCARD_LSH_FANOUT_RATIO = 16.0
 
 
 def choose_jaccard_route(

@@ -99,3 +99,19 @@ def test_grouped_topk_small_groups_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan            # two-phase, no global sort
     assert "partial_collect_list" in plan  # map-side combine
+
+
+def test_auto_bits_tracks_key_count():
+    from de_gcp_lakehouse_iceberg_spark.operators.bloomjoin import (
+        DEFAULT_BITS,
+        MAX_AUTO_BITS,
+        auto_bits,
+    )
+
+    assert auto_bits(0) == DEFAULT_BITS
+    assert auto_bits(5_000) == DEFAULT_BITS  # ~13 bits/key already
+    assert auto_bits(12_000) == DEFAULT_BITS * 2  # the sf3 regime
+    assert auto_bits(10**9) == MAX_AUTO_BITS  # capped: literal stays sane
+    # always a multiple of 64 (bitset words)
+    for n in (0, 1, 7_000, 50_000):
+        assert auto_bits(n) % 64 == 0
