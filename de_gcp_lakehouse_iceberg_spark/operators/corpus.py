@@ -26,12 +26,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import quality_score, token_count
-from .dedup import (
-    choose_jaccard_route,
-    doc_shingles,
-    minhash_lsh_pairs,
-    ngram_jaccard_pairs,
-)
+from .dedup import doc_shingles, near_dup_pairs
 
 
 def clean_corpus(
@@ -68,16 +63,9 @@ def clean_corpus(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_q")
     )
-    if use_lsh is None:
-        use_lsh = choose_jaccard_route(kept) == "lsh"
     # near-dup removal on the survivors: drop the higher id of each pair
-    if use_lsh:
-        # portable mode takes the fused one-Arrow-pass fast path
-        pairs = minhash_lsh_pairs(
-            kept, threshold=jaccard_threshold, hash_mode="portable"
-        )
-    else:
-        pairs = ngram_jaccard_pairs(kept, threshold=jaccard_threshold)
+    route = None if use_lsh is None else ("lsh" if use_lsh else "exact")
+    pairs = near_dup_pairs(kept, threshold=jaccard_threshold, route=route)
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return kept.join(losers, "doc_id", "left_anti")
 

@@ -233,6 +233,34 @@ def choose_jaccard_route(
     return "lsh" if df2 > fanout_ratio * rows else "exact"
 
 
+def near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    route: str | None = None,
+) -> DataFrame:
+    """Route-selected near-dup pairs (doc_a, doc_b, jaccard) — THE pair
+    source the corpus pipeline consumers share (clean_corpus, dup
+    clustering, canonical selection): the exact inverted-index join
+    while its measured Σ df² fan-out is benign, the banded
+    portable-LSH pipeline above `JACCARD_LSH_FANOUT_RATIO`. Both
+    routes produce the same pair set at the gated thresholds (banding
+    recall ≈ 1−1e-4 at J ≥ 0.5; pinned by
+    test_lsh_pairs_equal_exact_pairs), so consumers keep their exact
+    oracles at gate scale and the scale-safe plan past it. Pass
+    route='exact'/'lsh' to force."""
+    if route is None:
+        route = choose_jaccard_route(docs, id_col, text_col, n)
+    if route == "lsh":
+        return minhash_lsh_pairs(
+            docs, id_col, text_col, n,
+            threshold=threshold, hash_mode="portable",
+        )
+    return ngram_jaccard_pairs(docs, id_col, text_col, n, threshold)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import dup_clusters_star, ngram_jaccard_pairs
+from ..operators.dedup import dup_clusters_star, near_dup_pairs
 from ..operators.packing import chunk_stats, pack_chunks
 from ..operators.sampling import (
     id_hash_sql,
@@ -194,7 +194,9 @@ def q52_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q53_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    # route-selected pair source (exact at gate scale, LSH past the
+    # fan-out threshold — same pair set either way, see near_dup_pairs)
+    pairs = near_dup_pairs(docs, threshold=0.5)
     clusters = dup_clusters_star(pairs)
     return (
         clusters.groupBy("cluster_id")

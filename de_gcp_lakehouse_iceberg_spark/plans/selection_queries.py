@@ -185,10 +185,12 @@ def q95_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q97_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import dup_clusters_star, ngram_jaccard_pairs
+    from ..operators.dedup import dup_clusters_star, near_dup_pairs
 
     docs = table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    # route-selected pair source (exact at gate scale, LSH past the
+    # fan-out threshold — same pair set either way, see near_dup_pairs)
+    pairs = near_dup_pairs(docs, threshold=0.5)
     clusters = dup_clusters_star(pairs).localCheckpoint()
     scored = docs.select(
         "doc_id", "lang", quality_score("text").alias("q")

@@ -96,3 +96,27 @@ def test_clean_corpus_auto_keeps_exact_at_gate_scale(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     kept = docs.filter(F.col("lang").isin(["en", "de", "fr"]))
     assert dedup.choose_jaccard_route(kept) == "exact"
+
+
+def test_near_dup_pairs_routes_agree(spark):
+    """The routed pair source returns the SAME (doc_a, doc_b) set on
+    both routes — the invariant that lets q53/q97/q44 keep their exact
+    oracles while auto-routing at scale."""
+    texts = _saturated(80)
+    base = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12"
+    texts += [base, base + " p13", base.replace("p1 ", "p1 p1 ")]
+    docs = _docs(spark, texts)
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.near_dup_pairs(docs, route="exact").collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.near_dup_pairs(docs, route="lsh").collect()
+    }
+    auto = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.near_dup_pairs(docs).collect()
+    }
+    assert exact == lsh == auto
+    assert len(exact) > 0
