@@ -20,6 +20,8 @@ stage (codegen'd higher-order forall).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -77,19 +79,50 @@ def bloom_probe_filter(
     words: list[int],
     bits: int = DEFAULT_BITS,
     k: int = DEFAULT_K,
+    arrow: bool = True,
 ) -> DataFrame:
     """Keep only rows whose key MIGHT be in the filter (no false
-    negatives). Pure Column expression — stays in the scan stage.
+    negatives).
 
-    Cost model note: the bitset rides in the plan as a literal
-    array<long> of bits/64 words (1024 longs at the default 64 Kbit),
-    and the `forall` probe is a higher-order function — interpreted
-    per row, not codegen'd. That is the right trade at the default
-    size, but raising `bits` by ~100x would put a megaword literal in
-    the plan (serialized to every task) and slow the interpreted probe;
-    at that scale use the manifest-level blooms (lakehouse/bloom.py,
-    probed once per FILE at plan time) or a real join instead."""
+    Numeric keys take an Arrow fast path by default: the k positions
+    and the bit tests run as a handful of whole-column numpy ops per
+    batch (integer math identical to the expression form — same
+    portable double-hash family, numpy %/pmod agree for a positive
+    modulus), with the bitset captured in the UDF closure instead of
+    riding the plan as a literal. The expression form (`arrow=False`,
+    and the string-key path) is the cross-engine anchor — it is an
+    interpreted higher-order `forall` per row, which is both ~10× the
+    per-row cost and sensitive to executor memory pressure late in a
+    long session (measured: q84's probe 2-3 s in isolation but ~27 s
+    after 83 corpus queries at sf3; the Arrow path is flat in both).
+    Either path feeds the exact semi-join that removes false
+    positives, so results are identical. NULL keys are dropped by
+    both (the expression's forall is NULL ⇒ filtered)."""
     is_string = dict(big.dtypes)[key] == "string"
+    if arrow and not is_string:
+        from pyspark.sql.functions import pandas_udf
+
+        from ..lakehouse.bloom import _A1, _A2, _B1, _B2, _P
+
+        warr = np.array(words, dtype=np.int64)
+
+        @pandas_udf("boolean")
+        def hit(s: pd.Series) -> pd.Series:
+            na = np.asarray(s.isna())
+            v = s.fillna(0).to_numpy(dtype=np.int64)
+            h = np.mod(v, _P)  # == pmod: non-negative for positive P
+            h1 = (h * _A1 + _B1) % _P  # h < 2^31, A1 < 2^31 → < 2^62
+            h2 = (h * _A2 + _B2) % _P
+            ok = np.ones(len(v), dtype=bool)
+            for i in range(k):
+                p = (h1 + i * h2) % bits
+                # arithmetic >> keeps bit (p%64) intact; & 1 isolates it
+                ok &= ((warr[p // 64] >> (p % 64)) & 1).astype(bool)
+            out = pd.array(ok, dtype="boolean")
+            out[na] = False
+            return pd.Series(out)
+
+        return big.filter(hit(F.col(key)))
     probed = big.withColumn(
         "_bf_ps", positions_col(F.col(key), is_string, bits, k)
     ).withColumn("_bf_w", F.lit(words))

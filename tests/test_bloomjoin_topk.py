@@ -115,3 +115,38 @@ def test_auto_bits_tracks_key_count():
     # always a multiple of 64 (bitset words)
     for n in (0, 1, 7_000, 50_000):
         assert auto_bits(n) % 64 == 0
+
+
+def test_arrow_probe_equals_expression_probe(spark):
+    """The numpy fast-path probe must keep EXACTLY the rows the
+    expression-form probe keeps (same double-hash integers), including
+    negative keys and NULLs (both drop NULL keys)."""
+    from de_gcp_lakehouse_iceberg_spark.operators.bloomjoin import (
+        bloom_filter_words,
+        bloom_probe_filter,
+    )
+
+    big = spark.createDataFrame(
+        [(i,) for i in range(-500, 500)] + [(None,)], "key long"
+    )
+    small = spark.createDataFrame(
+        [(i,) for i in range(-50, 50, 7)], "key long"
+    )
+    bits, k = 1 << 10, 5
+    words = bloom_filter_words(small, "key", bits, k)
+    fast = {
+        r["key"]
+        for r in bloom_probe_filter(
+            big, "key", words, bits, k, arrow=True
+        ).collect()
+    }
+    expr = {
+        r["key"]
+        for r in bloom_probe_filter(
+            big, "key", words, bits, k, arrow=False
+        ).collect()
+    }
+    assert fast == expr
+    assert None not in fast
+    # no false negatives on either path
+    assert {r["key"] for r in small.collect()} <= fast
