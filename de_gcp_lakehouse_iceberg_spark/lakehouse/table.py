@@ -14,14 +14,18 @@ a deliberately thin metadata layer:
   per-file row counts/bytes/partition values — the driver-side work is
   O(#files), never O(rows);
 - commits: write-new-files → CAS-create the version's manifest
-  (hard-link, fails if another writer claimed the version) → swap the
-  pointer file (os.replace). Multi-writer optimistic concurrency: the
-  loser of a race gets `CommitConflict` and re-plans against the new
-  head — `append` and `publish` rebase automatically (file additions
-  commute, Iceberg's fast-append retry), while copy-on-write
-  `replace_files` surfaces the conflict to its caller, which planned
-  against specific files. On a shared object store the CAS-create +
-  pointer swap is exactly the role of Iceberg's catalog commit.
+  (hard-link, fails if another writer claimed the version — this link
+  IS the commit point) → refresh the pointer file (os.replace, a fast
+  HINT that `current_version` walks forward past, so a writer crashing
+  between link and hint-swap neither hides its committed version nor
+  blocks the slot, and a stale hint write can never regress the head).
+  Multi-writer optimistic concurrency: the loser of a race gets
+  `CommitConflict` and re-plans against the new head — `append` and
+  `publish` rebase automatically (file additions commute, Iceberg's
+  fast-append retry), while copy-on-write `replace_files` surfaces the
+  conflict to its caller, which planned against specific files. On a
+  shared object store the CAS-create plays exactly the role of
+  Iceberg's catalog commit.
 
 Scale posture: a snapshot read hands Spark an explicit file list with
 `basePath`, so partition columns survive and Catalyst still does column
@@ -476,11 +480,27 @@ class LakeTable:
     # snapshot bookkeeping
     # ------------------------------------------------------------------
     def current_version(self) -> int | None:
+        """Head version. The CAS-created manifest is the COMMIT POINT;
+        the pointer file is a fast hint. Walking forward past the hint
+        through consecutively-existing manifests makes the head (a)
+        immune to a writer crashing between manifest link and hint
+        swap — the claimed version slot would otherwise block every
+        later commit — and (b) monotonic even if a slow writer's
+        stale hint write lands after a faster writer's (the walk can
+        only move forward). The walk is 1 existence probe in steady
+        state (the hint is current)."""
         try:
             with open(os.path.join(self.root, POINTER)) as f:
-                return int(f.read().strip())
+                v: int | None = int(f.read().strip())
         except FileNotFoundError:
-            return None
+            v = None
+        nxt = 0 if v is None else v + 1
+        while os.path.exists(
+            os.path.join(self.root, MANIFEST_DIR, f"v{nxt:08d}.json")
+        ):
+            v = nxt
+            nxt += 1
+        return v
 
     def snapshot(self, version: int | None = None) -> Snapshot:
         if version is None:

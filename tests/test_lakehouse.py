@@ -463,3 +463,59 @@ def test_replace_files_loser_does_not_clobber(spark, tmp_path):
             expected_base=v,
         )
     assert sorted(r["id"] for r in t.scan().collect()) == [1, 2, 3]
+
+
+def test_crashed_writer_does_not_block_commits(spark, tmp_path):
+    """The CAS-linked manifest is the commit point; the pointer file is
+    a hint. A writer that crashes between link and hint swap must
+    neither hide its (committed) version nor block the slot for every
+    later writer."""
+    import json
+    import os
+
+    from de_gcp_lakehouse_iceberg_spark.lakehouse import LakeTable
+
+    root = str(tmp_path / "crashed")
+    t = LakeTable.create(spark, root)
+    t.append(spark.createDataFrame([(1,), (2,)], "id long"))
+    v = t.current_version()
+    # simulate the crash: a fully-written manifest for v+1 (same file
+    # set, one op marker) with NO pointer swap
+    mdir = os.path.join(root, "_manifests")
+    with open(os.path.join(mdir, f"v{v:08d}.json")) as f:
+        snap = json.load(f)
+    snap["version"] = v + 1
+    snap["operation"] = "crashed_append"
+    with open(os.path.join(mdir, f"v{v + 1:08d}.json"), "w") as f:
+        json.dump(snap, f)
+    assert int(open(os.path.join(root, "_current")).read()) == v
+
+    t2 = LakeTable.load(spark, root)
+    # the linked manifest IS committed and visible…
+    assert t2.current_version() == v + 1
+    assert t2.snapshot().operation == "crashed_append"
+    # …and new commits proceed past it instead of conflicting forever
+    t2.append(spark.createDataFrame([(3,)], "id long"))
+    assert t2.current_version() == v + 2
+    assert sorted(r["id"] for r in t2.scan().collect()) == [1, 2, 3]
+
+
+def test_stale_pointer_hint_cannot_regress_the_head(spark, tmp_path):
+    """A stale hint write (slow writer losing the swap race) must not
+    make committed versions invisible: the head walks forward through
+    existing manifests."""
+    import os
+
+    from de_gcp_lakehouse_iceberg_spark.lakehouse import LakeTable
+
+    root = str(tmp_path / "stale_hint")
+    t = LakeTable.create(spark, root)
+    t.append(spark.createDataFrame([(1,)], "id long"))
+    t.append(spark.createDataFrame([(2,)], "id long"))
+    head = t.current_version()
+    # regress the hint
+    with open(os.path.join(root, "_current"), "w") as f:
+        f.write("0")
+    t2 = LakeTable.load(spark, root)
+    assert t2.current_version() == head
+    assert sorted(r["id"] for r in t2.scan().collect()) == [1, 2]
