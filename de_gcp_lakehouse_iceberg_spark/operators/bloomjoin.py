@@ -107,9 +107,15 @@ def bloom_probe_filter(
         warr = np.array(words, dtype=np.int64)
 
         @pandas_udf("boolean")
-        def hit(s: pd.Series) -> pd.Series:
-            na = np.asarray(s.isna())
-            v = s.fillna(0).to_numpy(dtype=np.int64)
+        def hit(s: pd.Series, na_s: pd.Series) -> pd.Series:
+            # `s` is coalesce(key, 0) — NULL-free by construction, so
+            # Arrow→pandas keeps it int64. Letting NULLs through would
+            # promote the whole batch to float64 and silently round
+            # |key| > 2^53 BEFORE we could recover it, hashing a
+            # different value than the build side ⇒ bloom false
+            # negatives. The real NULLs ride the separate boolean flag.
+            na = na_s.to_numpy(dtype=bool)
+            v = s.to_numpy(dtype=np.int64)
             h = np.mod(v, _P)  # == pmod: non-negative for positive P
             h1 = (h * _A1 + _B1) % _P  # h < 2^31, A1 < 2^31 → < 2^62
             h2 = (h * _A2 + _B2) % _P
@@ -118,11 +124,13 @@ def bloom_probe_filter(
                 p = (h1 + i * h2) % bits
                 # arithmetic >> keeps bit (p%64) intact; & 1 isolates it
                 ok &= ((warr[p // 64] >> (p % 64)) & 1).astype(bool)
-            out = pd.array(ok, dtype="boolean")
-            out[na] = False
-            return pd.Series(out)
+            ok[na] = False  # NULL key ⇒ filtered (matches forall path)
+            return pd.Series(ok)
 
-        return big.filter(hit(F.col(key)))
+        kc = F.col(key).cast("long")
+        return big.filter(
+            hit(F.coalesce(kc, F.lit(0).cast("long")), kc.isNull())
+        )
     probed = big.withColumn(
         "_bf_ps", positions_col(F.col(key), is_string, bits, k)
     ).withColumn("_bf_w", F.lit(words))

@@ -150,3 +150,46 @@ def test_arrow_probe_equals_expression_probe(spark):
     assert None not in fast
     # no false negatives on either path
     assert {r["key"] for r in small.collect()} <= fast
+
+
+def test_arrow_probe_large_keys_with_nulls_in_batch(spark):
+    """|key| > 2^53 with NULLs in the SAME Arrow batch: a nullable int64
+    batch converts to float64 pandas, which rounds 2^53+1 → 2^53 and
+    hashes a DIFFERENT value than the build side — a bloom false
+    negative (silently dropped matching row). The probe must keep the
+    key exact. Single partition forces everything into one batch."""
+    from de_gcp_lakehouse_iceberg_spark.operators.bloomjoin import (
+        bloom_filter_words,
+        bloom_probe_filter,
+        bloom_semi_join,
+    )
+
+    base = 1 << 60
+    keys = [base + 1, base + 2, base + 3, -(base + 7), (1 << 53) + 1]
+    big = spark.createDataFrame(
+        [(k,) for k in keys] + [(None,), (0,)], "key long"
+    ).coalesce(1)
+    small = spark.createDataFrame(
+        [(base + 1,), (-(base + 7),), ((1 << 53) + 1,)], "key long"
+    )
+    bits, k = 1 << 12, 5
+    words = bloom_filter_words(small, "key", bits, k)
+    fast = {
+        r["key"]
+        for r in bloom_probe_filter(
+            big, "key", words, bits, k, arrow=True
+        ).collect()
+    }
+    expr = {
+        r["key"]
+        for r in bloom_probe_filter(
+            big, "key", words, bits, k, arrow=False
+        ).collect()
+    }
+    assert fast == expr
+    assert None not in fast
+    assert {base + 1, -(base + 7), (1 << 53) + 1} <= fast
+    # end-to-end: the semi-join (default arrow=True) returns exactly
+    # the matching large keys
+    got = {r.key for r in bloom_semi_join(big, small, "key").collect()}
+    assert got == {base + 1, -(base + 7), (1 << 53) + 1}
