@@ -76,6 +76,29 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — warm-up is best-effort
             print(f"# cache warm-up failed: {exc}", file=sys.stderr)
 
+    # Host-speed calibration anchor: a fixed-shape, data-independent
+    # Spark job (32-partition range scan + hash-mod aggregate, best of
+    # 3, AFTER warm-up so it measures steady state) recorded in every
+    # ledger/JSON line. Cross-round and builder-vs-driver comparisons
+    # divide by the calibration ratio to separate host variance from
+    # engine regressions — the r9 discrepancy (builder ledger 116 s vs
+    # driver re-record 143 s, host factor ~1.24×) was otherwise
+    # unfalsifiable.
+    calibration_s = None
+    try:
+        cal_best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(0, 50_000_000, 1, 32).selectExpr(
+                "sum(id * 2654435761 % 1000003) AS s"
+            ).collect()
+            dt = time.perf_counter() - t0
+            cal_best = dt if cal_best is None else min(cal_best, dt)
+        calibration_s = round(cal_best, 4)
+        print(f"# calibration: {calibration_s}s", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001 — calibration is best-effort
+        print(f"# calibration failed: {exc}", file=sys.stderr)
+
     # Failure isolation: one broken query must never void the other
     # measurements — record its error and keep going; ALWAYS emit the
     # JSON line (round-2 lesson: an unhandled AnalysisException voided
@@ -238,6 +261,8 @@ def main() -> None:
         "sf": sf,
         "runs": runs,
     }
+    if calibration_s is not None:
+        out["calibration_s"] = calibration_s
     if concurrent:
         out["concurrent"] = {
             k: v for k, v in concurrent.items() if k != "latencies"
@@ -256,6 +281,15 @@ def main() -> None:
         "sf": sf,
         "runs": runs,
         "cache": os.environ.get("SPARK_GRAFT_CACHE", "1") != "0",
+        "calibration_s": calibration_s,
+        "host": {
+            "cpus": os.cpu_count(),
+            "spark_cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+            "loadavg_1m": round(os.getloadavg()[0], 2),
+            "recorded_at": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            ),
+        },
         "total_min": round(sum(timings.values()), 3),
         "total_first": round(sum(first_run.values()), 3),
         "worst_min": max(timings.values(), default=0.0),

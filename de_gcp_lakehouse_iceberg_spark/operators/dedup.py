@@ -52,6 +52,14 @@ def _unpersist_quiet(jdf) -> None:
 _SIGNING_CACHE: list[DataFrame] = []  # most-recent-first
 _SIGNING_CACHE_CAP = 4
 _SIGNING_LOCK = __import__("threading").Lock()
+# Fan-out stats memo keyed by id() of the PINNED cache entry: the route
+# decision depends only on the signing result, so every routed consumer
+# of the same corpus (clean_corpus, dup clustering, canonical
+# selection) shares ONE Σ df² aggregate instead of re-running it —
+# the r9 driver bench showed the repeated measurement as a ~0.3-0.5 s
+# per-query tax at gate scale. Entries are dropped with their cache
+# slot, so a recycled id() can never alias a dead DataFrame.
+_SIGNING_STATS: dict[int, tuple[int, float]] = {}
 
 
 def _cached_signing(dk: DataFrame) -> DataFrame:
@@ -84,7 +92,9 @@ def _cached_signing(dk: DataFrame) -> DataFrame:
         dk = dk.persist()  # lazy: nothing runs until a consumer does
         _SIGNING_CACHE.insert(0, dk)
         while len(_SIGNING_CACHE) > _SIGNING_CACHE_CAP:
-            _unpersist_quiet(_SIGNING_CACHE.pop()._jdf)
+            evicted = _SIGNING_CACHE.pop()
+            _SIGNING_STATS.pop(id(evicted), None)
+            _unpersist_quiet(evicted._jdf)
         return dk
 
 
@@ -92,6 +102,7 @@ def clear_signing_cache() -> None:
     """Unpersist and forget every cached signing result (test hook /
     explicit release)."""
     with _SIGNING_LOCK:
+        _SIGNING_STATS.clear()
         while _SIGNING_CACHE:
             _unpersist_quiet(_SIGNING_CACHE.pop()._jdf)
 
@@ -188,10 +199,13 @@ def shingle_fanout_stats(
     frequencies) — the exact fan-out of the inverted-index self-join
     `ngram_jaccard_pairs` would run (its joined-row count is
     Σ df·(df−1)/2 ≈ Σ df²/2). One linear aggregate over the CACHED
-    signing plan: cheap at any corpus size, and the signing result is
-    reused by whichever route runs next. Σ df² is summed as double —
-    it's a routing estimate, not a gated value."""
+    signing plan, memoized per cache entry: consumers of the same
+    corpus (q44/q53/q97-class) pay for the measurement once. Σ df² is
+    summed as double — it's a routing estimate, not a gated value."""
     dk = _signed_keys(docs, id_col, text_col, n)
+    memo = _SIGNING_STATS.get(id(dk))
+    if memo is not None:
+        return memo
     row = (
         dk.select(F.explode("keys").alias("sh"))
         .groupBy("sh")
@@ -202,7 +216,11 @@ def shingle_fanout_stats(
         )
         .first()
     )
-    return int(row["rows"] or 0), float(row["df2"] or 0.0)
+    stats = int(row["rows"] or 0), float(row["df2"] or 0.0)
+    with _SIGNING_LOCK:
+        if any(e is dk for e in _SIGNING_CACHE):  # still pinned
+            _SIGNING_STATS[id(dk)] = stats
+    return stats
 
 
 # Auto-routing threshold for the near-dup stage: go LSH when the
