@@ -30,8 +30,9 @@ from ..lakehouse.bloom import (
 )
 from ..tables import table
 from .queries import register
+from .workdir import scratch
 
-_ROOT = "/tmp/lakehouse_bloom_queries"
+_ROOT = scratch("lakehouse_bloom_queries")
 _FILES = 8
 _BITS = 131072   # ~10 bits/row at sf0.1's 12.5k rows/file → FPR < 1%
 _K = 5

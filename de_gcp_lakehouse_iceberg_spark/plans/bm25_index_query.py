@@ -21,6 +21,7 @@ from ..operators.topk import grouped_topk
 from ..tables import table
 from .bm25_query import _K, _TERMS, _oracle, _spark_score
 from .queries import _r, register
+from .workdir import scratch
 
 
 @register("q113_bm25_from_index", oracle=_oracle())
@@ -30,7 +31,7 @@ def q113_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     root = os.path.join(
-        "/tmp/lakehouse_bm25_index",
+        scratch("lakehouse_bm25_index"),
         os.path.basename(os.path.normpath(sf_dir)),
     )
     shutil.rmtree(root, ignore_errors=True)

@@ -16,8 +16,9 @@ from pyspark.sql import functions as F
 from ..lakehouse import LakeTable, dml
 from ..tables import table
 from .queries import register
+from .workdir import scratch
 
-_ROOT = "/tmp/lakehouse_cdc_queries"
+_ROOT = scratch("lakehouse_cdc_queries")
 
 
 @register(

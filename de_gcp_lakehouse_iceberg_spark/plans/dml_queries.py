@@ -22,8 +22,9 @@ from pyspark.sql import functions as F
 from ..lakehouse import LakeTable, dml
 from ..tables import table
 from .queries import _dsum, register
+from .workdir import scratch
 
-_WORK_ROOT = "/tmp/lakehouse_dml_queries"
+_WORK_ROOT = scratch("lakehouse_dml_queries")
 
 
 def _fresh_table(

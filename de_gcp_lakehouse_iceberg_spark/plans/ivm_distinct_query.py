@@ -28,8 +28,9 @@ from ..lakehouse.ivm import IncrementalRollup
 from ..operators.sampling import SAMPLE_P, id_hash_sql
 from ..tables import table
 from .queries import register
+from .workdir import scratch
 
-_ROOT = "/tmp/lakehouse_ivm_distinct_query"
+_ROOT = scratch("lakehouse_ivm_distinct_query")
 _K = 64
 _DEL = "o_custkey % 7 = 3"
 _UPD = "o_custkey % 5 = 1"

@@ -20,8 +20,9 @@ from ..lakehouse import LakeTable, dml
 from ..lakehouse.ivm import IncrementalRollup
 from ..tables import table
 from .queries import register
+from .workdir import scratch
 
-_ROOT = "/tmp/lakehouse_ivm_query"
+_ROOT = scratch("lakehouse_ivm_query")
 _DEL = "o_custkey % 7 = 3"
 _UPD = "o_custkey % 5 = 1"
 _INS = "o_custkey % 11 = 4"

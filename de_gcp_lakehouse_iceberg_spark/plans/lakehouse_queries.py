@@ -14,8 +14,9 @@ from pyspark.sql import functions as F
 from ..lakehouse import LakeTable, dml, evolution
 from ..tables import table
 from .queries import register
+from .workdir import scratch
 
-_WORK_ROOT = "/tmp/lakehouse_meta_queries"
+_WORK_ROOT = scratch("lakehouse_meta_queries")
 
 
 def _root(name: str, sf_dir: str) -> str:

@@ -17,8 +17,9 @@ from ..lakehouse import LakeTable
 from ..lakehouse.dml import delete_mor, materialize_deletes
 from ..tables import table
 from .queries import _dsum, _r, register
+from .workdir import scratch
 
-_ROOT = "/tmp/lakehouse_mor_query"
+_ROOT = scratch("lakehouse_mor_query")
 
 
 @register(

@@ -26,8 +26,9 @@ from pyspark.sql import functions as F
 from ..lakehouse import LakeTable
 from ..tables import table
 from .queries import register
+from .workdir import scratch
 
-_WORK_ROOT = "/tmp/lakehouse_occ_query"
+_WORK_ROOT = scratch("lakehouse_occ_query")
 
 
 @register(

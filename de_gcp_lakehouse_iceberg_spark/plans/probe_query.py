@@ -32,6 +32,7 @@ from ..operators.dedup import (
 )
 from ..tables import table
 from .queries import register
+from .workdir import scratch
 
 _NH, _BANDS = 64, 32
 _THRESH = 0.5
@@ -178,7 +179,7 @@ def q90_signature_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus, new_batch = _sides(spark, sf_dir)
     root = os.path.join(
-        "/tmp/lakehouse_sig_index",
+        scratch("lakehouse_sig_index"),
         os.path.basename(os.path.normpath(sf_dir)),
     )
     shutil.rmtree(root, ignore_errors=True)

@@ -30,8 +30,9 @@ from pyspark.sql import functions as F
 from ..lakehouse import LakeTable
 from ..tables import table
 from .queries import register
+from .workdir import scratch
 
-_ROOT = "/tmp/lakehouse_pruning_proof"
+_ROOT = scratch("lakehouse_pruning_proof")
 _BUCKETS = 8
 _TRUNC = 256
 _TRUNC_CAP = 4096  # truncate table loads event_id < cap → ≤16 partition

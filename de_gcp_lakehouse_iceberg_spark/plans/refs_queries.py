@@ -31,8 +31,9 @@ from ..lakehouse import LakeTable
 from ..lakehouse.evolution import set_partition_spec
 from ..tables import table
 from .queries import _dsum, _r, register
+from .workdir import scratch
 
-_ROOT = "/tmp/lakehouse_refs_queries"
+_ROOT = scratch("lakehouse_refs_queries")
 _CUTOFF = dt.datetime(2024, 1, 16)  # exact day boundary at every SF
 _UID = 7  # bucket-7 probe: every other bucket-7 user is ≥ 15
 

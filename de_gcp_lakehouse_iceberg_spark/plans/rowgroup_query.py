@@ -25,8 +25,9 @@ from pyspark.sql import functions as F
 from ..lakehouse import LakeTable
 from ..tables import table
 from .queries import _dsum, register
+from .workdir import scratch
 
-_ROOT = "/tmp/lakehouse_rowgroup_query"
+_ROOT = scratch("lakehouse_rowgroup_query")
 
 
 @register(

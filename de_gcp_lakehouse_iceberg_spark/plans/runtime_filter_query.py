@@ -30,8 +30,9 @@ from ..lakehouse.bloom import _A1, _A2, _B1, _B2, _P, add_bloom_filters
 from ..lakehouse.runtime_filter import scan_with_join_filter
 from ..tables import table
 from .queries import _dsum, register
+from .workdir import scratch
 
-_ROOT = "/tmp/lakehouse_runtime_filter"
+_ROOT = scratch("lakehouse_runtime_filter")
 _FILES = 15
 _BITS = 65536
 _K = 5

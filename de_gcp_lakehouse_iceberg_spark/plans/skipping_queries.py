@@ -22,8 +22,9 @@ from pyspark.sql import functions as F
 from ..lakehouse import LakeTable
 from ..tables import table
 from .queries import _davg, register
+from .workdir import scratch
 
-_ROOT = "/tmp/lakehouse_skipping_queries"
+_ROOT = scratch("lakehouse_skipping_queries")
 _N_BATCHES = 4
 
 

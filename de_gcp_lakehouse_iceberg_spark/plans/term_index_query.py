@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..lakehouse.term_index import TermStatsIndex
 from ..tables import table
 from .queries import register
+from .workdir import scratch
 
 _TERMS = ["merge", "scan", "sort", "window"]
 
@@ -58,7 +59,7 @@ def q112_incremental_term_stats(
         "doc_id", "lang", "text"
     )
     root = os.path.join(
-        "/tmp/lakehouse_term_index",
+        scratch("lakehouse_term_index"),
         os.path.basename(os.path.normpath(sf_dir)),
     )
     shutil.rmtree(root, ignore_errors=True)
