@@ -188,15 +188,20 @@ def _rewrite_qualify(s: str) -> str:
     q = _depth0_index(s, "QUALIFY")
     if q < 0:
         return s
-    # A depth-0 set operation after QUALIFY would be swallowed into the
-    # helper-column predicate — reject loudly instead of producing a
-    # confusing downstream parse error (QUALIFY binds per SELECT; wrap
-    # the branch in parentheses to combine it with a set op).
-    for op in ("UNION", "INTERSECT", "EXCEPT"):
-        if _depth0_index(s, op, q + 7) >= 0:
+    # A depth-0 set operation ANYWHERE in a QUALIFY statement breaks
+    # the wrap: QUALIFY binds per SELECT branch, but the helper-column
+    # rewrite would filter (and * EXCEPT) the ENTIRE union — e.g.
+    # `SELECT ... UNION ALL SELECT ... QUALIFY ...` silently applied
+    # the predicate to both branches. Reject loudly instead (wrap the
+    # QUALIFY branch in parentheses to combine it with a set op).
+    # UNION/INTERSECT scan from 0 (set op before OR after QUALIFY);
+    # EXCEPT scans only after QUALIFY because BigQuery's select-list
+    # `SELECT * EXCEPT (col)` form would false-positive before it.
+    for op, frm in (("UNION", 0), ("INTERSECT", 0), ("EXCEPT", q + 7)):
+        if _depth0_index(s, op, frm) >= 0:
             raise ValueError(
-                f"QUALIFY followed by a top-level {op} is not supported — "
-                "parenthesize the QUALIFY branch as a subquery"
+                f"QUALIFY combined with a top-level {op} is not supported "
+                "— parenthesize the QUALIFY branch as a subquery"
             )
     # Predicate runs until a top-level ORDER BY / LIMIT or end-of-text.
     tail_at = len(s)

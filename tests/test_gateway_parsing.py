@@ -61,6 +61,42 @@ def test_qualify_rewrite_keeps_order_inside_over():
     )
 
 
+def test_qualify_rejects_set_ops_on_either_side():
+    """QUALIFY binds per SELECT branch; a depth-0 set op before OR
+    after it means the whole-statement wrap would filter both branches
+    — must raise, never silently mis-rewrite (ADVICE r9: the
+    before-QUALIFY case was silently wrapped)."""
+    import pytest
+
+    for sql in (
+        # set op BEFORE the QUALIFY (binds to the second branch only)
+        "SELECT a FROM t UNION ALL SELECT a FROM u "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1",
+        "SELECT a FROM t INTERSECT SELECT a FROM u "
+        "QUALIFY RANK() OVER (ORDER BY a) <= 2",
+        # set op AFTER the QUALIFY
+        "SELECT a FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1 "
+        "UNION ALL SELECT a FROM u",
+        "SELECT a FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1 "
+        "EXCEPT DISTINCT SELECT a FROM u",
+    ):
+        with pytest.raises(ValueError, match="QUALIFY"):
+            _rewrite_qualify(sql)
+    # parenthesized subquery branches stay fine (depth > 0)
+    ok = _rewrite_qualify(
+        "SELECT a FROM (SELECT a FROM t UNION ALL SELECT a FROM u) "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1"
+    )
+    assert "__qualify__" in ok
+    # BigQuery select-list `* EXCEPT (col)` before QUALIFY is NOT a
+    # set op — must still rewrite
+    ok2 = _rewrite_qualify(
+        "SELECT * EXCEPT (b) FROM t "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1"
+    )
+    assert "__qualify__" in ok2
+
+
 def test_q113_shares_q107_oracle_exactly():
     """The stored-index BM25 gate is only meaningful if its oracle IS
     the direct path's oracle (the q88/q90 pattern) — pin it."""
