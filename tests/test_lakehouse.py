@@ -144,15 +144,27 @@ def test_changelog(spark, warehouse):
 
 
 def test_concurrent_modification_rejected(spark, warehouse):
-    """Optimistic concurrency: a commit planned against a stale base
-    must fail loudly, never silently merge (replace_files OCC check)."""
+    """Optimistic concurrency validation: a stale-base commit REBASES
+    over commits that left its replaced files untouched (appends
+    commute), and fails loudly when a concurrent commit rewrote one of
+    them — never a silent lost update."""
     import pytest as _pytest
 
     t = LakeTable.create(spark, warehouse)
     t.append(_orders_df(spark, 20))
     stale = t.snapshot()
-    t.append(_orders_df(spark, 5))  # another writer lands a commit
-    with _pytest.raises(RuntimeError, match="concurrent modification"):
+    t.append(_orders_df(spark, 5))  # another writer lands an append
+    # the stale-planned delete rebases: its file is untouched at head
+    t.replace_files(
+        [stale.files[0].path],
+        None,
+        operation="delete",
+        expected_base=stale.version,
+    )
+    # append survived, the one stale file's rows are gone
+    assert t.scan().count() == 25 - stale.files[0].rows
+    # but replacing a file a concurrent commit ALREADY removed conflicts
+    with _pytest.raises(RuntimeError, match="rewritten or removed"):
         t.replace_files(
             [stale.files[0].path],
             None,
@@ -311,9 +323,10 @@ def test_maintenance_rewrites_carry_occ_expected_base(spark, tmp_path, monkeypat
 
 
 def test_concurrent_writers_occ_loser_retries(spark, tmp_path):
-    """Two writers race: the one whose base moved underneath it fails
-    its commit (optimistic concurrency) and succeeds after replanning
-    against the new base — no lost update, no resurrected rows."""
+    """Two writers race: the one whose base moved underneath it REBASES
+    its copy-on-write commit onto the new head (its replaced files are
+    untouched — the other writer only appended) — no lost update, no
+    resurrected rows, no manual re-plan needed."""
     t = LakeTable.create(spark, str(tmp_path / "t"))
     t.append(spark.createDataFrame([(i, float(i)) for i in range(10)], "key long, amount double"))
     v1 = t.current_version()
@@ -327,14 +340,11 @@ def test_concurrent_writers_occ_loser_retries(spark, tmp_path):
     t.append(spark.createDataFrame([(100, 1.0)], "key long, amount double"))
     assert t.current_version() == v1 + 1
 
-    # writer A's commit must fail, not silently drop B's rows
-    with pytest.raises(RuntimeError, match="concurrent modification"):
-        t.replace_files(files_a, survivors_a, operation="delete", expected_base=v1)
-
-    # retry: replan through the DML path against the current base
-    dml.delete(t, F.col("key") < 5)
+    # writer A's commit rebases: B's append commutes with A's rewrite
+    t.replace_files(files_a, survivors_a, operation="delete", expected_base=v1)
     keys = {r.key for r in t.scan().collect()}
-    assert keys == {5, 6, 7, 8, 9, 100}  # B's append survived the retry
+    assert keys == {5, 6, 7, 8, 9, 100}  # B's append survived A's delete
+    assert t.current_version() == v1 + 2  # both commits in the chain
 
 
 def test_two_writer_append_race_both_survive(spark, tmp_path):
@@ -437,10 +447,11 @@ def test_two_writer_publish_race_rebases(spark, tmp_path):
     assert sorted(r["id"] for r in t.scan().collect()) == [0, 1, 2]
 
 
-def test_replace_files_loser_does_not_clobber(spark, tmp_path):
-    """Copy-on-write commits do NOT auto-rebase: with expected_base
-    pinned, the loser of a race raises CommitConflict and the winner's
-    commit is intact."""
+def test_replace_files_rebases_over_disjoint_commits(spark, tmp_path):
+    """Copy-on-write commits REBASE over concurrent commits that don't
+    touch the replaced files (Iceberg snapshot-isolation validation):
+    a concurrent append commutes — both effects land. A concurrent
+    rewrite of the SAME file is a real conflict and still raises."""
     import pytest as _pytest
 
     from de_gcp_lakehouse_iceberg_spark.lakehouse import (
@@ -453,16 +464,120 @@ def test_replace_files_loser_does_not_clobber(spark, tmp_path):
     t.append(spark.createDataFrame([(1,), (2,)], "id long"))
     v = t.current_version()
     files = [f.path for f in t.snapshot(v).files]
-    # winner: an append moves the head
+    # a concurrent append moves the head — the rewrite planned at v
+    # must rebase and keep BOTH effects
     t.append(spark.createDataFrame([(3,)], "id long"))
-    with _pytest.raises(CommitConflict, match="concurrent modification"):
+    t.replace_files(
+        files,
+        spark.createDataFrame([(9,)], "id long"),
+        operation="rewrite",
+        expected_base=v,
+    )
+    assert sorted(r["id"] for r in t.scan().collect()) == [3, 9]
+
+    # overlapping rewrite: plan two rewrites of the same (new) file set;
+    # the second must CONFLICT, winner intact
+    v2 = t.current_version()
+    files2 = [f.path for f in t.snapshot(v2).files]
+    t.replace_files(
+        files2,
+        spark.createDataFrame([(20,)], "id long"),
+        operation="rewrite",
+        expected_base=v2,
+    )
+    with _pytest.raises(CommitConflict, match="rewritten or removed"):
         t.replace_files(
-            files,
-            spark.createDataFrame([(9,)], "id long"),
+            files2,
+            spark.createDataFrame([(30,)], "id long"),
             operation="rewrite",
-            expected_base=v,
+            expected_base=v2,
         )
-    assert sorted(r["id"] for r in t.scan().collect()) == [1, 2, 3]
+    assert sorted(r["id"] for r in t.scan().collect()) == [20]
+
+
+def test_concurrent_disjoint_merges_both_commit(spark, tmp_path):
+    """Two MERGEs planned against the same base, each matching rows in
+    a DIFFERENT file: both must commit (the r9 engine serialized them
+    — any concurrent commit aborted the CoW loser). Overlapping MERGEs
+    (same file) must still conflict."""
+    import pytest as _pytest
+
+    from de_gcp_lakehouse_iceberg_spark.lakehouse import (
+        CommitConflict,
+        LakeTable,
+    )
+    from de_gcp_lakehouse_iceberg_spark.lakehouse.dml import merge
+
+    root = str(tmp_path / "race_merge")
+    t = LakeTable.create(spark, root)
+    # two files: ids 1-2 and ids 11-12 (separate appends → separate files)
+    t.append(spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double"))
+    t.append(spark.createDataFrame([(11, 110.0), (12, 120.0)], "id long, v double"))
+    v = t.current_version()
+
+    # both merges planned (implicitly) against v; merge() pins its own
+    # snapshot at call time, so run the first fully, then the second —
+    # the second's plan happens AFTER the first commit here, so instead
+    # simulate true concurrency with two pre-planned handles:
+    t1 = LakeTable.load(spark, root)
+    t2 = LakeTable.load(spark, root)
+    src_a = spark.createDataFrame([(1, 99.0)], "id long, v double")
+    src_b = spark.createDataFrame([(11, 999.0)], "id long, v double")
+
+    # interleave: plan A (pins v), plan B (pins v) — commit A, commit B.
+    # merge() plans and commits internally; calling B after A's commit
+    # exercises the rebase path because B's expected_base == v is stale.
+    import threading
+
+    barrier = threading.Barrier(2)
+    errs: list[Exception] = []
+
+    def run(handle, src):
+        try:
+            barrier.wait(timeout=120)
+            merge(handle, src, on=["id"],
+                  when_matched_update={"v": "source.v"},
+                  when_not_matched_insert=False)
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    th = [
+        threading.Thread(target=run, args=(t1, src_a)),
+        threading.Thread(target=run, args=(t2, src_b)),
+    ]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join(timeout=300)
+    assert not errs, errs
+    got = {r.id: r.v for r in t.scan().collect()}
+    assert got == {1: 99.0, 2: 20.0, 11: 999.0, 12: 120.0}
+    # exactly two merge commits landed on top of v
+    assert t.current_version() == v + 2
+
+    # OVERLAPPING merges: same target file — loser must conflict
+    v2 = t.current_version()
+    ta = LakeTable.load(spark, root)
+    tb = LakeTable.load(spark, root)
+    files_before = {f.path for f in t.snapshot(v2).files}
+    merge(ta, spark.createDataFrame([(1, 111.0)], "id long, v double"),
+          on=["id"], when_matched_update={"v": "source.v"},
+          when_not_matched_insert=False)
+    # tb plans against v2 via replace_files' expected_base — drive the
+    # conflict deterministically through replace_files itself
+    target_file = sorted(
+        f.path for f in t.snapshot(v2).files if f.path not in
+        {f2.path for f2 in t.snapshot().files}
+    )
+    assert target_file, "first merge should have rewritten a file"
+    with _pytest.raises(CommitConflict, match="rewritten or removed"):
+        tb.replace_files(
+            target_file,
+            spark.createDataFrame([(1, 222.0)], "id long, v double"),
+            operation="merge",
+            expected_base=v2,
+        )
+    assert {r.v for r in t.scan().filter("id = 1").collect()} == {111.0}
 
 
 def test_crashed_writer_does_not_block_commits(spark, tmp_path):
