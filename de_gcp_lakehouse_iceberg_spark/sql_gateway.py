@@ -262,6 +262,25 @@ def translate(sql: str) -> str:
     s = _DATE_DIFF.sub(lambda m: f"datediff({m.group(1)}, {m.group(2)})", s)
     s = re.sub(r"\bCOUNTIF\s*\(", "count_if(", s, flags=re.IGNORECASE)
     s = re.sub(r"\bSAFE_DIVIDE\s*\(", "try_divide(", s, flags=re.IGNORECASE)
+    # BigQuery arr[OFFSET(k)] is 0-based; Spark SQL bracket indexing on
+    # arrays is ALSO 0-based — drop the OFFSET wrapper (F25 text form)
+    s = re.sub(r"\[\s*OFFSET\s*\(\s*(\d+)\s*\)\s*\]", r"[\1]", s,
+               flags=re.IGNORECASE)
+    # APPROX_QUANTILES(x, n) → n+1 boundary array from the SAME sketch
+    # Spark's percentile_approx uses (PRD.md:4574-4586 / A8 text form;
+    # literal n, non-nested value expr — the documented subset)
+    s = re.sub(
+        r"\bAPPROX_QUANTILES\s*\(([^()]+),\s*(\d+)\s*\)",
+        lambda m: (
+            f"percentile_approx({m.group(1).strip()}, array("
+            + ", ".join(
+                str(i / int(m.group(2))) for i in range(int(m.group(2)) + 1)
+            )
+            + "))"
+        ),
+        s,
+        flags=re.IGNORECASE,
+    )
     # BigQuery type spellings → Spark SQL types. NUMERIC(p,s) keeps its
     # parameters; bare NUMERIC is BigQuery's fixed DECIMAL(38,9).
     s = re.sub(r"\bFLOAT64\b", "DOUBLE", s, flags=re.IGNORECASE)
