@@ -70,66 +70,65 @@ from . import occ_query  # noqa: F401  (registers q115)
 # oracle-parity replica (tests/test_oracle_parity.py) still checks ALL
 # of them at two scale factors every run.
 _GATE_PRIORITY = [
-    # (a) the 15 rows deferred from r8 LEAD the r9 window exactly as
+    # (a) the 21 rows deferred from r9 LEAD the r10 window exactly as
     # documented last round (they would otherwise age to 4 rounds):
-    # the DML trio, sessionization, token stats, quality score, exact
-    # dedup, SimHash, the KMV/count-min/histogram sketch family, the
-    # unigram LM, the incremental LSH probe, and the JSON projection.
-    "q19_merge_fix", "q20_delete_update",
-    "q21_time_travel",
-    "q29_sessionization", "q30_token_stats", "q31_quality_score",
-    "q34_exact_dedup", "q36_simhash",
-    "q75_kmv_distinct", "q82_kmv_overlap", "q83_cm_token_freq",
-    "q86_unigram_lm_score", "q87_hist_quantiles",
-    "q88_lsh_probe_incremental", "q89_json_extract",
-    # (b) NEW this round (r9), never driver-verified: the analytic
-    # PERCENTILE_CONT gateway translation (PRD.md:853 spelling) and the
-    # two-writer OCC both-commits-survive proof.
-    "q114_percentile_analytic_text", "q115_concurrent_appends",
-    # (c) implementation touched this round, re-gated on the NEW code:
-    # q44 — clean_corpus now AUTO-ROUTES the near-dup stage (exact at
-    # gate scale, LSH when Σ df² goes quadratic); q64 — the forced-LSH
-    # twin over the same changed signature; q35 — ngram_jaccard_pairs
-    # refactored onto the shared _signed_keys helper; q106/q110 — BPE
-    # learning gained checkpointing + batched merges (sequential path
-    # re-gated); q113 — the df=0 idf coalesce (ADVICE r8); q99 — the
-    # gateway translator gained QUALIFY scoping, EXPORT overwrite,
-    # MERGE single-pass aliasing, PERCENTILE_CONT rules.
-    "q44_corpus_clean", "q64_corpus_clean_lsh", "q35_ngram_jaccard",
-    "q106_bpe_merges", "q110_bpe_segment_rollup", "q113_bm25_from_index",
-    "q99_bigquery_sql_text",
-    # (d) the commit path itself changed (CAS manifest create +
-    # rebase-retry in append/publish/overwrite): re-gate the heaviest
-    # lifecycle consumers — WAP-ingesting indexes, IVM refresh chains,
-    # streaming exactly-once appends, schema evolution, MOR/CDC.
-    "q90_signature_index_probe", "q98_ivm_delta_rollup",
-    "q25_streaming_tumbling", "q48_schema_evolution",
-    "q49_widen_column",
-    # (e) rotation hygiene: r7 rows from the dedup/signing family the
-    # _signed_keys refactor feeds (q46/q37/q53/q97/q54/q70/q72/q55/q74)
-    # and the oldest remaining r7 cohort, so after r9 every query has
-    # an r8/r9 row except the 21 DEFERRED below.
-    "q46_jaccard_maxdf", "q37_minhash_lsh", "q53_dup_clusters",
-    "q97_canonical_selection", "q54_contamination",
-    "q70_semdedup", "q72_dup_span_coverage", "q55_repetition_filter",
-    "q74_corpus_build_e2e",
-    "q91_join_runtime_filter", "q92_dhash_image_dedup",
-    "q93_bigram_lm_score", "q96_sq8_ann", "q100_centroid_rollup",
-    "q101_sliding_distinct_kmv", "q27_row_number_ids", "q28_stddev",
-    "q50_source_mix", "q51_pack_chunks", "q52_stratified_sample",
-    "q57_token_budget_selection",
-    # DEFERRED to lead the r10 window (r7 rows age to 3 rounds; all 21
-    # are stable single-shape queries with strong out-of-window
-    # proxies): q01/q05/q07/q10/q13/q14/q15 (pure-SELECT TPC-H shapes,
-    # replayed against DuckDB at two SFs by test_oracle_parity every
-    # pytest run AND as gateway text by test_gateway_corpus), q41/q42
-    # (multimodal header decode — test_multimodal), q58 (k-means —
-    # test_clustering), q59/q77/q78 (behavioral windows —
-    # test_sessions/test_oracle_parity), q61/q62 (chunking/rarity —
-    # test_curation), q65 (temperature mix — test_curation), q66 (PII
-    # — test_pii), q71 (sharding — test_sharding), q79 (splits —
-    # no-Exchange plan guard), q94/q95 (selection caps/sweep —
-    # test_oracle_parity at two SFs every run).
+    # the pure-SELECT TPC-H shapes, multimodal decode, k-means,
+    # behavioral windows, chunking/rarity, temperature mix, PII,
+    # sharding, splits, and the selection caps/sweep pair.
+    "q01_global_count", "q05_consistency_check", "q07_star_join_revenue",
+    "q10_daily_stats", "q13_rank_selfjoin", "q14_lag_rolling",
+    "q15_median_per_group",
+    "q41_media_bytes", "q42_media_features",
+    "q58_kmeans", "q59_click_attribution",
+    "q61_overlap_chunking", "q62_token_rarity",
+    "q65_temperature_mix", "q66_pii_scrub",
+    "q71_shuffle_shard", "q77_funnel", "q78_retention_cohorts",
+    "q79_split_census", "q94_source_doc_cap",
+    "q95_quality_threshold_sweep",
+    # (b) NEW this round (r10), never driver-verified: two concurrent
+    # disjoint MERGEs both committing through the rebase-validated
+    # copy-on-write path (table.py _validate_replace_rebase).
+    "q116_concurrent_merge",
+    # (c) the commit primitive itself changed this round (Committer
+    # extraction, CoW rebase validation, pointer-hint repair,
+    # expire-vs-stale-hint): re-gate every lifecycle-heavy consumer —
+    # the DML trio, OCC appends, MOR delete, CDC replica sync,
+    # changelog, WAP rollback + spec evolution, WAP-ingesting indexes,
+    # the IVM refresh chains, streaming exactly-once appends, and
+    # schema evolution.
+    "q19_merge_fix", "q20_delete_update", "q21_time_travel",
+    "q115_concurrent_appends", "q80_mor_delete_lifecycle",
+    "q63_cdc_replica_sync", "q47_changelog", "q69_wap_rollback",
+    "q68_spec_evolution_prune", "q90_signature_index_probe",
+    "q88_lsh_probe_incremental", "q98_ivm_delta_rollup",
+    "q102_ivm_distinct_kmv", "q104_ivm_join_rollup",
+    "q112_incremental_term_stats", "q113_bm25_from_index",
+    "q25_streaming_tumbling", "q48_schema_evolution", "q49_widen_column",
+    # (d) other implementation touched this round: the bloom semi-join
+    # probe (NULL-batch int64 fix) and its file-skipping sibling; the
+    # Σ df² fan-out memoization feeding every routed near-dup consumer;
+    # the gateway translator (QUALIFY set-op guard, APPROX_QUANTILES /
+    # [OFFSET] text rules) and its analytic-percentile twin.
+    "q84_bloom_semi_join", "q91_join_runtime_filter",
+    "q44_corpus_clean", "q64_corpus_clean_lsh", "q53_dup_clusters",
+    "q97_canonical_selection",
+    "q99_bigquery_sql_text", "q114_percentile_analytic_text",
+    # (e) regression watch: the r9 driver pass showed q36/q37 beyond
+    # the host factor — keep both in-window so BENCH_r10 and the hash
+    # gate re-pin them on the memoized signing path.
+    "q36_simhash",
+    # DEFERRED to lead the r11 window (r8/r9 rows, all ≤2 rounds old
+    # at r10, each with out-of-window proxies replayed at two SFs by
+    # test_oracle_parity every pytest run): the r8 cohort
+    # q02/q03/q04/q06/q08/q09/q11/q12/q16/q17/q18/q22/q23/q24 (pure
+    # SELECT shapes, also gateway-text-replayed by test_gateway_corpus
+    # and test_gateway_dml_corpus), q26 (window agg), q37 (minhash —
+    # r9 row + test_dedup LSH-vs-exact pinning), and the r9 cohort
+    # (q27-q35, q38-q40, q43, q45, q46, q50-q57, q60, q67, q70, q72,
+    # q73, q75, q76, q81-q83, q85-q87, q89, q92, q93, q96, q100, q101,
+    # q103, q105-q111), plus q74 (corpus e2e — r9 row; a pure
+    # composition of stages that ARE in-window this round: q44 route,
+    # q54 decontamination oracle replayed by test_oracle_parity).
 ]
 
 
