@@ -95,14 +95,27 @@ def kmeans(
     )
 
     def assign_fold(cents: DataFrame) -> DataFrame:
+        # argmin via struct-MIN, not a row_number window: struct
+        # ordering compares (dist, cid) lexicographically, so the
+        # minimum IS "lowest dist, ties to lowest cid" — the same
+        # deterministic rule, but as an aggregate it partial-combines
+        # map-side (each partition collapses its k candidate rows per
+        # vector to 1 BEFORE the exchange) and needs no sort. The
+        # window form shuffled and sorted all N×k scored rows — at
+        # k ∝ N (SemDeDup deployment shape) that exchange, not the
+        # distance math, dominated the round-10 measurement.
         scored = qv.join(F.broadcast(cents)).select(
             "vec_id", "q", "cid", _sq_dist(F.col("q"), F.col("c")).alias("dist")
         )
-        w = W.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
         return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid", "q")).alias("b"))
+            .select(
+                "vec_id",
+                F.col("b.q").alias("q"),
+                F.col("b.cid").alias("cid"),
+                F.col("b.dist").alias("dist"),
+            )
         )
 
     def assign_fast(cents: DataFrame) -> DataFrame:
@@ -170,12 +183,13 @@ def kmeans(
 
 def semdedup(
     vectors: DataFrame,
-    k: int = 8,
+    k: int | None = 8,
     tau: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fast: bool = False,
     iters: int = 0,
+    target_cluster_size: int = 250,
 ) -> DataFrame:
     """SemDeDup-style clustered embedding near-dedup (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -193,7 +207,20 @@ def semdedup(
     Shuffle shape: assignment is broadcast-only; the pair stage
     shuffles each side once on cid (skewed clusters fall to AQE), and
     cosine runs as the same sequential fold the q38/q39 oracles pin.
+
+    `k=None` is the DEPLOYMENT route (the k∝N shape SCALE.md
+    round-10 measures at 1.78× wall for 3× data): k is sized so
+    clusters average `target_cluster_size` vectors — within-cluster
+    pair work stays ~N·target instead of N²/k — and assignment takes
+    the Arrow matmul path (the interpreted fold scores N·k rows, so at
+    scaled k the fold, not the pair stage, would dominate: measured
+    148 s vs 3.5 s at the sf3 fixture). The k=8 fold default stays the
+    oracle gate shape (q70 pins its sequential-fold semantics).
     """
+    if k is None:
+        n_vecs = vectors.count()  # one cheap metadata-ish aggregate
+        k = max(8, -(-n_vecs // target_cluster_size))
+        fast = True
     assigned = kmeans(
         vectors, k=k, iters=iters, id_col=id_col, vec_col=vec_col, fast=fast
     )

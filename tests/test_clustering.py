@@ -115,3 +115,24 @@ def test_semdedup_fast_assignment_matches_fold(spark, sf_dir):
     fast = {(r.vec_id, r.cid, r.is_dup)
             for r in semdedup(emb, k=8, tau=0.35, fast=True).collect()}
     assert slow == fast
+
+
+def test_semdedup_auto_k_deployment_route(spark, sf_dir):
+    """k=None sizes k for ~target_cluster_size vectors/cluster and
+    takes the Arrow assignment (the SCALE.md round-10 k∝N shape);
+    results equal the equivalent explicit call."""
+    from de_gcp_lakehouse_iceberg_spark.operators.clustering import semdedup
+    from de_gcp_lakehouse_iceberg_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    target = 25
+    k_expect = max(8, -(-n // target))
+    auto = {(r.vec_id, r.cid, r.is_dup)
+            for r in semdedup(emb, k=None, tau=0.35,
+                              target_cluster_size=target).collect()}
+    explicit = {(r.vec_id, r.cid, r.is_dup)
+                for r in semdedup(emb, k=k_expect, tau=0.35,
+                                  fast=True).collect()}
+    assert auto == explicit
+    assert len({c for _, c, _ in auto}) <= k_expect
