@@ -580,6 +580,62 @@ def test_concurrent_disjoint_merges_both_commit(spark, tmp_path):
     assert {r.v for r in t.scan().filter("id = 1").collect()} == {111.0}
 
 
+def test_cow_rebase_conflicts_with_new_mor_delete(spark, tmp_path):
+    """A merge-on-read delete landing between plan and commit applies
+    to files the CoW commit rewrites: committing the stale plan would
+    RESURRECT the deleted rows — must conflict. A MOR delete whose
+    rows live only in untouched files commutes and the rebase lands."""
+    import pytest as _pytest
+
+    from de_gcp_lakehouse_iceberg_spark.lakehouse import (
+        CommitConflict,
+        LakeTable,
+    )
+    from de_gcp_lakehouse_iceberg_spark.lakehouse.dml import delete_mor
+
+    root = str(tmp_path / "mor_race")
+    t = LakeTable.create(spark, root)
+    t.append(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0)], "id long, v double"
+        ).coalesce(1)
+    )
+    v1_files = {f.path for f in t.snapshot().files}
+    t.append(spark.createDataFrame([(11, 110.0)], "id long, v double"))
+    v = t.current_version()
+    file_a = sorted(v1_files)  # the single file holding ids 1 and 2
+
+    # plan a rewrite of file_a against v; a MOR delete lands first and
+    # (applying to ALL pre-delete files, file_a included) must conflict
+    delete_mor(t, "id = 2")
+    with _pytest.raises(CommitConflict, match="merge-on-read delete"):
+        t.replace_files(
+            file_a,
+            spark.createDataFrame([(1, 99.0)], "id long, v double"),
+            operation="update",
+            expected_base=v,
+        )
+    # id=2 stayed deleted; nothing was resurrected
+    assert sorted(r.id for r in t.scan().collect()) == [1, 11]
+
+    # a plain append between plan and commit still commutes: the
+    # delete entries at head are unchanged since the new base
+    v2 = t.current_version()
+    files_now = [
+        f.path for f in t.snapshot(v2).files if f.path in set(file_a)
+    ]
+    t.append(spark.createDataFrame([(21, 210.0)], "id long, v double"))
+    t.replace_files(
+        files_now,
+        spark.createDataFrame([(1, 99.0)], "id long, v double"),
+        operation="update",
+        expected_base=v2,
+    )
+    assert {(r.id, r.v) for r in t.scan().collect()} == {
+        (1, 99.0), (11, 110.0), (21, 210.0)
+    }
+
+
 def test_crashed_writer_does_not_block_commits(spark, tmp_path):
     """The CAS-linked manifest is the commit point; the pointer file is
     a hint. A writer that crashes between link and hint swap must
