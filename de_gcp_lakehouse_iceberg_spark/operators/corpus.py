@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import quality_score, token_count
-from .dedup import doc_shingles, near_dup_pairs
+from .dedup import doc_shingles, exact_dedup, near_dup_pairs
 
 
 def clean_corpus(
@@ -56,13 +56,9 @@ def clean_corpus(
     )
     if langs:
         kept = kept.filter(F.col("lang").isin(langs))
-    # exact dedup: lowest doc_id wins per identical text
-    w = W.partitionBy("text").orderBy(F.col("doc_id").asc())
-    kept = (
-        kept.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_q")
-    )
+    # exact dedup: lowest doc_id wins per identical text — the shared
+    # struct-MIN aggregate (partial combine, no window sort)
+    kept = exact_dedup(kept.drop("_q"), ["text"], "doc_id")
     # near-dup removal on the survivors: drop the higher id of each pair
     route = None if use_lsh is None else ("lsh" if use_lsh else "exact")
     pairs = near_dup_pairs(kept, threshold=jaccard_threshold, route=route)

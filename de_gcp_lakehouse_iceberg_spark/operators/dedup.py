@@ -137,12 +137,25 @@ def minhash_coeffs(num_hashes: int, seed: int = 11) -> list[tuple[int, int]]:
 
 def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
     """Exact dedup: keep the lowest-`order_col` row per content key
-    (deterministic winner). One shuffle on the key columns."""
-    w = W.partitionBy(*key_cols).orderBy(F.col(order_col).asc())
+    (deterministic winner). One shuffle on the key columns — as a
+    struct-MIN aggregate, not a row_number window: the aggregate
+    partial-combines map-side (each input partition collapses its
+    duplicates before the exchange) and needs no per-partition sort,
+    which is the difference between shuffling N full rows + sorting
+    and shuffling ≤ one survivor per (key, partition) at 100 TB.
+    Struct ordering compares `order_col` first, remaining columns as
+    lexicographic tie-breaks — a TOTAL order, so an `order_col` tie is
+    still deterministic (row_number left tie winners to shuffle
+    order)."""
+    rest = [c for c in df.columns if c not in key_cols and c != order_col]
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        df.groupBy(*key_cols)
+        .agg(F.min(F.struct(order_col, *rest)).alias("_w"))
+        .select(
+            *key_cols,
+            *[F.col(f"_w.{c}").alias(c) for c in [order_col, *rest]],
+        )
+        .select(*df.columns)  # restore the caller's column order
     )
 
 

@@ -17,6 +17,12 @@ def test_exact_dedup_keeps_lowest_id(spark):
     out = dedup.exact_dedup(df, ["text"], "id")
     got = {r.text: r.id for r in out.collect()}
     assert got == {"aa": 1, "bb": 2}
+    assert out.columns == df.columns  # caller's column order preserved
+    # plan shape: an aggregate with map-side partial combine, NO window
+    # (the window form shuffled + sorted every row)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_min" in plan
 
 
 def test_jaccard_pairs_exact_values(spark):
