@@ -53,6 +53,9 @@ def bloom_filter_words(
     if bits % 64:
         raise ValueError(f"bits must be a multiple of 64 (got {bits})")
     is_string = dict(small.dtypes)[key] == "string"
+    # NULL keys never match an equi-join — and would otherwise ride
+    # through as NULL positions/words and crash the bitset fold
+    small = small.filter(F.col(key).isNotNull())
     rows = (
         small.select(
             F.explode(

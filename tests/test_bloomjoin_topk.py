@@ -41,6 +41,25 @@ def test_bloom_semi_join_string_and_negative_keys(spark):
     assert gotn == {-5, 8}
 
 
+def test_bloom_build_tolerates_null_keys_in_small_side(spark):
+    """A NULL key in the DIM side must be ignored (it can never match
+    an equi-join), not ride through as NULL positions and crash the
+    bitset fold."""
+    big = spark.createDataFrame([(1,), (2,), (None,), (3,)], "key long")
+    small = spark.createDataFrame([(2,), (None,), (3,)], "key long")
+    got = sorted(
+        r.key for r in bloom_semi_join(big, small, "key").collect()
+    )
+    assert got == [2, 3]
+    # string keys too
+    bigs = spark.createDataFrame([("a",), (None,), ("b",)], "key string")
+    smalls = spark.createDataFrame([("b",), (None,)], "key string")
+    gots = sorted(
+        r.key for r in bloom_semi_join(bigs, smalls, "key").collect()
+    )
+    assert gots == ["b"]
+
+
 def test_bloom_probe_never_false_negative(spark):
     """Every small-side key must survive the probe filter (the exact
     join only ever REMOVES false positives)."""
