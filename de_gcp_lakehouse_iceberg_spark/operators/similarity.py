@@ -28,7 +28,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 
 def _fold_sum(arr: Column) -> Column:
@@ -79,6 +78,22 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("_norm", norm(F.col(vec_col)))
 
 
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Top-k by cosine DESC (ties to lowest neighbor_id) per query over
+    a (query_id, neighbor_id, cosine) relation — the two-phase
+    grouped_topk, not a row_number window: partial top-k collapses
+    map-side, so a hot query's whole candidate list never lands in one
+    sort task (operators/topk.py rationale). Negated-cosine ascending
+    == cosine descending; a NaN score (zero vector) would sort LAST
+    here instead of the window-desc form's first — saner for
+    similarity top-k, and unreachable on unit-norm input (tests)."""
+    from .topk import grouped_topk
+
+    return grouped_topk(
+        scored, ["query_id"], [(-F.col("cosine")), F.col("neighbor_id")], k
+    ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -113,11 +128,7 @@ def brute_force_topk(
             ),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _topk_per_query(scored, k)
 
 
 def nearest_pairs_blocked(
@@ -410,11 +421,7 @@ def ivf_ann_topk(
             ),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _topk_per_query(scored, k)
 
 
 def lsh_ann_topk(
@@ -504,11 +511,7 @@ def lsh_ann_topk(
             ),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _topk_per_query(scored, k)
 
 
 # -- int8 scalar quantization (SQ8) ----------------------------------------
@@ -623,13 +626,7 @@ def sq8_topk(
             ).alias("cosine"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        rer.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _topk_per_query(rer, k)
 
 
 def centroid_rollup(

@@ -44,10 +44,10 @@ def test_sq8_candidates_avoid_global_window(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     out = sq8_topk(emb, emb.filter(F.col("vec_id") < 2), k=5, rerank=10)
     p = _plan(out)
-    # exactly one Window node — the candidate-bounded rerank (Spark
-    # also inserts a WindowGroupLimit pushdown for it); the candidate
-    # SELECTION itself is the two-phase top-k (no second window)
-    assert p.count("Window [") == 1
+    # NO Window nodes at all since r10: both the candidate selection
+    # AND the exact-cosine rerank run as the two-phase grouped top-k
+    # (partial top-k collapses map-side; no per-query sort task)
+    assert "Window" not in p
     assert "CartesianProduct" not in p.replace(
         "BroadcastNestedLoopJoin", ""
     )  # the broadcast query-side cross is the intended tiny side
