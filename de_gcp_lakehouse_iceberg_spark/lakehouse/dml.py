@@ -307,19 +307,41 @@ def apply_changelog(
     Requires `key_cols` to identify rows uniquely in the source's end
     state (CDC on non-unique keys is ill-defined).
     """
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy(*key_cols).orderBy(
-        F.col("_change_version").desc(),
-        # within a version: INSERT (0) sorts before DELETE (1) ⇒ wins
-        F.when(F.col("_change_type") == "INSERT", 0).otherwise(1).asc(),
-    )
+    # latest change per key via struct-MIN, not a row_number window:
+    # the aggregate partial-combines each key's feed rows map-side and
+    # needs no per-key sort (the feed is the hot input at scale —
+    # O(changes), every one of which the window form shuffled AND
+    # sorted). Order key: newest version first (negated ASC), INSERT
+    # (0) outranking its paired DELETE (1) within a version; remaining
+    # payload fields are deterministic tie-breaks that a well-formed
+    # feed (one INSERT / one DELETE per key-version) never reaches.
+    rest = [
+        c for c in changes.columns
+        if c not in key_cols
+        and c not in ("_change_version", "_change_timestamp")
+    ]
     last = (
-        changes.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_change_version", "_change_timestamp")
+        changes.groupBy(*key_cols)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("_change_version")).alias("_negv"),
+                    F.when(F.col("_change_type") == "INSERT", 0)
+                    .otherwise(1)
+                    .alias("_typ"),
+                    F.struct(*rest).alias("_row"),
+                )
+            ).alias("_w")
+        )
+        .select(*key_cols, F.col("_w._row.*"))
+        .select(  # restore the feed's column order
+            *[
+                c for c in changes.columns
+                if c not in ("_change_version", "_change_timestamp")
+            ]
+        )
         # consumed 4x below (upserts, two key joins, summary counts):
-        # checkpoint once so the feed window never recomputes per action
+        # checkpoint once so the feed agg never recomputes per action
         .localCheckpoint(eager=True)
     )
     payload_cols = [c for c in last.columns if c != "_change_type"]

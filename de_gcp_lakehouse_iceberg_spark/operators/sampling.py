@@ -78,17 +78,16 @@ def stratified_sample(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Exactly min(n, |stratum|) rows per stratum, chosen by hash order
-    (deterministic, unbiased); ties broken by id. One shuffle on the
-    stratum key — for heavily skewed strata pre-filter with
-    `hash_sample` to bound the per-stratum sort input."""
-    w = W.partitionBy(stratum_col).orderBy(
-        id_hash(id_col).asc(), F.col(id_col).asc()
-    )
-    return (
-        df.withColumn("_srn", F.row_number().over(w))
-        .filter(F.col("_srn") <= n_per_stratum)
-        .drop("_srn")
-    )
+    (deterministic, unbiased); ties broken by id. Two-phase grouped
+    top-k, not a row_number window: each input partition keeps only
+    its n best per stratum map-side, so a skewed stratum never funnels
+    ALL its rows into one sort task — the selection shuffles at most
+    n × #partitions rows per stratum."""
+    from .topk import grouped_topk
+
+    return grouped_topk(
+        df, [stratum_col], [id_hash(id_col), F.col(id_col)], n_per_stratum
+    ).select(*df.columns)
 
 
 def temperature_mix(
