@@ -32,16 +32,42 @@ hard links don't exist):
   because the catalog row is the commit point — this is also the route
   when the store offers no conditional PUT.
 
-All three drop in behind this interface without touching table.py:
+The conditional-PUT route is implemented here as
+`ConditionalPutCommitter` over an `ObjectStore` protocol, with
+`LocalObjectStore` as the in-process reference store: filesystem-
+backed (Spark still reads the manifests via plain `open()`), GCS-style
+per-object generation numbers, and injectable faults — including the
+failure mode a hard-link CAS never has: a PUT that LANDS but whose
+response is lost (timeout). The committer resolves that 412/timeout
+ambiguity by reading the object back and claiming the win iff the body
+is byte-identical to its own payload; manifest payloads are
+writer-unique (commit timestamps + uuid'd data-file names), and for
+the degenerate identical-payload race both writers wanting the same
+bytes makes either claim harmless.
+
+All routes drop in behind this interface without touching table.py:
 the OCC semantics (rebase-and-retry, both-commits-survive, validated
-copy-on-write rebase) depend only on the two methods' contracts.
+copy-on-write rebase) depend only on the two methods' contracts —
+test_committer.py runs the whole OCC fault-injection suite
+parametrically over BOTH strategies.
 """
 
 from __future__ import annotations
 
 import abc
 import os
+import threading
 import uuid
+
+
+class PreconditionFailed(Exception):
+    """Conditional PUT lost: a live generation already exists (HTTP
+    412 on GCS/S3/Azure)."""
+
+
+class AmbiguousTimeout(Exception):
+    """The store never answered — the write may or may not have
+    landed. The caller must resolve by reading back."""
 
 
 class Committer(abc.ABC):
@@ -92,3 +118,107 @@ class PosixLinkCommitter(Committer):
                 return f.read().strip()
         except FileNotFoundError:
             return None
+
+
+class LocalObjectStore:
+    """In-process object store with GCS-style conditional-PUT
+    semantics, backed by the local filesystem so every OTHER reader of
+    the table (Spark scans, `current_version` walks) keeps working
+    unchanged. One instance models one bucket; share it across writer
+    handles the way racing jobs share a bucket.
+
+    Generation numbers follow GCS: an object's generation starts at 1
+    on create and increments on every overwrite; `put_if_absent`
+    models `x-goog-if-generation-match: 0` (atomic via O_EXCL — the
+    mock needs SOME local atomic create; what it adds over the POSIX
+    committer is the API contract under test: 412 signaling,
+    unconditional hint PUT, and lost-response windows).
+
+    Fault injection: `timeout_next_put` makes the next conditional PUT
+    LAND and then raise AmbiguousTimeout (response lost after the
+    server applied it); `drop_next_put` makes it raise WITHOUT landing
+    (request lost before the server). Both model real object-store
+    timeout ambiguity that `os.link` can never produce."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._gen: dict[str, int] = {}
+        self.timeout_next_put = False
+        self.drop_next_put = False
+
+    def put_if_absent(self, path: str, payload: str) -> int:
+        """Create iff no live generation exists. Returns the new
+        generation; raises PreconditionFailed on a live object,
+        AmbiguousTimeout when the response is (injected) lost."""
+        with self._lock:
+            if self.drop_next_put:
+                self.drop_next_put = False
+                raise AmbiguousTimeout(path)
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                raise PreconditionFailed(path) from None
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+            gen = self._gen[path] = self._gen.get(path, 0) + 1
+            if self.timeout_next_put:
+                self.timeout_next_put = False
+                raise AmbiguousTimeout(path)
+            return gen
+
+    def put(self, path: str, payload: str) -> int:
+        """Unconditional PUT (last writer wins) — the hint pointer."""
+        with self._lock:
+            tmp = path + f".{uuid.uuid4().hex[:8]}.tmp"
+            with open(tmp, "w") as f:
+                f.write(payload)
+            os.replace(tmp, path)
+            gen = self._gen[path] = self._gen.get(path, 0) + 1
+            return gen
+
+    def get(self, path: str) -> str | None:
+        try:
+            with open(path) as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+
+    def generation(self, path: str) -> int:
+        return self._gen.get(path, 1 if os.path.exists(path) else 0)
+
+
+class ConditionalPutCommitter(Committer):
+    """Object stores with conditional PUT (GCS
+    `x-goog-if-generation-match: 0`; S3/Azure/MinIO `If-None-Match:
+    *`): create-if-absent is the commit point, 412 the conflict
+    signal — the deployment route for the reference's gs:// tables
+    (sql/create_iceberg_tables.sql:27-28), where `os.link` does not
+    exist.
+
+    Timeout ambiguity (the contract hazard a link-CAS never has): a
+    PUT can LAND and still raise. `cas_create` resolves 412-or-timeout
+    by reading the object back — the slot is ours iff the body equals
+    our payload byte-for-byte. Manifest payloads are writer-unique
+    (commit timestamp + uuid'd file names); if two writers race
+    byte-identical payloads, both claiming the win commits the exact
+    state both wanted."""
+
+    def __init__(self, store: LocalObjectStore) -> None:
+        self.store = store
+
+    def cas_create(self, path: str, payload: str) -> bool:
+        try:
+            self.store.put_if_absent(path, payload)
+            return True
+        except (PreconditionFailed, AmbiguousTimeout):
+            # 412: the slot is live — possibly from OUR earlier
+            # timed-out attempt. Timeout: our write may have landed.
+            # Both resolve the same way: read back and compare.
+            return self.store.get(path) == payload
+
+    def set_hint(self, path: str, value: str) -> None:
+        self.store.put(path, value)
+
+    def read_hint(self, path: str) -> str | None:
+        got = self.store.get(path)
+        return got.strip() if got is not None else None

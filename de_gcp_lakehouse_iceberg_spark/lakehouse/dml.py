@@ -320,21 +320,54 @@ def apply_changelog(
         if c not in key_cols
         and c not in ("_change_version", "_change_timestamp")
     ]
-    last = (
-        changes.groupBy(*key_cols)
-        .agg(
-            F.min(
-                F.struct(
-                    (-F.col("_change_version")).alias("_negv"),
-                    F.when(F.col("_change_type") == "INSERT", 0)
-                    .otherwise(1)
-                    .alias("_typ"),
-                    F.struct(*rest).alias("_row"),
-                )
-            ).alias("_w")
+    # External feeds are arbitrary DataFrames: negation needs a numeric
+    # version, and a NULL version must LOSE (the desc-window form
+    # sorted nulls last) — negated-ascending would rank it FIRST, so
+    # order on an explicit null flag before the negated value.
+    vtype = changes.schema["_change_version"].dataType.typeName()
+    if vtype not in (
+        "byte", "short", "integer", "long", "float", "double", "decimal"
+    ):
+        raise TypeError(
+            f"_change_version must be numeric, got {vtype}: cast the "
+            "feed's version to a monotone number before apply_changelog"
         )
-        .select(*key_cols, F.col("_w._row.*"))
-        .select(  # restore the feed's column order
+    order_fields = [
+        F.col("_change_version").isNull().cast("int").alias("_vnull"),
+        (-F.coalesce(F.col("_change_version"), F.lit(0))).alias("_negv"),
+        F.when(F.col("_change_type") == "INSERT", 0)
+        .otherwise(1)
+        .alias("_typ"),
+    ]
+    from ..operators.topk import _has_map
+
+    if any(_has_map(changes.schema[c].dataType) for c in rest):
+        # map-typed payload is unorderable inside the MIN struct —
+        # fall back to the window form (any payload schema), same
+        # order: newest version first, nulls last, INSERT over DELETE
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(*key_cols).orderBy(
+            F.col("_change_version").desc_nulls_last(),
+            F.when(F.col("_change_type") == "INSERT", 0).otherwise(1),
+        )
+        picked = (
+            changes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        picked = (
+            changes.groupBy(*key_cols)
+            .agg(
+                F.min(
+                    F.struct(*order_fields, F.struct(*rest).alias("_row"))
+                ).alias("_w")
+            )
+            .select(*key_cols, F.col("_w._row.*"))
+        )
+    last = (
+        picked.select(  # restore the feed's column order
             *[
                 c for c in changes.columns
                 if c not in ("_change_version", "_change_timestamp")

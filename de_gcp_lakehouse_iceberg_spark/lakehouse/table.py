@@ -506,9 +506,11 @@ class LakeTable:
         commit also rewrites the hint, so gaps only outlive crashes)."""
         raw = self.committer.read_hint(os.path.join(self.root, POINTER))
         hint = int(raw) if raw is not None else None
+        scanned = False
         if hint is not None and not os.path.exists(
             os.path.join(self.root, MANIFEST_DIR, f"v{hint:08d}.json")
         ):
+            scanned = True
             # the hinted manifest is GONE — a stale hint write landing
             # after expire_snapshots deleted that version (or manual
             # damage). Walking forward from a hole would return an
@@ -531,10 +533,16 @@ class LakeTable:
         ):
             v = nxt
             nxt += 1
-        if v is not None and (hint is None or v - hint >= 2):
-            # a racing writer's newer hint may land after ours — that
-            # only re-opens a ≤1-version walk; the walk is monotonic
-            # so a hint can never point PAST the head it walked to
+        if v is not None and (hint is None or scanned or v - hint >= 2):
+            # repair on a ≥2 walk gap, or UNCONDITIONALLY after the
+            # fallback directory scan: the scan reassigns the local
+            # hint to max(versions), so the gap test alone would never
+            # fire and the broken on-disk hint (pointing at an expired
+            # manifest) would force a full listdir on EVERY read until
+            # the next commit (r10 ADVICE). A racing writer's newer
+            # hint may land after ours — that only re-opens a
+            # ≤1-version walk; the walk is monotonic so a hint can
+            # never point PAST the head it walked to
             try:
                 self.committer.set_hint(
                     os.path.join(self.root, POINTER), str(v)

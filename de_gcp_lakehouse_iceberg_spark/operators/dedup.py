@@ -146,8 +146,20 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
     Struct ordering compares `order_col` first, remaining columns as
     lexicographic tie-breaks — a TOTAL order, so an `order_col` tie is
     still deterministic (row_number left tie winners to shuffle
-    order)."""
+    order). Map-typed payload columns are unorderable, so the struct
+    form would raise at analysis — those schemas fall back to the
+    row_number window, which tolerates any payload (general-API
+    escape hatch; no hot-path caller carries maps)."""
     rest = [c for c in df.columns if c not in key_cols and c != order_col]
+    from .topk import _has_map
+
+    if any(_has_map(df.schema[c].dataType) for c in [order_col, *rest]):
+        w = W.partitionBy(*key_cols).orderBy(F.col(order_col).asc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     return (
         df.groupBy(*key_cols)
         .agg(F.min(F.struct(order_col, *rest)).alias("_w"))

@@ -86,7 +86,14 @@ def stratified_sample(
     from .topk import grouped_topk
 
     return grouped_topk(
-        df, [stratum_col], [id_hash(id_col), F.col(id_col)], n_per_stratum
+        df,
+        [stratum_col],
+        [id_hash(id_col), F.col(id_col)],
+        n_per_stratum,
+        # fat payload (document text) never crosses Arrow / the shuffle:
+        # only (stratum, hash, id) enter the partial; winners broadcast
+        # back — valid because id_hash is deterministic
+        payload="rejoin",
     ).select(*df.columns)
 
 

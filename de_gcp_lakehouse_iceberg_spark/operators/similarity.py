@@ -78,19 +78,31 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("_norm", norm(F.col(vec_col)))
 
 
-def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+def _topk_per_query(
+    scored: DataFrame, k: int, route: str = "bounded"
+) -> DataFrame:
     """Top-k by cosine DESC (ties to lowest neighbor_id) per query over
-    a (query_id, neighbor_id, cosine) relation — the two-phase
-    grouped_topk, not a row_number window: partial top-k collapses
-    map-side, so a hot query's whole candidate list never lands in one
-    sort task (operators/topk.py rationale). Negated-cosine ascending
-    == cosine descending; a NaN score (zero vector) would sort LAST
-    here instead of the window-desc form's first — saner for
-    similarity top-k, and unreachable on unit-norm input (tests)."""
+    a (query_id, neighbor_id, cosine) relation — grouped_topk, not a
+    row_number window: a hot query's whole candidate list never lands
+    in one sort task (operators/topk.py rationale). Callers whose
+    candidate generation CAPS the per-query group (IVF nprobe x list,
+    SQ8 rerank cutoff) pass route="single" — one all-JVM shuffle,
+    measured fastest at those group sizes; brute-force scans AND the
+    LSH path keep the default bounded route (LSH bucket fan-out is not
+    hard-capped — a hot bucket makes per-query candidate lists
+    corpus-scale, and the measured single-route cost already inverts
+    at sf0.1). Negated-cosine ascending == cosine descending; a NaN score
+    (zero vector) would sort LAST here instead of the window-desc
+    form's first — saner for similarity top-k, and unreachable on
+    unit-norm input (tests)."""
     from .topk import grouped_topk
 
     return grouped_topk(
-        scored, ["query_id"], [(-F.col("cosine")), F.col("neighbor_id")], k
+        scored,
+        ["query_id"],
+        [(-F.col("cosine")), F.col("neighbor_id")],
+        k,
+        route=route,
     ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
@@ -421,7 +433,7 @@ def ivf_ann_topk(
             ),
         )
     )
-    return _topk_per_query(scored, k)
+    return _topk_per_query(scored, k, route="single")
 
 
 def lsh_ann_topk(
@@ -626,7 +638,7 @@ def sq8_topk(
             ).alias("cosine"),
         )
     )
-    return _topk_per_query(rer, k)
+    return _topk_per_query(rer, k, route="single")
 
 
 def centroid_rollup(

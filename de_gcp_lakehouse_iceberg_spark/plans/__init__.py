@@ -70,65 +70,49 @@ from . import occ_query  # noqa: F401  (registers q115)
 # oracle-parity replica (tests/test_oracle_parity.py) still checks ALL
 # of them at two scale factors every run.
 _GATE_PRIORITY = [
-    # (a) the 21 rows deferred from r9 LEAD the r10 window exactly as
-    # documented last round (they would otherwise age to 4 rounds):
-    # the pure-SELECT TPC-H shapes, multimodal decode, k-means,
-    # behavioral windows, chunking/rarity, temperature mix, PII,
-    # sharding, splits, and the selection caps/sweep pair.
-    "q01_global_count", "q05_consistency_check", "q07_star_join_revenue",
-    "q10_daily_stats", "q13_rank_selfjoin", "q14_lag_rolling",
-    "q15_median_per_group",
-    "q41_media_bytes", "q42_media_features",
-    "q58_kmeans", "q59_click_attribution",
-    "q61_overlap_chunking", "q62_token_rarity",
-    "q65_temperature_mix", "q66_pii_scrub",
-    "q71_shuffle_shard", "q77_funnel", "q78_retention_cohorts",
-    "q79_split_census", "q94_source_doc_cap",
-    "q95_quality_threshold_sweep",
-    # (b) NEW this round (r10), never driver-verified: two concurrent
-    # disjoint MERGEs both committing through the rebase-validated
-    # copy-on-write path (table.py _validate_replace_rebase).
-    "q116_concurrent_merge",
-    # (c) the commit primitive itself changed this round (Committer
-    # extraction, CoW rebase validation, pointer-hint repair,
-    # expire-vs-stale-hint): re-gate every lifecycle-heavy consumer —
-    # the DML trio, OCC appends, MOR delete, CDC replica sync,
-    # changelog, WAP rollback + spec evolution, WAP-ingesting indexes,
-    # the IVM refresh chains, streaming exactly-once appends, and
-    # schema evolution.
-    "q19_merge_fix", "q20_delete_update", "q21_time_travel",
-    "q115_concurrent_appends", "q80_mor_delete_lifecycle",
-    "q63_cdc_replica_sync", "q47_changelog", "q69_wap_rollback",
-    "q68_spec_evolution_prune", "q90_signature_index_probe",
-    "q88_lsh_probe_incremental", "q98_ivm_delta_rollup",
-    "q102_ivm_distinct_kmv", "q104_ivm_join_rollup",
-    "q112_incremental_term_stats", "q113_bm25_from_index",
-    "q25_streaming_tumbling", "q48_schema_evolution", "q49_widen_column",
-    # (d) other implementation touched this round: the bloom semi-join
-    # probe (NULL-batch int64 fix) and its file-skipping sibling; the
-    # Σ df² fan-out memoization feeding every routed near-dup consumer;
-    # the gateway translator (QUALIFY set-op guard, APPROX_QUANTILES /
-    # [OFFSET] text rules) and its analytic-percentile twin.
-    "q84_bloom_semi_join", "q91_join_runtime_filter",
-    "q44_corpus_clean", "q64_corpus_clean_lsh", "q53_dup_clusters",
-    "q97_canonical_selection",
-    "q99_bigquery_sql_text", "q114_percentile_analytic_text",
-    # (e) regression watch: the r9 driver pass showed q36/q37 beyond
-    # the host factor — keep both in-window so BENCH_r10 and the hash
-    # gate re-pin them on the memoized signing path.
-    "q36_simhash",
-    # DEFERRED to lead the r11 window (r8/r9 rows, all ≤2 rounds old
-    # at r10, each with out-of-window proxies replayed at two SFs by
-    # test_oracle_parity every pytest run): the r8 cohort
-    # q02/q03/q04/q06/q08/q09/q11/q12/q16/q17/q18/q22/q23/q24 (pure
-    # SELECT shapes, also gateway-text-replayed by test_gateway_corpus
-    # and test_gateway_dml_corpus), q26 (window agg), q37 (minhash —
-    # r9 row + test_dedup LSH-vs-exact pinning), and the r9 cohort
-    # (q27-q35, q38-q40, q43, q45, q46, q50-q57, q60, q67, q70, q72,
-    # q73, q75, q76, q81-q83, q85-q87, q89, q92, q93, q96, q100, q101,
-    # q103, q105-q111), plus q74 (corpus e2e — r9 row; a pure
-    # composition of stages that ARE in-window this round: q44 route,
-    # q54 decontamination oracle replayed by test_oracle_parity).
+    # (a) the 16 rows deferred from r10 LEAD the r11 window exactly as
+    # documented last round (r8 rows — they age to 3 rounds otherwise):
+    # the pure-SELECT TPC-H shapes (also gateway-text-replayed by
+    # test_gateway_corpus / test_gateway_dml_corpus), the window agg,
+    # and minhash.
+    "q02_minmax_probe", "q03_top_groups", "q04_nonnull_counts",
+    "q06_rounded_freq", "q08_hourly_pattern", "q09_dashboard_having",
+    "q11_derived_duration", "q12_period_pct_change",
+    "q16_union_federation", "q17_semijoin_topk", "q18_validation_split",
+    "q22_tumbling_window", "q23_approx_median", "q24_quality_score",
+    "q26_agg_of_agg_window", "q37_minhash_lsh",
+    # (b) implementation changed THIS round (r11): grouped_topk was
+    # rebuilt (bounded Arrow running min-k partial + keys-only-
+    # comparator merge, single/rejoin routes) — re-gate every consumer
+    # (q85 kernel gate, q52 stratified rejoin, q94 cap, q105/q107/q113
+    # retrieval top-k, q38/q39/q40/q45/q96 ANN routes); exact_dedup
+    # grew the unorderable-payload fallback (q34); apply_changelog got
+    # the NULL-version/numeric guard and map fallback (q63); and the
+    # r10 verdict's six-query regression watch (q52/q92-q96) stays
+    # in-window so BENCH_r11 re-pins it.
+    "q85_grouped_topk", "q52_stratified_sample", "q94_source_doc_cap",
+    "q95_quality_threshold_sweep", "q96_sq8_ann",
+    "q92_dhash_image_dedup", "q93_bigram_lm_score",
+    "q38_cosine_topk", "q39_nearest_pairs", "q40_lsh_ann", "q45_ivf_ann",
+    "q105_tfidf_terms", "q107_bm25_topk", "q113_bm25_from_index",
+    "q34_exact_dedup", "q63_cdc_replica_sync",
+    # (c) backfill with the OLDEST remaining r9 rows so nothing ages
+    # past two rounds.
+    "q27_row_number_ids", "q28_stddev", "q29_sessionization",
+    "q30_token_stats", "q31_quality_score", "q32_lang_id",
+    "q33_fingerprint", "q35_ngram_jaccard", "q43_geohash_buckets",
+    "q46_jaccard_maxdf", "q50_source_mix", "q51_pack_chunks",
+    "q54_contamination", "q55_repetition_filter",
+    "q56_asof_error_context", "q57_token_budget_selection",
+    "q60_stats_pruned_scan", "q67_bucket_prune_proof",
+    # DEFERRED to lead the r12 window (r9/r10 rows, all <=2 rounds old
+    # at r11, each replayed at two SFs by test_oracle_parity every
+    # pytest run): the remaining r9 cohort q70, q72, q73, q74, q75,
+    # q76, q81, q82, q83, q86, q87, q89, q100, q101, q103, q106, q108,
+    # q109, q110, q111, then the oldest r10 rows (q01/q05/q07/q10/
+    # q13/q14/q15, q41/q42, q58/q59, q61/q62, q65/q66, q68/q69, q71,
+    # q77-q80, q84, q88, q90, q91, q97-q99, q102, q104, q112,
+    # q114-q116).
 ]
 
 

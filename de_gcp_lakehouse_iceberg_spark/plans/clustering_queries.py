@@ -23,8 +23,14 @@ _DIST = """list_sum(list_transform(list_zip({q}, {c}),
     p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))"""
 
 
-def _kmeans_sql(k: int, iters: int, quant: int) -> str:
-    """Unrolled-iteration CTE chain mirroring operators.clustering.kmeans."""
+def _kmeans_sql(
+    k: int, iters: int, quant: int, k_sql: str | None = None
+) -> str:
+    """Unrolled-iteration CTE chain mirroring operators.clustering.kmeans.
+    `k_sql` (a scalar-subquery expression, e.g. `(SELECT k FROM kk)`)
+    replaces the literal seed count — the auto-k deployment shape
+    (q70) derives k from the corpus size inside the oracle itself."""
+    k_expr = k_sql or str(k)
     parts = [
         f"""q0 AS (
       SELECT vec_id, label,
@@ -33,9 +39,12 @@ def _kmeans_sql(k: int, iters: int, quant: int) -> str:
                AS q
       FROM embeddings),
     c0 AS (
-      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
-             list_transform(q, x -> CAST(x AS DOUBLE)) AS c
-      FROM q0 ORDER BY vec_id LIMIT {k})"""
+      SELECT cid, c FROM (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                 AS cid,
+               list_transform(q, x -> CAST(x AS DOUBLE)) AS c
+        FROM q0)
+      WHERE cid < {k_expr})"""
     ]
     for t in range(1, iters + 1):
         dist = _DIST.format(q="v.q", c=f"c{t-1}.c")

@@ -1,12 +1,22 @@
 """q70 — SemDeDup-style clustered embedding near-dedup, hash-checked
 end-to-end (operators/clustering.semdedup; Abbas et al. 2023).
 
+Gated at the AUTO-K deployment shape (r10 VERDICT #4): k is derived
+from the corpus size inside BOTH engines (max(8, ceil(N/250)) — the
+`kk` CTE below / `semdedup(k=None)`), so clusters stay ~250 vectors
+and the gate's pair work scales ~N·250 instead of the fixed-k N²/8
+that cost 92 s at sf3. At the driver's gate SFs the formula evaluates
+to k=8, i.e. the historical fixed-k rows remain byte-identical. The
+fixed-k form stays a pytest-only baseline (tests/test_clustering.py).
+
 Oracle: reuses the q58 assignment CTE machinery with ZERO Lloyd
 iterations (pure nearest-seed-centroid assignment — quantized integer
 vectors, sequential-fold double distances, ties to the lowest cid),
 then replays the within-cluster pair stage with the same sequential
 cosine fold the q38/q39 oracles pin. The keep-the-lowest-id rule is
-order-independent, so both engines agree row-for-row.
+order-independent, so both engines agree row-for-row; the Arrow
+matmul assignment used by k=None accumulates dimension-sequentially,
+bit-identical to the fold (pinned in tests/test_clustering.py).
 """
 
 from __future__ import annotations
@@ -20,8 +30,17 @@ from ..tables import table
 from .clustering_queries import _kmeans_sql
 from .queries import register
 
-_K = 8
 _TAU = 0.35
+# auto-k (the k∝N DEPLOYMENT route, clustering.semdedup k=None):
+# k = max(8, ceil(N/250)) keeps clusters ~250 vectors so pair work is
+# ~N·250 instead of N²/k — at the gate SFs (N < 2000) this evaluates
+# to 8, i.e. exactly the old fixed-k oracle; at sf3 it caps the gate
+# shape that cost 92 s (77% of the B2 ceiling, r10 VERDICT #4). Pure
+# integer math, engine-portable.
+_K_SQL = (
+    "kk AS (SELECT greatest(8, (count(*) + 249) // 250) AS k "
+    "FROM embeddings)"
+)
 
 _COS = """list_sum(list_transform(list_zip(a.embedding, b.embedding),
         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
@@ -31,7 +50,8 @@ _COS = """list_sum(list_transform(list_zip(a.embedding, b.embedding),
 @register(
     "q70_semdedup",
     oracle=f"""
-    WITH {_kmeans_sql(_K, 0, QUANT)},
+    WITH {_K_SQL},
+    {_kmeans_sql(0, 0, QUANT, k_sql="(SELECT k FROM kk)")},
     n AS (
       SELECT vec_id, embedding,
              sqrt(list_sum(list_transform(embedding,
@@ -56,7 +76,7 @@ _COS = """list_sum(list_transform(list_zip(a.embedding, b.embedding),
 )
 def q70_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    flagged = semdedup(emb, k=_K, tau=_TAU)
+    flagged = semdedup(emb, k=None, tau=_TAU)
     return (
         flagged.groupBy(F.col("cid").alias("cluster_id"))
         .agg(

@@ -194,15 +194,26 @@ def _rewrite_qualify(s: str) -> str:
     # `SELECT ... UNION ALL SELECT ... QUALIFY ...` silently applied
     # the predicate to both branches. Reject loudly instead (wrap the
     # QUALIFY branch in parentheses to combine it with a set op).
-    # UNION/INTERSECT scan from 0 (set op before OR after QUALIFY);
-    # EXCEPT scans only after QUALIFY because BigQuery's select-list
-    # `SELECT * EXCEPT (col)` form would false-positive before it.
-    for op, frm in (("UNION", 0), ("INTERSECT", 0), ("EXCEPT", q + 7)):
-        if _depth0_index(s, op, frm) >= 0:
+    # UNION/INTERSECT scan from 0 (set op before OR after QUALIFY).
+    for op in ("UNION", "INTERSECT"):
+        if _depth0_index(s, op) >= 0:
             raise ValueError(
                 f"QUALIFY combined with a top-level {op} is not supported "
                 "— parenthesize the QUALIFY branch as a subquery"
             )
+    # EXCEPT also scans from 0, but BigQuery's select-list
+    # `SELECT * EXCEPT (col)` spelling must not false-positive: the
+    # set-op form never directly follows `*` (select-list EXCEPT
+    # always does — `* EXCEPT (...)` / `t.* EXCEPT (...)`).
+    frm = 0
+    while (e := _depth0_index(s, "EXCEPT", frm)) >= 0:
+        prev = s[:e].rstrip()
+        if not prev.endswith("*"):
+            raise ValueError(
+                "QUALIFY combined with a top-level EXCEPT is not supported "
+                "— parenthesize the QUALIFY branch as a subquery"
+            )
+        frm = e + 6
     # Predicate runs until a top-level ORDER BY / LIMIT or end-of-text.
     tail_at = len(s)
     for kw in ("ORDER", "LIMIT"):

@@ -212,3 +212,82 @@ def test_arrow_probe_large_keys_with_nulls_in_batch(spark):
     # the matching large keys
     got = {r.key for r in bloom_semi_join(big, small, "key").collect()}
     assert got == {base + 1, -(base + 7), (1 << 53) + 1}
+
+
+def _window_topk(df, k):
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("g").orderBy(F.col("score").desc(), F.col("id"))
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .collect()
+    )
+
+
+def test_grouped_topk_routes_agree_with_window(spark):
+    """Every route (bounded-carry, bounded-rejoin, single) returns
+    exactly the window form's rows — same winners, same ranks."""
+    import random
+
+    rng = random.Random(29)
+    rows = [(f"g{i % 7}", rng.randrange(500), i) for i in range(4000)]
+    df = spark.createDataFrame(rows, "g string, score long, id long")
+    want = sorted(
+        (r.g, r.rank, r.id, r.score) for r in _window_topk(df, 6)
+    )
+    for kw in (
+        {"payload": "carry"},
+        {"payload": "rejoin"},
+        {"route": "single"},
+    ):
+        got = grouped_topk(
+            df, ["g"], [(-F.col("score")), F.col("id")], k=6, **kw
+        ).collect()
+        assert sorted((r.g, r.rank, r.id, r.score) for r in got) == want, kw
+
+
+def test_grouped_topk_null_order_keys_rank_first(spark):
+    """SQL NULLS-FIRST parity between the Arrow partial and the JVM
+    merge: a NULL order key wins over any value on every route."""
+    rows = [("a", None, 1), ("a", 5, 2), ("a", 1, 3), ("b", 2, 4)]
+    df = spark.createDataFrame(rows, "g string, score int, id long")
+    for kw in ({}, {"payload": "rejoin"}, {"route": "single"}):
+        got = {
+            (r.g, r.rank): r.id
+            for r in grouped_topk(
+                df, ["g"], [F.col("score"), F.col("id")], k=2, **kw
+            ).collect()
+        }
+        assert got == {("a", 1): 1, ("a", 2): 3, ("b", 1): 4}, kw
+
+
+def test_grouped_topk_carries_unorderable_map_payload(spark):
+    """Map-typed payload columns are carried, never compared (the r10
+    ADVICE regression: packing them into the sort struct raised
+    AnalysisException)."""
+    df = spark.createDataFrame(
+        [("a", 3, {"x": 1}), ("a", 1, {"y": 2}), ("b", 9, {"z": 3})],
+        "g string, score int, m map<string,int>",
+    )
+    for kw in ({}, {"route": "single"}):
+        got = grouped_topk(
+            df, ["g"], [F.col("score")], k=1, **kw
+        ).collect()
+        rows = {(r.g): (r.rank, r.score, dict(r.m)) for r in got}
+        assert rows == {"a": (1, 1, {"y": 2}), "b": (1, 9, {"z": 3})}, kw
+
+
+def test_grouped_topk_null_group_keys_survive(spark):
+    """A NULL group key is a real group on the bounded route (pandas
+    groupby must not drop it) and on rejoin (null-safe join-back)."""
+    df = spark.createDataFrame(
+        [(None, 1, 10), (None, 2, 11), ("a", 3, 12)],
+        "g string, score int, id long",
+    )
+    for kw in ({}, {"payload": "rejoin"}, {"route": "single"}):
+        got = grouped_topk(
+            df, ["g"], [F.col("score"), F.col("id")], k=1, **kw
+        ).collect()
+        rows = {r.g: (r.rank, r.id) for r in got}
+        assert rows == {None: (1, 10), "a": (1, 12)}, kw

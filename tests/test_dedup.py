@@ -295,3 +295,17 @@ def test_prefix_filtered_jaccard_identical_pairs(spark, sf_dir):
             ).collect()
         }
         assert pp == plain and plain, kw
+
+
+def test_exact_dedup_map_payload_falls_back_to_window(spark):
+    """r10 ADVICE: map-typed payload is unorderable — exact_dedup must
+    not raise, and must still keep the lowest-order row per key."""
+    df = spark.createDataFrame(
+        [("x", 2, {"k": 2}), ("x", 1, {"k": 1}), ("y", 9, {"k": 9})],
+        "text string, id int, m map<string,int>",
+    )
+    out = {
+        r.text: (r.id, dict(r.m))
+        for r in dedup.exact_dedup(df, ["text"], "id").collect()
+    }
+    assert out == {"x": (1, {"k": 1}), "y": (9, {"k": 9})}

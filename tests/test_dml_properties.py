@@ -215,3 +215,63 @@ def test_merge_evolve_schema_adds_source_columns(spark, tmp_path):
     assert rows[7] == (70, "new")        # insert carries new column
     assert rows[0] == (0, None)          # pre-existing rows read NULL
     assert t.scan().columns == ["k", "v", "note"]
+
+
+def test_apply_changelog_null_version_loses(spark, tmp_path):
+    """r10 ADVICE: external feeds may carry NULL _change_version — it
+    must LOSE to any numbered change (the old desc-window form sorted
+    nulls last), not win the negated-ascending struct order."""
+    from de_gcp_lakehouse_iceberg_spark.lakehouse import LakeTable, dml
+
+    replica = LakeTable.create(spark, str(tmp_path / "nullv"))
+    replica.append(spark.createDataFrame([(1, "old")], "id long, v string"))
+    feed = spark.createDataFrame(
+        [
+            (1, "stale", "INSERT", None, 0),
+            (1, "fresh", "INSERT", 7, 0),
+        ],
+        "id long, v string, _change_type string, "
+        "_change_version int, _change_timestamp long",
+    )
+    dml.apply_changelog(replica, feed, key_cols=["id"])
+    assert [(r.id, r.v) for r in replica.scan().collect()] == [(1, "fresh")]
+
+
+def test_apply_changelog_rejects_non_numeric_version(spark, tmp_path):
+    import pytest
+
+    from de_gcp_lakehouse_iceberg_spark.lakehouse import LakeTable, dml
+
+    replica = LakeTable.create(spark, str(tmp_path / "strv"))
+    replica.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    feed = spark.createDataFrame(
+        [(1, "b", "INSERT", "v2", 0)],
+        "id long, v string, _change_type string, "
+        "_change_version string, _change_timestamp long",
+    )
+    with pytest.raises(TypeError, match="numeric"):
+        dml.apply_changelog(replica, feed, key_cols=["id"])
+
+
+def test_apply_changelog_map_payload_falls_back(spark, tmp_path):
+    """Map-typed payload columns are unorderable in the struct-MIN —
+    the window fallback must still apply the feed correctly."""
+    from de_gcp_lakehouse_iceberg_spark.lakehouse import LakeTable, dml
+
+    replica = LakeTable.create(spark, str(tmp_path / "mapv"))
+    replica.append(
+        spark.createDataFrame(
+            [(1, {"a": 1})], "id long, meta map<string,int>"
+        )
+    )
+    feed = spark.createDataFrame(
+        [
+            (1, {"a": 2}, "INSERT", 5, 0),
+            (1, {"a": 9}, "DELETE", 4, 0),
+        ],
+        "id long, meta map<string,int>, _change_type string, "
+        "_change_version int, _change_timestamp long",
+    )
+    dml.apply_changelog(replica, feed, key_cols=["id"])
+    rows = replica.scan().collect()
+    assert len(rows) == 1 and dict(rows[0].meta) == {"a": 2}

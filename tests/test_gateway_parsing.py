@@ -106,3 +106,28 @@ def test_q113_shares_q107_oracle_exactly():
         ORACLE_SQL["q113_bm25_from_index"]
         == ORACLE_SQL["q107_bm25_topk"]
     )
+
+
+def test_qualify_set_op_except_before_qualify_rejected():
+    """r10 ADVICE: a depth-0 set-operation EXCEPT occurring BEFORE the
+    QUALIFY was silently mistranslated (the scan started after
+    QUALIFY). Set-op EXCEPT is distinguished from select-list
+    `* EXCEPT (...)` by the preceding `*`."""
+    import pytest
+
+    for sql in (
+        "SELECT a FROM t EXCEPT DISTINCT SELECT a FROM u "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1",
+        "SELECT a FROM t EXCEPT ALL SELECT a FROM u "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1",
+    ):
+        with pytest.raises(ValueError, match="EXCEPT"):
+            _rewrite_qualify(sql)
+    # select-list forms still pass: bare `* EXCEPT` and `t.* EXCEPT`
+    for sql in (
+        "SELECT * EXCEPT (b) FROM t "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1",
+        "SELECT t.* EXCEPT (b) FROM t "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1",
+    ):
+        assert "__qualify__" in _rewrite_qualify(sql)

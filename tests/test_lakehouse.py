@@ -690,3 +690,29 @@ def test_stale_pointer_hint_cannot_regress_the_head(spark, tmp_path):
     t2 = LakeTable.load(spark, root)
     assert t2.current_version() == head
     assert sorted(r["id"] for r in t2.scan().collect()) == [1, 2]
+
+
+def test_stale_hint_repaired_after_fallback_scan(spark, tmp_path):
+    """r10 ADVICE: when the hinted manifest is GONE (stale hint from a
+    crashed writer landing after expire_snapshots), the fallback
+    directory scan must REPAIR the on-disk hint — otherwise every
+    subsequent read repeats the full listdir until the next commit."""
+    import os
+
+    from de_gcp_lakehouse_iceberg_spark.lakehouse.table import (
+        POINTER,
+        LakeTable,
+    )
+
+    t = LakeTable.create(spark, str(tmp_path / "stale_hint"))
+    for i in range(3):
+        t.append(spark.range(i, i + 2).toDF("id"))
+    head = t.current_version()
+    # simulate the crash interleaving: hint points at a version whose
+    # manifest no longer exists
+    pointer = os.path.join(t.root, POINTER)
+    with open(pointer, "w") as f:
+        f.write(str(head + 40))
+    assert t.current_version() == head  # fallback scan found the head
+    with open(pointer) as f:
+        assert f.read().strip() == str(head)  # ...and repaired the hint
