@@ -84,20 +84,31 @@ def main() -> None:
     # engine regressions — the r9 discrepancy (builder ledger 116 s vs
     # driver re-record 143 s, host factor ~1.24×) was otherwise
     # unfalsifiable.
-    calibration_s = None
-    try:
-        cal_best = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            spark.range(0, 50_000_000, 1, 32).selectExpr(
-                "sum(id * 2654435761 % 1000003) AS s"
-            ).collect()
-            dt = time.perf_counter() - t0
-            cal_best = dt if cal_best is None else min(cal_best, dt)
-        calibration_s = round(cal_best, 4)
-        print(f"# calibration: {calibration_s}s", file=sys.stderr)
-    except Exception as exc:  # noqa: BLE001 — calibration is best-effort
-        print(f"# calibration failed: {exc}", file=sys.stderr)
+    # Bracketing (r10 VERDICT #5): one front-of-run anchor cannot
+    # normalize per-query claims when the host drifts WITHIN a session
+    # (the three r10 ledgers' anchors differed 1.43x in one sitting) —
+    # so the anchor is measured BEFORE and AFTER the per-query loop and
+    # the ledger records the bracket (start/end/min/max). Cross-round
+    # claims divide by the BRACKET (a query is only called regressed
+    # if it sits outside the [min,max]-normalized band).
+    def _calibrate() -> float | None:
+        try:
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                spark.range(0, 50_000_000, 1, 32).selectExpr(
+                    "sum(id * 2654435761 % 1000003) AS s"
+                ).collect()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            return round(best, 4)
+        except Exception as exc:  # noqa: BLE001 — best-effort
+            print(f"# calibration failed: {exc}", file=sys.stderr)
+            return None
+
+    calibration_s = _calibrate()
+    if calibration_s is not None:
+        print(f"# calibration(start): {calibration_s}s", file=sys.stderr)
 
     # Failure isolation: one broken query must never void the other
     # measurements — record its error and keep going; ALWAYS emit the
@@ -136,6 +147,24 @@ def main() -> None:
         if best is not None:
             timings[name] = round(best, 3)
             print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
+
+    # closing bracket of the calibration anchor (see note above)
+    calibration_end_s = _calibrate()
+    if calibration_end_s is not None:
+        print(f"# calibration(end): {calibration_end_s}s", file=sys.stderr)
+    cal_pair = [
+        c for c in (calibration_s, calibration_end_s) if c is not None
+    ]
+    calibration = (
+        {
+            "start": calibration_s,
+            "end": calibration_end_s,
+            "min": min(cal_pair),
+            "max": max(cal_pair),
+        }
+        if cal_pair
+        else None
+    )
 
     # B1 concurrency envelope (PRD.md:3579-3594: "10 parallel queries,
     # avg < 30 s each"): run ten group/filter/top-k analytical queries
@@ -263,6 +292,8 @@ def main() -> None:
     }
     if calibration_s is not None:
         out["calibration_s"] = calibration_s
+    if calibration is not None:
+        out["calibration"] = calibration
     if concurrent:
         out["concurrent"] = {
             k: v for k, v in concurrent.items() if k != "latencies"
@@ -282,6 +313,7 @@ def main() -> None:
         "runs": runs,
         "cache": os.environ.get("SPARK_GRAFT_CACHE", "1") != "0",
         "calibration_s": calibration_s,
+        "calibration": calibration,
         "host": {
             "cpus": os.cpu_count(),
             "spark_cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),

@@ -1127,9 +1127,14 @@ class LakeTable:
         - every file this commit removes is still LIVE at the head —
           if a concurrent commit rewrote or dropped one, the two
           mutations touched the same rows and the loser must re-plan;
-        - no merge-on-read delete entry added since the planned base
-          applies to a removed file — rewriting it from the stale plan
-          would resurrect concurrently-deleted rows;
+        - a merge-on-read delete entry added since the planned base
+          that applies to a removed file is REAPPLIED (Iceberg's
+          validate-then-reapply pattern): the replacement files carry
+          a newer sequence number than the delete entry, so their rows
+          would silently resurrect — instead the rebase re-filters the
+          already-written output with the new predicates and commits
+          the rewritten files, serializing this commit AFTER the
+          delete (both effects survive);
         - the table schema is unchanged — the new files were written
           against the planned schema.
 
@@ -1155,12 +1160,15 @@ class LakeTable:
         )
 
         def _attempt() -> Snapshot:
+            nonlocal written
             head = self.current_version()
             prev = self.snapshot(head)
             if expected_base is not None and head != expected_base:
-                self._validate_replace_rebase(
+                reapply = self._validate_replace_rebase(
                     expected_base, prev, removed
                 )
+                if reapply:
+                    written = self._reapply_mor_deletes(written, reapply)
             kept = [f for f in prev.files if f.path not in removed]
             new_files = self._stamp_seq(list(written))
             return self._commit_snapshot(
@@ -1178,15 +1186,42 @@ class LakeTable:
 
         return self._rebase_retry(_attempt)
 
+    def _reapply_mor_deletes(
+        self, written: list["FileEntry"], predicates: list[str]
+    ) -> list["FileEntry"]:
+        """Rebase reapply (Iceberg validate-then-reapply): a concurrent
+        MOR delete landed on files this commit rewrites; because the
+        replacement files get a NEWER sequence number than the delete
+        entry, their rows would resurrect at read time. Re-filter the
+        already-written replacement rows with every new predicate
+        (SQL DELETE semantics: NULL keeps the row) and swap in the
+        rewritten files — the superseded originals become orphans for
+        `remove_orphans`. Idempotent, so a second rebase round may
+        safely reapply an already-applied predicate."""
+        if not written:
+            return written
+        from pyspark.sql import functions as F
+
+        df = self.spark.read.parquet(
+            *[os.path.join(self.root, f.path) for f in written]
+        )
+        for p in predicates:
+            df = df.filter(~F.coalesce(F.expr(p), F.lit(False)))
+        return self._write_files(df)
+
     def _validate_replace_rebase(
         self,
         expected_base: int,
         head: "Snapshot",
         removed: set[str],
-    ) -> None:
-        """Raise CommitConflict unless a copy-on-write commit planned
-        against v`expected_base` can safely land on `head` (see
-        `replace_files` docstring for the three conditions)."""
+    ) -> list[str]:
+        """Validate that a copy-on-write commit planned against
+        v`expected_base` can land on `head` (see `replace_files`
+        docstring). Raises a PERMANENT CommitConflict on schema drift
+        or replaced-file liveness violations; returns the list of
+        merge-on-read delete predicates added since the planned base
+        that apply to a rewritten file — the caller must reapply them
+        to its output before committing (empty = land as-is)."""
         def _permanent(msg: str) -> CommitConflict:
             exc = CommitConflict(msg)
             exc.permanent = True  # retrying cannot help — head won't rewind
@@ -1219,19 +1254,25 @@ class LakeTable:
             d for d in head.deletes
             if json.dumps(d, sort_keys=True) not in base_del
         ]
+        reapply: list[str] = []
         if new_dels:
             removed_seqs = [
                 f.seq for f in head.files if f.path in removed
             ]
-            if any(
-                any(s < d["seq"] for s in removed_seqs) for d in new_dels
-            ):
-                raise _permanent(
-                    "concurrent modification: a merge-on-read delete "
-                    f"landed since v{expected_base} and applies to a "
-                    "file this commit rewrites — re-plan to avoid "
-                    "resurrecting deleted rows"
-                )
+            for d in new_dels:
+                if not any(s < d["seq"] for s in removed_seqs):
+                    continue  # predates nothing we rewrite
+                if "predicate" not in d:
+                    # a delete entry we cannot re-express as a filter
+                    # (future delete-file formats) stays a hard stop
+                    raise _permanent(
+                        "concurrent modification: a merge-on-read "
+                        f"delete landed since v{expected_base}, applies "
+                        "to a file this commit rewrites, and carries no "
+                        "reapplicable predicate — re-plan"
+                    )
+                reapply.append(d["predicate"])
+        return reapply
 
     # ------------------------------------------------------------------
     # read paths

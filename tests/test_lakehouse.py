@@ -580,17 +580,15 @@ def test_concurrent_disjoint_merges_both_commit(spark, tmp_path):
     assert {r.v for r in t.scan().filter("id = 1").collect()} == {111.0}
 
 
-def test_cow_rebase_conflicts_with_new_mor_delete(spark, tmp_path):
+def test_cow_rebase_reapplies_new_mor_delete(spark, tmp_path):
     """A merge-on-read delete landing between plan and commit applies
-    to files the CoW commit rewrites: committing the stale plan would
-    RESURRECT the deleted rows — must conflict. A MOR delete whose
-    rows live only in untouched files commutes and the rebase lands."""
-    import pytest as _pytest
-
-    from de_gcp_lakehouse_iceberg_spark.lakehouse import (
-        CommitConflict,
-        LakeTable,
-    )
+    to files the CoW commit rewrites: committing the stale plan
+    verbatim would RESURRECT the deleted rows (the replacement files
+    outrank the delete entry's sequence number). The rebase instead
+    RE-FILTERS the replacement output with the new predicate
+    (Iceberg's validate-then-reapply) — both effects land, serialized
+    delete-last."""
+    from de_gcp_lakehouse_iceberg_spark.lakehouse import LakeTable
     from de_gcp_lakehouse_iceberg_spark.lakehouse.dml import delete_mor
 
     root = str(tmp_path / "mor_race")
@@ -605,18 +603,22 @@ def test_cow_rebase_conflicts_with_new_mor_delete(spark, tmp_path):
     v = t.current_version()
     file_a = sorted(v1_files)  # the single file holding ids 1 and 2
 
-    # plan a rewrite of file_a against v; a MOR delete lands first and
-    # (applying to ALL pre-delete files, file_a included) must conflict
+    # plan a rewrite of file_a against v; a MOR delete lands first —
+    # the replacement even tries to write id=2 back with a new value,
+    # proving the reapply filters the OUTPUT, not just the old file
     delete_mor(t, "id = 2")
-    with _pytest.raises(CommitConflict, match="merge-on-read delete"):
-        t.replace_files(
-            file_a,
-            spark.createDataFrame([(1, 99.0)], "id long, v double"),
-            operation="update",
-            expected_base=v,
-        )
-    # id=2 stayed deleted; nothing was resurrected
-    assert sorted(r.id for r in t.scan().collect()) == [1, 11]
+    t.replace_files(
+        file_a,
+        spark.createDataFrame(
+            [(1, 99.0), (2, 22.0)], "id long, v double"
+        ),
+        operation="update",
+        expected_base=v,
+    )
+    # both effects survive: the update to id=1 AND the delete of id=2
+    assert {(r.id, r.v) for r in t.scan().collect()} == {
+        (1, 99.0), (11, 110.0)
+    }
 
     # a plain append between plan and commit still commutes: the
     # delete entries at head are unchanged since the new base

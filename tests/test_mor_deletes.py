@@ -264,3 +264,67 @@ def test_update_mor_key_change_replicates(spark, tmp_path):
     dst = sorted((r.k, r.cat) for r in replica.scan().collect())
     assert src == dst
     assert (102, 2) in dst and all(k != 2 for k, _ in dst)
+
+
+def test_mor_delete_lands_mid_merge_both_effects_survive(spark, tmp_path):
+    """Two-writer interleaving at the commit point (r10 VERDICT #6): a
+    MOR delete lands AFTER a MERGE has planned and written its output
+    but BEFORE its CAS. The MERGE must lose the slot, rebase, re-filter
+    its output with the new delete predicate, and commit — final state
+    shows the merge's updates AND the delete, serialized delete-last."""
+    from pyspark.sql import functions as F
+
+    from de_gcp_lakehouse_iceberg_spark.lakehouse import LakeTable, dml
+    from de_gcp_lakehouse_iceberg_spark.lakehouse.committer import (
+        Committer,
+        PosixLinkCommitter,
+    )
+
+    root = str(tmp_path / "midmerge")
+    t = LakeTable.create(spark, root)
+    t.append(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, v double"
+        ).coalesce(1)
+    )
+    other = LakeTable.load(spark, root)
+
+    class _InjectBeforeCas(Committer):
+        """Fires a hook (the other writer's commit) immediately before
+        this writer's FIRST manifest CAS — the deterministic version
+        of 'the delete raced in mid-merge'."""
+
+        def __init__(self, inner, hook):
+            self.inner, self.hook, self.fired = inner, hook, False
+
+        def cas_create(self, path, payload):
+            if not self.fired:
+                self.fired = True
+                self.hook()
+            return self.inner.cas_create(path, payload)
+
+        def set_hint(self, path, value):
+            self.inner.set_hint(path, value)
+
+        def read_hint(self, path):
+            return self.inner.read_hint(path)
+
+    t.committer = _InjectBeforeCas(
+        PosixLinkCommitter(), lambda: dml.delete_mor(other, "id = 2")
+    )
+    src = spark.createDataFrame(
+        [(2, 222.0), (3, 333.0)], "id long, v double"
+    )
+    dml.merge(
+        t,
+        src,
+        on=["id"],
+        when_matched_update={"v": F.col("source.v")},
+        when_not_matched_insert=False,
+    )
+    # merge's update to id=3 AND the concurrent delete of id=2 survive;
+    # the merge's own rewrite of id=2 did not resurrect it
+    final = LakeTable.load(spark, root)
+    assert {(r.id, r.v) for r in final.scan().collect()} == {
+        (1, 10.0), (3, 333.0)
+    }
