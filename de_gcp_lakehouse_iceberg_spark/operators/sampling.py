@@ -76,25 +76,119 @@ def stratified_sample(
     n_per_stratum: int,
     stratum_col: str = "source",
     id_col: str = "doc_id",
+    route: str = "topk",
+    oversample: int = 4,
 ) -> DataFrame:
     """Exactly min(n, |stratum|) rows per stratum, chosen by hash order
-    (deterministic, unbiased); ties broken by id. Two-phase grouped
-    top-k, not a row_number window: each input partition keeps only
-    its n best per stratum map-side, so a skewed stratum never funnels
-    ALL its rows into one sort task — the selection shuffles at most
-    n × #partitions rows per stratum."""
+    (deterministic, unbiased); ties broken by id. Both routes produce
+    the identical (oracle-exact) row set.
+
+    route="topk" (default): bounded grouped_topk with payload="rejoin"
+    — only (stratum, hash, id) cross the Arrow partial, the k winners
+    broadcast back, and the fat document payload never moves except
+    for the selected rows. MEASURED fastest at every available
+    fixture (sf0.1 0.45 s vs 0.92 s; sf3 0.56 s vs 1.03 s warm
+    min-of-4 interleaved).
+
+    route="threshold": oversampling threshold-select — the all-JVM scale shape (same idea
+    as Spark's RangePartitioner oversampled sketch): selecting the n
+    smallest values of a UNIFORM hash doesn't need a top-k over the
+    whole stratum, because the n-th smallest hash of an N_s-row
+    stratum concentrates at ~n/N_s · P. So:
+
+      1. per-stratum counts (one narrow aggregate);
+      2. scan-time filter `hash < cut_s` with
+         cut_s = ceil(oversample·n·P / N_s) (cut_s = P when
+         N_s ≤ oversample·n, keeping small strata whole) — expected
+         survivors oversample·n per stratum, and by a Chernoff lower
+         tail P[survivors < n] ≤ exp(−(1−1/c)²·c·n/2) ≈ e^(−1.125·n)
+         at c=4: ~2e−10 for n=20, vanishing for bench n's;
+      3. exact top-n over the ~c·n survivors (`route="single"` — the
+         group size is bounded by the cut's construction);
+      4. a DECLARATIVE exact fallback: strata whose survivor count
+         fell below min(n, N_s) re-select over the full stratum via
+         the bounded route. The branch is driven by a broadcast of the
+         (normally EMPTY) shortfall stratum list, so AQE collapses the
+         semi-join to an empty relation at runtime — no second scan in
+         the expected case, and exactness does not rest on a
+         probabilistic bound.
+
+    The threshold route's hot path is a count + a broadcast-filtered
+    scan + a tiny top-n: no Python workers, no full-stratum shuffle,
+    and the payload moves only for the ~c·n survivors — the asymptotic
+    win once a stratum's rows dwarf its survivors by enough to beat
+    the route's extra fixed stages (the crossover is NOT reached by
+    the sf3 fixture; hence the measured default above)."""
     from .topk import grouped_topk
 
-    return grouped_topk(
-        df,
+    n = n_per_stratum
+    order = lambda: [id_hash(id_col), F.col(id_col)]  # noqa: E731
+    if route == "topk":
+        return grouped_topk(
+            df, [stratum_col], order(), n, payload="rejoin"
+        ).select(*df.columns)
+    if route != "threshold":
+        raise ValueError(f"route must be topk|threshold: {route!r}")
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_ns"))
+    cuts = counts.select(
+        F.col(stratum_col).alias("_st"),
+        "_ns",
+        F.when(
+            F.col("_ns") <= oversample * n, F.lit(SAMPLE_P).cast("long")
+        )
+        .otherwise(
+            F.expr(
+                f"CAST(({oversample * n}L * {SAMPLE_P}L + _ns - 1) "
+                "DIV _ns AS LONG)"
+            )
+        )
+        .alias("_cut"),
+    )
+    surv = (
+        df.join(
+            F.broadcast(cuts),
+            F.col(stratum_col).eqNullSafe(F.col("_st")),
+        )
+        .filter(id_hash(id_col) < F.col("_cut"))
+        .drop("_st", "_ns", "_cut")
+    )
+    surv_counts = surv.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("_sv")
+    )
+    shortfall = (
+        cuts.join(
+            surv_counts,
+            F.col("_st").eqNullSafe(F.col(stratum_col)),
+            "left",
+        )
+        .filter(
+            F.coalesce(F.col("_sv"), F.lit(0))
+            < F.least(F.lit(n).cast("long"), F.col("_ns"))
+        )
+        .select(F.col("_st"))
+    )
+    ok = grouped_topk(
+        surv.join(
+            F.broadcast(shortfall),
+            F.col(stratum_col).eqNullSafe(F.col("_st")),
+            "left_anti",
+        ),
         [stratum_col],
-        [id_hash(id_col), F.col(id_col)],
-        n_per_stratum,
-        # fat payload (document text) never crosses Arrow / the shuffle:
-        # only (stratum, hash, id) enter the partial; winners broadcast
-        # back — valid because id_hash is deterministic
-        payload="rejoin",
+        order(),
+        n,
+        route="single",
     ).select(*df.columns)
+    fallback = grouped_topk(
+        df.join(
+            F.broadcast(shortfall),
+            F.col(stratum_col).eqNullSafe(F.col("_st")),
+            "left_semi",
+        ),
+        [stratum_col],
+        order(),
+        n,
+    ).select(*df.columns)
+    return ok.unionByName(fallback)
 
 
 def temperature_mix(

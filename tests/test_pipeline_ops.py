@@ -191,3 +191,46 @@ def test_temperature_mix_flattens_sources(spark, sf_dir_medium):
         # hash sampling is deterministic but not exact-count: allow
         # binomial-ish slack around the target
         assert abs(kept.get(s, 0) - expect) <= max(5, 0.35 * expect), (s, kept.get(s), expect)
+
+
+def test_stratified_sample_shortfall_fallback_is_exact(spark):
+    """The oversampling cut is probabilistic; the DECLARATIVE fallback
+    must make the result exact even when the cut catches NOTHING.
+    Force it: a stratum built only from ids whose hash lands in the
+    TOP half of the hash space, with oversample=1 so the cut expects
+    survivors in the bottom ~5% — zero survive, the shortfall branch
+    re-selects the true top-n over the full stratum."""
+    from de_gcp_lakehouse_iceberg_spark.operators.sampling import (
+        SAMPLE_A,
+        SAMPLE_B,
+        SAMPLE_P,
+        stratified_sample,
+    )
+
+    h = lambda i: ((i % SAMPLE_P) * SAMPLE_A + SAMPLE_B) % SAMPLE_P  # noqa: E731
+    big_hash_ids = [i for i in range(100_000) if h(i) > SAMPLE_P // 2][:100]
+    assert len(big_hash_ids) == 100
+    df = spark.createDataFrame(
+        [(i, "s") for i in big_hash_ids], "doc_id long, source string"
+    )
+    got = sorted(
+        r.doc_id
+        for r in stratified_sample(df, 5, route="threshold", oversample=1).collect()
+    )
+    want = sorted(
+        i for i in sorted(big_hash_ids, key=lambda i: (h(i), i))[:5]
+    )
+    assert got == want
+
+
+def test_stratified_sample_null_stratum_is_a_group(spark):
+    from de_gcp_lakehouse_iceberg_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "a")], "doc_id long, source string"
+    )
+    for route in ("topk", "threshold"):
+        out = stratified_sample(df, 1, route=route).collect()
+        assert len(out) == 2 and {r.source for r in out} == {None, "a"}
