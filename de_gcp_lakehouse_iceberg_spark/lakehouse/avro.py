@@ -1,0 +1,364 @@
+"""Minimal pure-Python Apache Avro binary codec + Object Container
+File (OCF) reader/writer.
+
+Implements exactly the subset of the PUBLIC Avro 1.11 specification
+(https://avro.apache.org/docs/1.11.1/specification/) that Apache
+Iceberg's manifest files need — no external Avro runtime exists in
+this environment, so the encoding is done from the spec directly:
+
+- primitives: null, boolean, int, long (zigzag varint), float,
+  double (IEEE-754 little-endian), bytes, string (long-prefixed);
+- complex: record (fields in declaration order), enum (int index),
+  array and map (block-encoded, zero-count terminated), union
+  (long branch index + value), fixed (raw bytes);
+- OCF framing: magic ``Obj\\x01``, file-metadata map carrying
+  ``avro.schema`` / ``avro.codec`` (``null`` and ``deflate`` —
+  raw RFC-1951 via stdlib zlib, the codec real Iceberg writers
+  default to for manifests), a 16-byte sync marker, then data
+  blocks of ``<count><byte-size><records><sync>``.
+
+Two deliberate deviations, both spec-legal:
+
+- The sync marker is DERIVED (md5 of the schema JSON) instead of
+  random, so exports are byte-deterministic and golden-file testable.
+  The spec only requires 16 bytes that delimit blocks; readers treat
+  it as opaque.
+- Named-type references (reusing a record/fixed/enum by name after
+  its first definition) are resolved through a per-call registry, as
+  the spec's "Names" section describes.
+
+The reader is a full independent decoder (not the writer run
+backwards): tests round-trip through it to prove the bytes mean what
+the spec says.
+
+Reference parity anchor: the reference's tables are
+``table_format = 'ICEBERG'`` (sql/create_iceberg_tables.sql:27-28),
+whose manifests are Avro OCF files per the Iceberg spec.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import os
+import struct
+from typing import Any, BinaryIO, Iterable
+
+MAGIC = b"Obj\x01"
+
+# ---------------------------------------------------------------------------
+# primitive binary codec
+# ---------------------------------------------------------------------------
+
+
+def _write_long(out: BinaryIO, n: int) -> None:
+    """Zigzag-encoded variable-length integer (spec: int/long)."""
+    n = (n << 1) ^ (n >> 63)  # zigzag; Python's >> is arithmetic
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.write(bytes((b | 0x80,)))
+        else:
+            out.write(bytes((b,)))
+            return
+
+
+def _read_long(inp: BinaryIO) -> int:
+    shift, acc = 0, 0
+    while True:
+        (b,) = inp.read(1)
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)  # un-zigzag
+
+
+def _write_bytes(out: BinaryIO, b: bytes) -> None:
+    _write_long(out, len(b))
+    out.write(b)
+
+
+def _read_bytes(inp: BinaryIO) -> bytes:
+    n = _read_long(inp)
+    return inp.read(n)
+
+
+# ---------------------------------------------------------------------------
+# schema-driven encode / decode
+# ---------------------------------------------------------------------------
+
+
+def _schema_type(schema: Any) -> str:
+    if isinstance(schema, str):
+        return schema
+    if isinstance(schema, list):
+        return "union"
+    return schema["type"]
+
+
+def _union_branch(schema: list, value: Any, names: dict) -> int:
+    """Pick the union branch for a Python value.
+
+    Iceberg manifests only use ``["null", X]`` optionals, but the
+    matcher is general: first branch whose type accepts the value.
+    """
+    for i, branch in enumerate(schema):
+        t = _schema_type(_resolve(branch, names))
+        if value is None:
+            if t == "null":
+                return i
+        elif t == "null":
+            continue
+        elif t == "boolean":
+            if isinstance(value, bool):
+                return i
+        elif t in ("int", "long"):
+            if isinstance(value, int) and not isinstance(value, bool):
+                return i
+        elif t in ("float", "double"):
+            if isinstance(value, (int, float)) and not isinstance(
+                value, bool
+            ):
+                return i
+        elif t == "string":
+            if isinstance(value, str):
+                return i
+        elif t in ("bytes", "fixed"):
+            if isinstance(value, (bytes, bytearray)):
+                return i
+        elif t == "enum":
+            if isinstance(value, str):
+                return i
+        elif t == "array":
+            if isinstance(value, (list, tuple)):
+                return i
+        elif t == "map":
+            if isinstance(value, dict):
+                return i
+        elif t == "record":
+            if isinstance(value, dict):
+                return i
+    raise TypeError(f"no union branch in {schema!r} accepts {value!r}")
+
+
+def _resolve(schema: Any, names: dict) -> Any:
+    """Named-type reference → its definition (spec 'Names')."""
+    if isinstance(schema, str) and schema in names:
+        return names[schema]
+    return schema
+
+
+def _register(schema: Any, names: dict) -> None:
+    if isinstance(schema, dict) and schema.get("name") and schema[
+        "type"
+    ] in ("record", "fixed", "enum"):
+        names[schema["name"]] = schema
+
+
+def encode(out: BinaryIO, schema: Any, value: Any, names: dict) -> None:
+    schema = _resolve(schema, names)
+    _register(schema, names)
+    t = _schema_type(schema)
+    if t == "null":
+        return
+    if t == "boolean":
+        out.write(b"\x01" if value else b"\x00")
+    elif t in ("int", "long"):
+        _write_long(out, value)
+    elif t == "float":
+        out.write(struct.pack("<f", value))
+    elif t == "double":
+        out.write(struct.pack("<d", value))
+    elif t == "bytes":
+        _write_bytes(out, bytes(value))
+    elif t == "string":
+        _write_bytes(out, value.encode("utf-8"))
+    elif t == "fixed":
+        if len(value) != schema["size"]:
+            raise ValueError(
+                f"fixed {schema['name']}: {len(value)} != {schema['size']}"
+            )
+        out.write(bytes(value))
+    elif t == "enum":
+        _write_long(out, schema["symbols"].index(value))
+    elif t == "union":
+        idx = _union_branch(schema, value, names)
+        _write_long(out, idx)
+        encode(out, schema[idx], value, names)
+    elif t == "array":
+        if value:
+            _write_long(out, len(value))
+            for item in value:
+                encode(out, schema["items"], item, names)
+        _write_long(out, 0)
+    elif t == "map":
+        if value:
+            _write_long(out, len(value))
+            for k, v in value.items():
+                _write_bytes(out, k.encode("utf-8"))
+                encode(out, schema["values"], v, names)
+        _write_long(out, 0)
+    elif t == "record":
+        for f in schema["fields"]:
+            try:
+                encode(out, f["type"], value.get(f["name"]), names)
+            except TypeError as e:
+                raise TypeError(f"field {f['name']!r}: {e}") from e
+    else:
+        raise TypeError(f"unsupported Avro type {t!r}")
+
+
+def decode(inp: BinaryIO, schema: Any, names: dict) -> Any:
+    schema = _resolve(schema, names)
+    _register(schema, names)
+    t = _schema_type(schema)
+    if t == "null":
+        return None
+    if t == "boolean":
+        return inp.read(1) == b"\x01"
+    if t in ("int", "long"):
+        return _read_long(inp)
+    if t == "float":
+        return struct.unpack("<f", inp.read(4))[0]
+    if t == "double":
+        return struct.unpack("<d", inp.read(8))[0]
+    if t == "bytes":
+        return _read_bytes(inp)
+    if t == "string":
+        return _read_bytes(inp).decode("utf-8")
+    if t == "fixed":
+        return inp.read(schema["size"])
+    if t == "enum":
+        return schema["symbols"][_read_long(inp)]
+    if t == "union":
+        return decode(inp, schema[_read_long(inp)], names)
+    if t == "array":
+        out = []
+        while True:
+            n = _read_long(inp)
+            if n == 0:
+                return out
+            if n < 0:  # block with byte-size prefix (spec-legal)
+                _read_long(inp)
+                n = -n
+            for _ in range(n):
+                out.append(decode(inp, schema["items"], names))
+    if t == "map":
+        out = {}
+        while True:
+            n = _read_long(inp)
+            if n == 0:
+                return out
+            if n < 0:
+                _read_long(inp)
+                n = -n
+            for _ in range(n):
+                k = _read_bytes(inp).decode("utf-8")
+                out[k] = decode(inp, schema["values"], names)
+    if t == "record":
+        return {
+            f["name"]: decode(inp, f["type"], names)
+            for f in schema["fields"]
+        }
+    raise TypeError(f"unsupported Avro type {t!r}")
+
+
+# ---------------------------------------------------------------------------
+# Object Container File
+# ---------------------------------------------------------------------------
+
+
+def write_ocf(
+    path: str,
+    schema: dict,
+    records: Iterable[dict],
+    *,
+    metadata: dict[str, str] | None = None,
+    codec: str = "null",
+) -> int:
+    """Write records as an Avro OCF; returns file size.
+
+    One data block (manifests are small relative to the data they
+    index; Iceberg itself writes few large blocks). The sync marker
+    is md5(schema JSON) for byte-determinism. codec: "null"
+    (uncompressed) or "deflate" (raw RFC-1951, deterministic zlib
+    level 6 — what real Iceberg manifest writers use)."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported codec {codec!r}")
+    schema_json = json.dumps(schema, sort_keys=True, separators=(",", ":"))
+    sync = hashlib.md5(schema_json.encode("utf-8")).digest()
+    body = io.BytesIO()
+    n = 0
+    names: dict = {}
+    for rec in records:
+        encode(body, schema, rec, names)
+        n += 1
+    payload = body.getvalue()
+    if codec == "deflate":
+        import zlib
+
+        z = zlib.compressobj(6, zlib.DEFLATED, -15)
+        payload = z.compress(payload) + z.flush()
+    meta = {"avro.schema": schema_json, "avro.codec": codec}
+    for k, v in (metadata or {}).items():
+        meta[k] = v
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        _write_long(f, len(meta))
+        for k, v in sorted(meta.items()):
+            _write_bytes(f, k.encode("utf-8"))
+            _write_bytes(f, v.encode("utf-8"))
+        _write_long(f, 0)
+        f.write(sync)
+        if n:
+            _write_long(f, n)
+            _write_long(f, len(payload))
+            f.write(payload)
+            f.write(sync)
+    return os.path.getsize(path)
+
+
+def read_ocf(path: str) -> tuple[dict, dict[str, str], list[dict]]:
+    """Independent OCF decoder: returns (schema, metadata, records)."""
+    with open(path, "rb") as f:
+        if f.read(4) != MAGIC:
+            raise ValueError(f"{path}: not an Avro object container file")
+        meta: dict[str, str] = {}
+        while True:
+            n = _read_long(f)
+            if n == 0:
+                break
+            if n < 0:
+                _read_long(f)
+                n = -n
+            for _ in range(n):
+                k = _read_bytes(f).decode("utf-8")
+                meta[k] = _read_bytes(f).decode("utf-8")
+        codec = meta.get("avro.codec", "null")
+        if codec not in ("null", "deflate"):
+            raise ValueError(f"unsupported codec {codec!r}")
+        schema = json.loads(meta["avro.schema"])
+        sync = f.read(16)
+        records: list[dict] = []
+        names: dict = {}
+        while True:
+            head = f.read(1)
+            if not head:
+                break
+            f.seek(-1, 1)
+            n = _read_long(f)
+            size = _read_long(f)
+            raw = f.read(size)
+            if codec == "deflate":
+                import zlib
+
+                raw = zlib.decompress(raw, -15)
+            block = io.BytesIO(raw)
+            for _ in range(n):
+                records.append(decode(block, schema, names))
+            if f.read(16) != sync:
+                raise ValueError(f"{path}: sync marker mismatch")
+    return schema, meta, records
