@@ -278,33 +278,25 @@ def write_ocf(
     *,
     metadata: dict[str, str] | None = None,
     codec: str = "null",
+    block_bytes: int = 4 * 1024 * 1024,
 ) -> int:
     """Write records as an Avro OCF; returns file size.
 
-    One data block (manifests are small relative to the data they
-    index; Iceberg itself writes few large blocks). The sync marker
-    is md5(schema JSON) for byte-determinism. codec: "null"
-    (uncompressed) or "deflate" (raw RFC-1951, deterministic zlib
-    level 6 — what real Iceberg manifest writers use)."""
+    Records stream through bounded blocks: a block is flushed once
+    its encoded payload reaches `block_bytes`, so writer memory is
+    O(block), not O(file) — a million-entry manifest never
+    materializes in RAM (records may arrive from a generator). The
+    sync marker is md5(schema JSON) for byte-determinism. codec:
+    "null" (uncompressed) or "deflate" (raw RFC-1951, deterministic
+    zlib level 6 — what real Iceberg manifest writers use)."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported codec {codec!r}")
     schema_json = json.dumps(schema, sort_keys=True, separators=(",", ":"))
     sync = hashlib.md5(schema_json.encode("utf-8")).digest()
-    body = io.BytesIO()
-    n = 0
-    names: dict = {}
-    for rec in records:
-        encode(body, schema, rec, names)
-        n += 1
-    payload = body.getvalue()
-    if codec == "deflate":
-        import zlib
-
-        z = zlib.compressobj(6, zlib.DEFLATED, -15)
-        payload = z.compress(payload) + z.flush()
     meta = {"avro.schema": schema_json, "avro.codec": codec}
     for k, v in (metadata or {}).items():
         meta[k] = v
+    names: dict = {}
     with open(path, "wb") as f:
         f.write(MAGIC)
         _write_long(f, len(meta))
@@ -313,11 +305,28 @@ def write_ocf(
             _write_bytes(f, v.encode("utf-8"))
         _write_long(f, 0)
         f.write(sync)
-        if n:
+
+        def flush(body: io.BytesIO, n: int) -> None:
+            payload = body.getvalue()
+            if codec == "deflate":
+                import zlib
+
+                z = zlib.compressobj(6, zlib.DEFLATED, -15)
+                payload = z.compress(payload) + z.flush()
             _write_long(f, n)
             _write_long(f, len(payload))
             f.write(payload)
             f.write(sync)
+
+        body, n = io.BytesIO(), 0
+        for rec in records:
+            encode(body, schema, rec, names)
+            n += 1
+            if body.tell() >= block_bytes:
+                flush(body, n)
+                body, n = io.BytesIO(), 0
+        if n:
+            flush(body, n)
     return os.path.getsize(path)
 
 

@@ -625,14 +625,13 @@ def _footer_count_maps(
     return as_map(sizes), as_map(values), as_map(nulls)
 
 
-def snapshot_avro_entries(
-    snap: Snapshot, location: str, part_names: list[str]
-) -> list[dict]:
+def snapshot_avro_entries(snap: Snapshot, location: str, part_names: list[str]):
     """One snapshot → spec `manifest_entry` Avro records: id-keyed
     Appendix-D binary bounds, per-table partition struct, footer-
-    harvested column sizes / value counts / null counts."""
+    harvested column sizes / value counts / null counts. A GENERATOR:
+    entries stream straight into the OCF writer's bounded blocks, so
+    a million-file snapshot never materializes its manifest in RAM."""
     fidx = schema_field_index(snap.schema_json)
-    entries = []
     for f in snap.files:
         lower, upper = [], []
         for col, mm in sorted(f.stats.items()):
@@ -650,7 +649,7 @@ def snapshot_avro_entries(
         sizes, values, nulls = _footer_count_maps(
             os.path.join(location, f.path), fidx
         )
-        entries.append(
+        yield (
             {
                 "status": 1 if f.seq == snap.version else 0,
                 "snapshot_id": f.seq,
@@ -676,7 +675,6 @@ def snapshot_avro_entries(
                 },
             }
         )
-    return entries
 
 
 def _field_summaries(
@@ -919,11 +917,15 @@ def _manifest_file_record(
     }
 
 
-def export_iceberg_metadata(table: LakeTable, spark=None) -> str:
+def export_iceberg_metadata(
+    table: LakeTable, spark=None, codec: str = "null"
+) -> str:
     """Write the full mirror for every live snapshot; returns the
     table-metadata path. With `spark`, head-snapshot predicate MOR
     deletes are additionally materialized as position-delete files
-    and listed in a content=1 delete manifest."""
+    and listed in a content=1 delete manifest. `codec` selects the
+    Avro block compression ("null" or "deflate" — what real Iceberg
+    manifest writers default to)."""
     head = table.current_version()
     snaps = []
     for v in range(head + 1):
@@ -966,6 +968,7 @@ def export_iceberg_metadata(table: LakeTable, spark=None) -> str:
                 "partition-spec-id": "0",
                 "schema": ice_schema_json,
             },
+            codec=codec,
         )
         records = [_manifest_file_record(s, apath, alen, part_names)]
         if s is head_snap and delete_entries:
@@ -982,6 +985,7 @@ def export_iceberg_metadata(table: LakeTable, spark=None) -> str:
                     "partition-spec-id": "0",
                     "schema": ice_schema_json,
                 },
+                codec=codec,
             )
             dseqs = [e["sequence_number"] for e in delete_entries]
             del_mf = {
@@ -1013,6 +1017,7 @@ def export_iceberg_metadata(table: LakeTable, spark=None) -> str:
             MANIFEST_FILE_AVRO_SCHEMA,
             records,
             metadata={"format-version": "2"},
+            codec=codec,
         )
         with open(
             os.path.join(out_dir, f"snap-{s.version}.manifest-list.json"),

@@ -1,0 +1,210 @@
+"""Read an Apache Iceberg v2 table from its SPEC files alone —
+table-metadata JSON → Avro manifest list → Avro manifests → parquet
+data + position-delete files.
+
+This is the consumer half of `iceberg_export.py`: it never touches
+this engine's own manifests, so `export → read_iceberg == scan()` is
+a true independent round-trip through the public format (the
+strongest binary-compat proof available in a sandbox with no Iceberg
+runtime jar). Because the Avro codec handles the `deflate` blocks
+real writers emit, the same path can read externally-written Iceberg
+metadata layouts too.
+
+Scope (documented, not silently elided):
+- format-version 2, parquet data files, copy-on-write plus POSITION
+  deletes (content=1 delete manifests). Equality deletes and v3
+  features are rejected loudly.
+- Schema comes from the metadata's current/snapshot schema via
+  `iceberg_schema_to_spark`; files are read with that schema so
+  add-column evolution reads as NULL for pre-evolution files
+  (the spec's default when no `initial-default` is present).
+- Position deletes apply Iceberg-style: a delete row kills the data
+  row at (file_path, pos) in files whose data sequence number is
+  LOWER than the delete's — expressed as one equi-join with a
+  sequence-number filter, broadcast when the delete set is small.
+
+Reference parity anchor: the reference's tables are
+`table_format = 'ICEBERG'` (sql/create_iceberg_tables.sql:27-28);
+readers interoperating through the open format is the entire point
+of that choice.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import avro
+from .iceberg_export import iceberg_schema_to_spark
+
+ADDED, EXISTING, DELETED = 1, 0, 2
+DATA, POSITION_DELETES, EQUALITY_DELETES = 0, 1, 2
+
+
+def _strip_scheme(p: str) -> str:
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+    return p
+
+
+def load_metadata(path: str) -> dict:
+    """Load table metadata from a `v*.metadata.json` path or a table
+    directory (picks the highest version under `<dir>/iceberg/`,
+    honoring `version-hint.text` when present — the spec's
+    file-system catalog convention)."""
+    if os.path.isdir(path):
+        meta_dir = (
+            os.path.join(path, "iceberg")
+            if os.path.isdir(os.path.join(path, "iceberg"))
+            else path
+        )
+        hint = os.path.join(meta_dir, "version-hint.text")
+        if os.path.exists(hint):
+            v = open(hint).read().strip()
+            path = os.path.join(meta_dir, f"v{v}.metadata.json")
+        else:
+            cands = [
+                f
+                for f in os.listdir(meta_dir)
+                if f.startswith("v") and f.endswith(".metadata.json")
+            ]
+            if not cands:
+                raise FileNotFoundError(
+                    f"no v*.metadata.json under {meta_dir}"
+                )
+            path = os.path.join(
+                meta_dir,
+                max(cands, key=lambda f: int(f[1:].split(".")[0])),
+            )
+    with open(path) as f:
+        meta = json.load(f)
+    if meta.get("format-version") != 2:
+        raise ValueError(
+            f"only format-version 2 is supported, got "
+            f"{meta.get('format-version')!r}"
+        )
+    return meta
+
+
+def _manifest_entries(
+    manifest_list_path: str,
+) -> tuple[list[dict], list[dict]]:
+    """Manifest list → (data entries, position-delete entries), each
+    entry annotated with its data sequence number (inherited from the
+    manifest when the entry's is null, per the spec's sequence-number
+    inheritance rule)."""
+    _, _, manifests = avro.read_ocf(_strip_scheme(manifest_list_path))
+    data_entries: list[dict] = []
+    delete_entries: list[dict] = []
+    for mf in manifests:
+        _, _, entries = avro.read_ocf(_strip_scheme(mf["manifest_path"]))
+        for e in entries:
+            if e.get("status") == DELETED:
+                continue
+            seq = e.get("sequence_number")
+            if seq is None:  # inherit from the manifest (spec rule)
+                seq = mf.get("sequence_number", 0)
+            content = e["data_file"].get("content", 0)
+            rec = {
+                "path": _strip_scheme(e["data_file"]["file_path"]),
+                "seq": seq,
+                "format": e["data_file"].get("file_format", "PARQUET"),
+            }
+            if content == DATA and mf.get("content", 0) == 0:
+                data_entries.append(rec)
+            elif content == POSITION_DELETES:
+                delete_entries.append(rec)
+            elif content == EQUALITY_DELETES:
+                raise NotImplementedError(
+                    "equality-delete files are not supported by this "
+                    "reader (this engine exports position deletes)"
+                )
+    return data_entries, delete_entries
+
+
+def read_iceberg(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Reconstruct an Iceberg v2 table as a DataFrame from its spec
+    files alone. `path` is a metadata JSON file or table directory;
+    `snapshot_id` time-travels to any snapshot in the metadata."""
+    meta = load_metadata(path)
+    snap_id = (
+        snapshot_id
+        if snapshot_id is not None
+        else meta.get("current-snapshot-id")
+    )
+    snap = next(
+        (s for s in meta["snapshots"] if s["snapshot-id"] == snap_id),
+        None,
+    )
+    if snap is None:
+        raise ValueError(f"snapshot {snap_id!r} not in metadata")
+    schemas = {sc["schema-id"]: sc for sc in meta["schemas"]}
+    schema_id = snap.get("schema-id", meta.get("current-schema-id"))
+    spark_schema = iceberg_schema_to_spark(schemas[schema_id])
+
+    data_entries, delete_entries = _manifest_entries(
+        snap["manifest-list"]
+    )
+    if not data_entries:
+        return spark.createDataFrame([], spark_schema)
+    bad = {e["format"] for e in data_entries + delete_entries} - {
+        "PARQUET"
+    }
+    if bad:
+        raise NotImplementedError(f"non-parquet file formats: {bad}")
+
+    reader = spark.read.schema(spark_schema)
+    data = reader.parquet(*[e["path"] for e in data_entries])
+    if not delete_entries:
+        return data
+
+    # Iceberg position-delete application: drop (file_path, pos) rows
+    # from data files with seq < the delete file's seq. File→seq is
+    # O(manifest) metadata, broadcast both small sides.
+    data = data.select(
+        "*",
+        F.regexp_replace(
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:", ""),
+            "^/+",
+            "/",
+        ).alias("_ice_fp"),
+        F.col("_metadata.row_index").alias("_ice_pos"),
+    )
+    file_seq = spark.createDataFrame(
+        [(e["path"], e["seq"]) for e in data_entries],
+        "_ice_fp string, _ice_fseq long",
+    )
+    data = data.join(F.broadcast(file_seq), "_ice_fp", "left")
+    deletes = None
+    for e in delete_entries:
+        d = spark.read.parquet(e["path"]).select(
+            F.col("file_path").alias("_ice_fp"),
+            F.col("pos").alias("_ice_pos"),
+            F.lit(e["seq"]).alias("_ice_dseq"),
+        )
+        deletes = d if deletes is None else deletes.unionByName(d)
+    survivors = data.alias("l").join(
+        F.broadcast(deletes.alias("r")),
+        on=(
+            (F.col("l._ice_fp") == F.col("r._ice_fp"))
+            & (F.col("l._ice_pos") == F.col("r._ice_pos"))
+            & (F.col("r._ice_dseq") > F.col("l._ice_fseq"))
+        ),
+        how="left_anti",
+    )
+    return survivors.select(*[f.name for f in spark_schema.fields])
+
+
+def snapshot_ids(path: str) -> list[int]:
+    """All snapshot ids in the table metadata (time-travel surface)."""
+    return [s["snapshot-id"] for s in load_metadata(path)["snapshots"]]

@@ -143,6 +143,38 @@ def test_avro_ocf_bytes_are_deterministic(tmp_path):
     assert open(p1, "rb").read() == open(p2, "rb").read()
 
 
+def test_avro_multi_block_streaming(tmp_path):
+    """Bounded blocks: a generator of records streams through
+    block_bytes-sized flushes (writer memory O(block), not O(file))
+    and the reader walks every block."""
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "i", "type": "long"},
+            {"name": "s", "type": "string"},
+        ],
+    }
+    path = str(tmp_path / "blocks.avro")
+    avro.write_ocf(
+        path,
+        schema,
+        ({"i": i, "s": f"row-{i}"} for i in range(5000)),
+        block_bytes=4096,
+    )
+    _, _, records = avro.read_ocf(path)
+    assert [r["i"] for r in records] == list(range(5000))
+    # more than one block actually got written
+    raw = open(path, "rb").read()
+    import hashlib as _h
+    import json as _json
+
+    sync = _h.md5(
+        _json.dumps(schema, sort_keys=True, separators=(",", ":")).encode()
+    ).digest()
+    assert raw.count(sync) > 3  # header + >2 block terminators
+
+
 def test_avro_zigzag_longs_exhaustive_edges(tmp_path):
     schema = {
         "type": "record",
