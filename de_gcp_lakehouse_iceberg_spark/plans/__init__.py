@@ -58,6 +58,7 @@ from . import term_index_query  # noqa: F401  (registers q112)
 from . import bm25_index_query  # noqa: F401  (registers q113)
 from . import percentile_text_query  # noqa: F401  (registers q114)
 from . import occ_query  # noqa: F401  (registers q115)
+from . import iceberg_query  # noqa: F401  (registers q117)
 
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The driver's CORRECTNESS check covers the FIRST
@@ -90,9 +91,19 @@ _GATE_PRIORITY = [
     # the NULL-version/numeric guard and map fallback (q63); and the
     # r10 verdict's six-query regression watch (q52/q92-q96) stays
     # in-window so BENCH_r11 re-pins it.
+    # q117 is NEW this round (Iceberg binary round-trip through the
+    # spec Avro manifests + position deletes + the spec-files-only
+    # reader) — new queries always gate. To keep the window at 50,
+    # q92_dhash_image_dedup moves to the r12 lead cohort: it is
+    # r10-green (1 round old at r11, inside the 2-round promise), its
+    # own implementation (multimodal dhash banding) did not change
+    # this round, and the regression watch it was in-window for is a
+    # BENCH concern — BENCH_r11 measures all queries regardless of
+    # gate position.
+    "q117_iceberg_roundtrip",
     "q85_grouped_topk", "q52_stratified_sample", "q94_source_doc_cap",
     "q95_quality_threshold_sweep", "q96_sq8_ann",
-    "q92_dhash_image_dedup", "q93_bigram_lm_score",
+    "q93_bigram_lm_score",
     "q38_cosine_topk", "q39_nearest_pairs", "q40_lsh_ann", "q45_ivf_ann",
     "q105_tfidf_terms", "q107_bm25_topk", "q113_bm25_from_index",
     "q34_exact_dedup", "q63_cdc_replica_sync",
@@ -107,7 +118,8 @@ _GATE_PRIORITY = [
     "q60_stats_pruned_scan", "q67_bucket_prune_proof",
     # DEFERRED to lead the r12 window (r9/r10 rows, all <=2 rounds old
     # at r11, each replayed at two SFs by test_oracle_parity every
-    # pytest run): the remaining r9 cohort q70, q72, q73, q74, q75,
+    # pytest run): q92_dhash_image_dedup (displaced by q117, see
+    # above), the remaining r9 cohort q70, q72, q73, q74, q75,
     # q76, q81, q82, q83, q86, q87, q89, q100, q101, q103, q106, q108,
     # q109, q110, q111, then the oldest r10 rows (q01/q05/q07/q10/
     # q13/q14/q15, q41/q42, q58/q59, q61/q62, q65/q66, q68/q69, q71,
