@@ -221,10 +221,17 @@ class IncrementalRollup:
                 "partitions_rewritten": 0,
             }
         ch = self._change_rows(base, last, cur)
-        delta_rows = ch.count()
         is_ins = F.col("_change_type") == "INSERT"
         sign = F.when(is_ins, F.lit(1)).otherwise(F.lit(-1))
+        # the change-row count rides the deltas aggregation instead of
+        # a separate ch.count(): the changelog feed is a chain of
+        # exceptAll diffs over the commits' rewritten files, and an
+        # uncached count() recomputes that whole chain a second time —
+        # strictly wasted work that grows with the DML window (measured
+        # ~10% of refresh wall at sf0.1's small window; the diff chain
+        # dominates as the window and file sizes grow)
         deltas = ch.groupBy(*self.group_cols).agg(
+            F.count(F.lit(1)).alias("_d_rows"),
             F.sum(sign).alias("_d_cnt"),
             F.sum(F.when(~is_ins, 1).otherwise(0)).alias("_d_ndel"),
             *[
@@ -276,10 +283,15 @@ class IncrementalRollup:
         ).localCheckpoint()
 
         # partitions holding affected groups — a bounded collect
-        # (≤ self.buckets integers), the partition-pruning handle
-        affected = sorted(
-            r["_gb_d"] for r in deltas.select("_gb_d").distinct().collect()
+        # (≤ self.buckets rows) that carries the per-bucket change-row
+        # totals, doubling as the partition-pruning handle
+        bucket_rows = (
+            deltas.groupBy("_gb_d")
+            .agg(F.sum("_d_rows").alias("_r"))
+            .collect()
         )
+        affected = sorted(r["_gb_d"] for r in bucket_rows)
+        delta_rows = int(sum(r["_r"] for r in bucket_rows))
         snap = self.table.snapshot()
         aff_strs = {str(b) for b in affected}
         remove = [
