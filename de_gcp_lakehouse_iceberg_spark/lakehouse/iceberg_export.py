@@ -610,8 +610,12 @@ def _footer_count_maps(
         g = meta.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
-            name = col.path_in_schema.split(".")[0]
-            if name not in fidx:
+            name = col.path_in_schema
+            # the spec keys these maps per LEAF field-id; this engine
+            # only tracks top-level ids, so nested leaves are omitted
+            # (attributing them to the parent would overcount) —
+            # spec-legal: absent stats, never wrong ones
+            if "." in name or name not in fidx:
                 continue
             fid = fidx[name][0]
             sizes[fid] = sizes.get(fid, 0) + col.total_compressed_size
