@@ -49,12 +49,13 @@ Field mapping (LakeTable → Iceberg):
 
 What a REAL Iceberg reader would still need (the documented gap, not
 silently elided):
-- The optional `data_file` stat maps the engine's manifests don't
-  carry are harvested from the parquet FOOTERS at export time
-  (`column_sizes`/`value_counts`/`null_value_counts` — O(files)
-  metadata reads, no data scan); only `nan_value_counts` and
-  `split_offsets` are omitted from the Avro schema (spec-legal for
-  optional fields).
+- The optional `data_file` stats the engine's manifests don't carry
+  are harvested from the parquet FOOTERS at export time
+  (`column_sizes`/`value_counts`/`null_value_counts` per flat leaf,
+  `split_offsets` from row-group first-page offsets — O(files)
+  metadata reads, no data scan); only `nan_value_counts` (pyarrow
+  footers don't expose NaN counts) and `key_metadata` (no encryption)
+  are omitted from the Avro schema (spec-legal for optional fields).
 - `field_summary.lower_bound`/`upper_bound` and partition values are
   encoded from this engine's STRING partition representation; a spec
   reader applying typed transforms would re-derive them from the
@@ -372,6 +373,15 @@ def manifest_entry_avro_schema(partition_names: list[str]) -> dict:
                 "default": None,
             },
             {
+                "name": "split_offsets",
+                "type": [
+                    "null",
+                    {"type": "array", "items": "long", "element-id": 133},
+                ],
+                "field-id": 132,
+                "default": None,
+            },
+            {
                 "name": "equality_ids",
                 "type": [
                     "null",
@@ -592,22 +602,37 @@ def partition_field_names(snap: Snapshot) -> list[str]:
 
 def _footer_count_maps(
     path: str, fidx: dict[str, tuple[int, Any]]
-) -> tuple[list | None, list | None, list | None]:
+) -> tuple[list | None, list | None, list | None, list | None]:
     """Harvest the spec's per-column `column_sizes` / `value_counts` /
-    `null_value_counts` straight from the parquet footer (the engine's
-    own manifests carry only bounds; the export reads the footers it
-    is already colocated with — O(files) metadata, no data scan)."""
+    `null_value_counts` and per-row-group `split_offsets` straight
+    from the parquet footer (the engine's own manifests carry only
+    bounds; the export reads the footers it is already colocated with
+    — O(files) metadata, no data scan)."""
     try:
         import pyarrow.parquet as pq
 
         meta = pq.ParquetFile(path).metadata
     except Exception:  # noqa: BLE001 — best-effort stats, never fatal
-        return None, None, None
+        return None, None, None, None
     sizes: dict[int, int] = {}
     values: dict[int, int] = {}
     nulls: dict[int, int] = {}
+    offsets: list[int] = []
     for rg in range(meta.num_row_groups):
         g = meta.row_group(rg)
+        # split_offsets: each row group's first byte (min of its
+        # columns' first page offsets), ascending by construction
+        first = None
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            for off in (
+                col.dictionary_page_offset,
+                col.data_page_offset,
+            ):
+                if off is not None and off >= 0:
+                    first = off if first is None else min(first, off)
+        if first is not None:
+            offsets.append(first)
         for ci in range(g.num_columns):
             col = g.column(ci)
             name = col.path_in_schema
@@ -626,7 +651,12 @@ def _footer_count_maps(
     as_map = lambda d: (  # noqa: E731
         [{"key": k, "value": v} for k, v in sorted(d.items())] or None
     )
-    return as_map(sizes), as_map(values), as_map(nulls)
+    return (
+        as_map(sizes),
+        as_map(values),
+        as_map(nulls),
+        sorted(offsets) or None,
+    )
 
 
 def snapshot_avro_entries(snap: Snapshot, location: str, part_names: list[str]):
@@ -650,7 +680,7 @@ def snapshot_avro_entries(snap: Snapshot, location: str, part_names: list[str]):
                 lower.append({"key": fid, "value": lo})
             if hi is not None:
                 upper.append({"key": fid, "value": hi})
-        sizes, values, nulls = _footer_count_maps(
+        sizes, values, nulls, split_offsets = _footer_count_maps(
             os.path.join(location, f.path), fidx
         )
         yield (
@@ -674,6 +704,7 @@ def snapshot_avro_entries(snap: Snapshot, location: str, part_names: list[str]):
                     "null_value_counts": nulls,
                     "lower_bounds": lower or None,
                     "upper_bounds": upper or None,
+                    "split_offsets": split_offsets,
                     "equality_ids": None,
                     "sort_order_id": None,
                 },

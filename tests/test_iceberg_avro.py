@@ -284,6 +284,12 @@ def test_manifest_avro_matches_engine_state(spark, tmp_path):
         assert all(v == 0 for v in nulls.values())
         sizes = {x["key"]: x["value"] for x in df["column_sizes"]}
         assert all(v > 0 for v in sizes.values())
+        # split_offsets: one ascending offset per row group, all
+        # inside the file
+        offs = df["split_offsets"]
+        assert offs == sorted(offs)
+        assert len(offs) == pf.num_row_groups
+        assert all(0 <= o < f.bytes for o in offs)
         # id-keyed binary bounds decode back to the engine's stats
         lower = {x["key"]: x["value"] for x in df["lower_bounds"] or []}
         upper = {x["key"]: x["value"] for x in df["upper_bounds"] or []}
