@@ -244,9 +244,15 @@ def single_value_bytes(ice_type: str, v: Any) -> bytes | None:
     if ice_type == "boolean":
         return b"\x01" if v else b"\x00"
     if isinstance(ice_type, str) and ice_type.startswith("decimal"):
-        n = int(v)  # unscaled value; minimal two's-complement big-endian
-        length = max(1, (n.bit_length() + 8) // 8)
-        return n.to_bytes(length, "big", signed=True)
+        # the spec encodes the UNSCALED integer (minimal two's-
+        # complement big-endian); the engine never harvests decimal
+        # bounds (`_stat_value` → None for Decimal), so only accept a
+        # value that is already the unscaled int — anything else gets
+        # NO bound rather than a wrongly-scaled one
+        if not isinstance(v, int) or isinstance(v, bool):
+            return None
+        length = max(1, (v.bit_length() + 8) // 8)
+        return v.to_bytes(length, "big", signed=True)
     return None
 
 
@@ -509,25 +515,36 @@ def _safe_avro_name(n: str) -> str:
     return n
 
 
-_TRANSFORM = re.compile(r"(\w+)\((\w+)(?:,\s*(\d+))?\)")
+_ICEBERG_TRANSFORM = {
+    "identity": "identity",
+    "days": "day",
+    "hours": "hour",
+    "months": "month",
+}
 
 
 def _partition_fields(partition_by: list[str], base_id: int) -> list[dict]:
-    """`partition_by` transform strings → spec partition fields.
-    `source-id` is resolved by NAME at read time via the schema's
-    name→id table (documented mapping); field-ids follow the spec's
-    1000-based partition-field numbering."""
+    """`partition_by` transform strings → spec partition fields, parsed
+    by the ENGINE's own `transforms.parse_spec` so the exported field
+    names are exactly the manifest partition-dict keys
+    (`Transform.name`: `ts_day`, `id_bucket`, …) and the canonical
+    `bucket(N,col)` argument order is honored. `source-name` is
+    resolved to the spec's source-id by NAME at read time via the
+    schema's name→id table (documented mapping); field-ids follow the
+    spec's 1000-based partition-field numbering in DECLARATION order —
+    the same order `manifest_entry_avro_schema`'s r102 uses, so ids
+    agree between the metadata spec and the manifests."""
+    from .transforms import parse_spec
+
     fields = []
     for i, spec in enumerate(partition_by):
-        m = _TRANSFORM.fullmatch(spec.strip())
-        if m:
-            fn, col, arg = m.group(1), m.group(2), m.group(3)
-            transform = {
-                "bucket": f"bucket[{arg}]",
-                "truncate": f"truncate[{arg}]",
-            }.get(fn, fn)
-            name = f"{col}_{fn}"
-        else:
+        try:
+            t = parse_spec(spec)
+            transform = _ICEBERG_TRANSFORM.get(
+                t.kind, f"{t.kind}[{t.arg}]"
+            )
+            name, col = t.name, t.source
+        except ValueError:
             transform, col, name = "identity", spec.strip(), spec.strip()
         fields.append(
             {
@@ -591,28 +608,63 @@ def snapshot_records(
     return manifest_file, entries
 
 
-def partition_field_names(snap: Snapshot) -> list[str]:
-    """Deterministic union of partition keys across a snapshot's
-    files (sorted — file dicts may differ after spec evolution)."""
-    names: set[str] = set()
+def partition_field_names(
+    snap: Snapshot, partition_by: list[str] | None = None
+) -> list[str]:
+    """Partition keys for a snapshot's manifest schema: the table's
+    DECLARED spec first (declaration order — r102 field-ids 1000+i
+    must agree with the metadata partition-spec's), then any extra
+    keys present on files written under older specs (sorted)."""
+    declared: list[str] = []
+    if partition_by:
+        from .transforms import parse_spec
+
+        for spec in partition_by:
+            try:
+                declared.append(parse_spec(spec).name)
+            except ValueError:
+                declared.append(spec.strip())
+    seen = set(declared)
+    extras: set[str] = set()
     for f in snap.files:
-        names.update(f.partition.keys())
-    return sorted(names)
+        extras.update(k for k in f.partition if k not in seen)
+    return declared + sorted(extras)
+
+
+def norm_file_path(c):
+    """Spark's `_metadata.file_path` URI → the plain absolute path the
+    manifests store. ONE shared definition: the exporter writes
+    position-delete contents with it and the reader matches data rows
+    with it — delete application only works while the two agree."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(
+        F.regexp_replace(c, "^file:", ""), "^/+", "/"
+    )
 
 
 def _footer_count_maps(
-    path: str, fidx: dict[str, tuple[int, Any]]
+    path: str,
+    fidx: dict[str, tuple[int, Any]],
+    cache: dict | None = None,
 ) -> tuple[list | None, list | None, list | None, list | None]:
     """Harvest the spec's per-column `column_sizes` / `value_counts` /
     `null_value_counts` and per-row-group `split_offsets` straight
     from the parquet footer (the engine's own manifests carry only
     bounds; the export reads the footers it is already colocated with
-    — O(files) metadata, no data scan)."""
+    — O(files) metadata, no data scan). `cache` memoizes per path:
+    data files are immutable and consecutive snapshots share most of
+    their file lists, so an export of S snapshots pays O(distinct
+    files) footer reads instead of O(S × files)."""
+    if cache is not None and path in cache:
+        return cache[path]
     try:
         import pyarrow.parquet as pq
 
         meta = pq.ParquetFile(path).metadata
     except Exception:  # noqa: BLE001 — best-effort stats, never fatal
+        if cache is not None:
+            cache[path] = (None, None, None, None)
         return None, None, None, None
     sizes: dict[int, int] = {}
     values: dict[int, int] = {}
@@ -651,15 +703,23 @@ def _footer_count_maps(
     as_map = lambda d: (  # noqa: E731
         [{"key": k, "value": v} for k, v in sorted(d.items())] or None
     )
-    return (
+    out = (
         as_map(sizes),
         as_map(values),
         as_map(nulls),
         sorted(offsets) or None,
     )
+    if cache is not None:
+        cache[path] = out
+    return out
 
 
-def snapshot_avro_entries(snap: Snapshot, location: str, part_names: list[str]):
+def snapshot_avro_entries(
+    snap: Snapshot,
+    location: str,
+    part_names: list[str],
+    footer_cache: dict | None = None,
+):
     """One snapshot → spec `manifest_entry` Avro records: id-keyed
     Appendix-D binary bounds, per-table partition struct, footer-
     harvested column sizes / value counts / null counts. A GENERATOR:
@@ -681,7 +741,7 @@ def snapshot_avro_entries(snap: Snapshot, location: str, part_names: list[str]):
             if hi is not None:
                 upper.append({"key": fid, "value": hi})
         sizes, values, nulls, split_offsets = _footer_count_maps(
-            os.path.join(location, f.path), fidx
+            os.path.join(location, f.path), fidx, footer_cache
         )
         yield (
             {
@@ -869,7 +929,7 @@ def materialize_position_deletes(
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
-    part_names = partition_field_names(snap)
+    part_names = partition_field_names(snap, table.partition_by)
     entries = []
     for i, d in enumerate(snap.deletes):
         affected = [f for f in snap.files if f.seq < d["seq"]]
@@ -880,13 +940,9 @@ def materialize_position_deletes(
             spark.read.parquet(*paths)
             .filter(F.expr(d["predicate"]))
             .select(
-                F.regexp_replace(
-                    F.regexp_replace(
-                        F.col("_metadata.file_path"), "^file:", ""
-                    ),
-                    "^/+",
-                    "/",
-                ).alias("file_path"),
+                norm_file_path(F.col("_metadata.file_path")).alias(
+                    "file_path"
+                ),
                 F.col("_metadata.row_index").alias("pos"),
             )
             # spec: position deletes sorted by file_path then pos;
@@ -976,6 +1032,7 @@ def export_iceberg_metadata(
         delete_entries = materialize_position_deletes(
             table, spark, head_snap, out_dir
         )
+    footer_cache: dict = {}  # data files are immutable: read each once
     for s in snaps:
         # human-readable JSON mirror (kept for debuggability)
         mf, entries = snapshot_records(s, table.root)
@@ -985,7 +1042,7 @@ def export_iceberg_metadata(
         mf["manifest_length"] = os.path.getsize(mpath)
         json_list = [mf]
         # spec Avro manifest + manifest list
-        part_names = partition_field_names(s)
+        part_names = partition_field_names(s, table.partition_by)
         entry_schema = manifest_entry_avro_schema(part_names)
         ice_schema_json = (
             json.dumps(iceberg_schema(s.schema_json), sort_keys=True)
@@ -996,7 +1053,7 @@ def export_iceberg_metadata(
         alen = avro.write_ocf(
             apath,
             entry_schema,
-            snapshot_avro_entries(s, table.root, part_names),
+            snapshot_avro_entries(s, table.root, part_names, footer_cache),
             metadata={
                 "format-version": "2",
                 "content": "data",

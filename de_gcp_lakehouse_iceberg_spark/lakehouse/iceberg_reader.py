@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import avro
-from .iceberg_export import iceberg_schema_to_spark
+from .iceberg_export import iceberg_schema_to_spark, norm_file_path
 
 ADDED, EXISTING, DELETED = 1, 0, 2
 DATA, POSITION_DELETES, EQUALITY_DELETES = 0, 1, 2
@@ -168,16 +168,21 @@ def read_iceberg(
     if not delete_entries:
         return data
 
-    # Iceberg position-delete application: drop (file_path, pos) rows
-    # from data files with seq < the delete file's seq. File→seq is
-    # O(manifest) metadata, broadcast both small sides.
+    # Iceberg position-delete application (spec scan planning): a
+    # delete file applies to data files whose data sequence number is
+    # <= the delete's — equality included, because real writers (e.g.
+    # streaming upserts) commit data and its position deletes in ONE
+    # snapshot at the same sequence number. File→seq is O(manifest)
+    # metadata, broadcast both small sides. The path key uses the
+    # SAME normalization the exporter writes delete contents with
+    # (`norm_file_path`); an unmatched file_seq row falls back to
+    # seq -1 (apply every delete) rather than NULL-propagating the
+    # comparison into silently keeping deleted rows — file paths are
+    # unique, so over-application is impossible, under-application
+    # was the hazard.
     data = data.select(
         "*",
-        F.regexp_replace(
-            F.regexp_replace(F.col("_metadata.file_path"), "^file:", ""),
-            "^/+",
-            "/",
-        ).alias("_ice_fp"),
+        norm_file_path(F.col("_metadata.file_path")).alias("_ice_fp"),
         F.col("_metadata.row_index").alias("_ice_pos"),
     )
     file_seq = spark.createDataFrame(
@@ -198,7 +203,10 @@ def read_iceberg(
         on=(
             (F.col("l._ice_fp") == F.col("r._ice_fp"))
             & (F.col("l._ice_pos") == F.col("r._ice_pos"))
-            & (F.col("r._ice_dseq") > F.col("l._ice_fseq"))
+            & (
+                F.col("r._ice_dseq")
+                >= F.coalesce(F.col("l._ice_fseq"), F.lit(-1))
+            )
         ),
         how="left_anti",
     )

@@ -341,6 +341,44 @@ def test_manifest_list_avro_accounting(spark, tmp_path):
     assert cur["manifest-list"] == lpath
 
 
+def test_multifield_partition_ids_agree_with_spec(spark, tmp_path):
+    """r102 partition field-ids must follow the table's DECLARATION
+    order (matching the metadata partition-spec's 1000+i ids), not a
+    sorted order — a reader resolving manifest partition values by
+    field-id would otherwise swap the fields."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "mp"), partition_by=["src", "cat"]
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, "b_src", "a_cat"), (2, "a_src", "b_cat")],
+            "id long, src string, cat string",
+        )
+    )
+    export_iceberg_metadata(t)
+    head = t.current_version()
+    meta = json.load(
+        open(os.path.join(t.root, "iceberg", f"v{head}.metadata.json"))
+    )
+    (spec,) = meta["partition-specs"]
+    spec_ids = {f["name"]: f["field-id"] for f in spec["fields"]}
+    assert spec_ids == {"src": 1000, "cat": 1001}
+    schema, _, entries = avro.read_ocf(
+        os.path.join(t.root, "iceberg", f"snap-{head}.manifest.avro")
+    )
+    r102 = next(
+        f["type"] for f in schema["fields"][-1]["type"]["fields"]
+        if f["name"] == "partition"
+    )
+    manifest_ids = {f["name"]: f["field-id"] for f in r102["fields"]}
+    assert manifest_ids == spec_ids
+    # values land under the right names
+    for e in entries:
+        p = e["data_file"]["partition"]
+        assert set(p) == {"src", "cat"}
+        assert p["src"].endswith("_src") and p["cat"].endswith("_cat")
+
+
 # ---------------------------------------------------------------------------
 # position-delete materialization
 # ---------------------------------------------------------------------------

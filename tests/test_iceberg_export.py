@@ -111,7 +111,10 @@ def _fixed_snapshots() -> list[Snapshot]:
 def test_metadata_dict_matches_golden_fixture():
     got = metadata_dict(
         _fixed_snapshots(),
-        ["days(ts)", "bucket(id, 16)"],
+        # canonical engine spec strings (transforms.parse_spec): the
+        # export maps them via Transform, so names match the manifest
+        # partition-dict keys (ts_day / id_bucket)
+        ["days(ts)", "bucket(16,id)"],
         "/warehouse/events",
         "00000000-0000-0000-0000-00000000abcd",
     )
