@@ -9,9 +9,15 @@ unchecked)."""
 from __future__ import annotations
 
 from de_gcp_lakehouse_iceberg_spark.plans import (
+    _CURRENT_ROUND,
     _GATE_PRIORITY,
+    _derived_gate_window,
     ORACLE_SQL,
     QUERIES,
+)
+from de_gcp_lakehouse_iceberg_spark.plans.gate_window import (
+    MAX_AGE,
+    latest_green_rounds,
 )
 
 
@@ -21,6 +27,33 @@ def test_gate_priority_is_exactly_the_checked_window():
     assert all(n in QUERIES for n in _GATE_PRIORITY)
     # priority order IS the registry's first-50 insertion order
     assert list(QUERIES)[:50] == _GATE_PRIORITY
+
+
+def test_gate_window_is_derived_from_correctness_ledger():
+    """The static list must equal the one derived from CORRECTNESS files.
+
+    This is the r11-verdict fix: cohort labels are generated from the
+    recorded driver rows, never hand-maintained, so a mislabelled cohort
+    (the r11 "three rounds stale" error) cannot recur."""
+    assert _GATE_PRIORITY == _derived_gate_window()
+
+
+def test_no_registered_query_ages_past_two_rounds():
+    """Every query whose latest green row would exceed MAX_AGE rounds of
+    age after this round MUST be inside the gate window; queries with no
+    green row at all (new this round) must be in the window too."""
+    latest = latest_green_rounds()
+    window = set(_GATE_PRIORITY)
+    stale_cut = _CURRENT_ROUND - MAX_AGE - 1
+    violations = [
+        q
+        for q in QUERIES
+        if (q not in latest or latest[q] <= stale_cut) and q not in window
+    ]
+    assert not violations, (
+        f"queries aging past {MAX_AGE} rounds outside the gate window: "
+        f"{violations}"
+    )
 
 
 def test_every_registered_query_has_oracle_or_is_rows_only():
