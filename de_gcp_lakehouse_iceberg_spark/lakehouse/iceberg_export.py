@@ -251,7 +251,11 @@ def single_value_bytes(ice_type: str, v: Any) -> bytes | None:
         # NO bound rather than a wrongly-scaled one
         if not isinstance(v, int) or isinstance(v, bool):
             return None
-        length = max(1, (v.bit_length() + 8) // 8)
+        # Appendix D: MINIMUM number of bytes holding the two's-
+        # complement value. The sign bit costs one extra bit, but exact
+        # negative powers of two fit it for free: -128 -> b'\x80', not
+        # b'\xff\x80' (r11 ADVICE).
+        length = (8 + (v + (v < 0)).bit_length()) // 8
         return v.to_bytes(length, "big", signed=True)
     return None
 
@@ -538,14 +542,22 @@ def _partition_fields(partition_by: list[str], base_id: int) -> list[dict]:
 
     fields = []
     for i, spec in enumerate(partition_by):
+        # No silent identity fallback (r11 ADVICE): an unparseable
+        # transform string exported as identity would be a WRONG spec
+        # with no error. parse_spec already accepts bare column names
+        # as identity, and LakeTable itself parses partition_by
+        # unguarded (table.py `transforms()`), so anything failing
+        # here is a genuine error.
         try:
             t = parse_spec(spec)
-            transform = _ICEBERG_TRANSFORM.get(
-                t.kind, f"{t.kind}[{t.arg}]"
-            )
-            name, col = t.name, t.source
-        except ValueError:
-            transform, col, name = "identity", spec.strip(), spec.strip()
+        except ValueError as exc:
+            raise ValueError(
+                f"unparseable partition transform {spec!r}: {exc} "
+                "(canonical forms: col, days(col), hours(col), "
+                "months(col), bucket(N, col), truncate(N, col))"
+            ) from exc
+        transform = _ICEBERG_TRANSFORM.get(t.kind, f"{t.kind}[{t.arg}]")
+        name, col = t.name, t.source
         fields.append(
             {
                 "name": name,
@@ -619,11 +631,11 @@ def partition_field_names(
     if partition_by:
         from .transforms import parse_spec
 
+        # Same no-silent-fallback policy as _partition_fields: the
+        # manifest partition keys must come from the parsed transform
+        # names or the export is wrong.
         for spec in partition_by:
-            try:
-                declared.append(parse_spec(spec).name)
-            except ValueError:
-                declared.append(spec.strip())
+            declared.append(parse_spec(spec).name)
     seen = set(declared)
     extras: set[str] = set()
     for f in snap.files:
@@ -801,16 +813,13 @@ def _field_summaries(
     return out
 
 
-def metadata_dict(
+def _schema_assignments(
     snapshots: list[Snapshot],
-    partition_by: list[str],
-    location: str,
-    table_uuid: str,
-) -> dict:
-    """Pure construction of the v2 table-metadata document (no I/O) —
-    deterministic given its inputs, which is what the golden-fixture
-    test pins."""
-    head = snapshots[-1]
+) -> tuple[list[dict], dict[int, int]]:
+    """Deduplicated Iceberg schemas in first-seen order plus snapshot
+    version → schema-id. ONE definition shared by `metadata_dict` and
+    the manifest writer so the `schema-id` a manifest's OCF metadata
+    carries always names the same schema the table metadata lists."""
     schemas: list[dict] = []
     seen: dict[str, int] = {}
     snap_schema_id: dict[int, int] = {}
@@ -825,6 +834,20 @@ def metadata_dict(
                       "fields": []}
             )
         snap_schema_id[s.version] = seen[sj]
+    return schemas, snap_schema_id
+
+
+def metadata_dict(
+    snapshots: list[Snapshot],
+    partition_by: list[str],
+    location: str,
+    table_uuid: str,
+) -> dict:
+    """Pure construction of the v2 table-metadata document (no I/O) —
+    deterministic given its inputs, which is what the golden-fixture
+    test pins."""
+    head = snapshots[-1]
+    schemas, snap_schema_id = _schema_assignments(snapshots)
     return {
         "format-version": FORMAT_VERSION,
         "table-uuid": table_uuid,
@@ -940,10 +963,18 @@ def materialize_position_deletes(
             spark.read.parquet(*paths)
             .filter(F.expr(d["predicate"]))
             .select(
+                # the spec's reserved field-ids ride as real parquet
+                # field-id metadata (r11 ADVICE): Spark writes
+                # StructField metadata key `parquet.field.id` into the
+                # footer when fieldId.write is enabled below, so a
+                # field-id-resolving Java reader accepts these files
                 norm_file_path(F.col("_metadata.file_path")).alias(
-                    "file_path"
+                    "file_path",
+                    metadata={"parquet.field.id": POS_DELETE_FILE_PATH_ID},
                 ),
-                F.col("_metadata.row_index").alias("pos"),
+                F.col("_metadata.row_index").alias(
+                    "pos", metadata={"parquet.field.id": POS_DELETE_POS_ID}
+                ),
             )
             # spec: position deletes sorted by file_path then pos;
             # one file per delete entry (export utility, not hot path)
@@ -953,7 +984,16 @@ def materialize_position_deletes(
         tgt = os.path.join(
             out_dir, f"snap-{snap.version}-delete-{i}.parquet.d"
         )
-        deleted.write.mode("overwrite").parquet(tgt)
+        fid_conf = "spark.sql.parquet.fieldId.write.enabled"
+        prev = spark.conf.get(fid_conf, None)
+        spark.conf.set(fid_conf, "true")
+        try:
+            deleted.write.mode("overwrite").parquet(tgt)
+        finally:
+            if prev is None:
+                spark.conf.unset(fid_conf)
+            else:
+                spark.conf.set(fid_conf, prev)
         part = next(
             os.path.join(tgt, p)
             for p in sorted(os.listdir(tgt))
@@ -1033,6 +1073,10 @@ def export_iceberg_metadata(
             table, spark, head_snap, out_dir
         )
     footer_cache: dict = {}  # data files are immutable: read each once
+    _, snap_schema_id = _schema_assignments(snaps)
+    part_spec_json = json.dumps(
+        _partition_fields(table.partition_by, 0), sort_keys=True
+    )
     for s in snaps:
         # human-readable JSON mirror (kept for debuggability)
         mf, entries = snapshot_records(s, table.root)
@@ -1055,10 +1099,15 @@ def export_iceberg_metadata(
             entry_schema,
             snapshot_avro_entries(s, table.root, part_names, footer_cache),
             metadata={
+                # the spec's REQUIRED manifest key-value metadata set
+                # (r11 ADVICE: partition-spec and schema-id were
+                # missing; a real Java reader resolves specs by them)
                 "format-version": "2",
                 "content": "data",
+                "partition-spec": part_spec_json,
                 "partition-spec-id": "0",
                 "schema": ice_schema_json,
+                "schema-id": str(snap_schema_id[s.version]),
             },
             codec=codec,
         )
@@ -1074,8 +1123,10 @@ def export_iceberg_metadata(
                 metadata={
                     "format-version": "2",
                     "content": "deletes",
+                    "partition-spec": part_spec_json,
                     "partition-spec-id": "0",
                     "schema": ice_schema_json,
+                    "schema-id": str(snap_schema_id[s.version]),
                 },
                 codec=codec,
             )

@@ -108,13 +108,27 @@ def _manifest_entries(
             if e.get("status") == DELETED:
                 continue
             seq = e.get("sequence_number")
-            if seq is None:  # inherit from the manifest (spec rule)
+            if seq is None:
+                # spec: sequence-number inheritance applies ONLY to
+                # ADDED entries (they inherit the manifest's sequence
+                # number); EXISTING entries must carry their original
+                # explicit sequence number — a null there is corrupt
+                # metadata, and guessing the manifest's seq could
+                # mis-scope delete application (r11 ADVICE).
+                if e.get("status") != ADDED:
+                    raise ValueError(
+                        "EXISTING manifest entry with null "
+                        f"sequence_number in {mf['manifest_path']!r} — "
+                        "the spec inherits sequence numbers only for "
+                        "ADDED entries"
+                    )
                 seq = mf.get("sequence_number", 0)
             content = e["data_file"].get("content", 0)
             rec = {
                 "path": _strip_scheme(e["data_file"]["file_path"]),
                 "seq": seq,
                 "format": e["data_file"].get("file_format", "PARQUET"),
+                "rows": e["data_file"].get("record_count"),
             }
             if content == DATA and mf.get("content", 0) == 0:
                 data_entries.append(rec)
@@ -126,6 +140,15 @@ def _manifest_entries(
                     "reader (this engine exports position deletes)"
                 )
     return data_entries, delete_entries
+
+
+# Broadcast the position-delete set only while its manifest-declared
+# row count stays under this bound. (file_path, pos) rows are ~100
+# bytes with typical absolute paths, so 100k rows ≈ 10 MB — Spark's
+# default autoBroadcastJoinThreshold. Above it the anti-join runs
+# unhinted and AQE picks the strategy (a MOR backlog's delete set
+# scales with deleted ROWS, not file count — r11 ADVICE, medium).
+BROADCAST_DELETE_ROWS = 100_000
 
 
 def read_iceberg(
@@ -173,7 +196,9 @@ def read_iceberg(
     # <= the delete's — equality included, because real writers (e.g.
     # streaming upserts) commit data and its position deletes in ONE
     # snapshot at the same sequence number. File→seq is O(manifest)
-    # metadata, broadcast both small sides. The path key uses the
+    # metadata — always broadcast; the DELETE rows scale with deleted
+    # data, so they broadcast only while the manifests' record_count
+    # total stays under BROADCAST_DELETE_ROWS. The path key uses the
     # SAME normalization the exporter writes delete contents with
     # (`norm_file_path`); an unmatched file_seq row falls back to
     # seq -1 (apply every delete) rather than NULL-propagating the
@@ -198,8 +223,15 @@ def read_iceberg(
             F.lit(e["seq"]).alias("_ice_dseq"),
         )
         deletes = d if deletes is None else deletes.unionByName(d)
+    delete_rows = sum(
+        e["rows"] for e in delete_entries if e["rows"] is not None
+    )
+    counts_known = all(e["rows"] is not None for e in delete_entries)
+    deletes = deletes.alias("r")
+    if counts_known and delete_rows <= BROADCAST_DELETE_ROWS:
+        deletes = F.broadcast(deletes)
     survivors = data.alias("l").join(
-        F.broadcast(deletes.alias("r")),
+        deletes,
         on=(
             (F.col("l._ice_fp") == F.col("r._ice_fp"))
             & (F.col("l._ice_pos") == F.col("r._ice_pos"))

@@ -222,6 +222,17 @@ def test_single_value_widths_match_spec():
     # decimal: minimal two's-complement big-endian unscaled value
     assert single_value_bytes("decimal(9, 2)", 255) == b"\x00\xff"
     assert single_value_bytes("decimal(9, 2)", -1) == b"\xff"
+    # exact negative powers of two fit the sign bit for free — the
+    # minimum-bytes rule (r11 ADVICE: was emitting b"\xff\x80")
+    assert single_value_bytes("decimal(9, 2)", -128) == b"\x80"
+    assert single_value_bytes("decimal(9, 2)", -129) == b"\xff\x7f"
+    assert single_value_bytes("decimal(9, 2)", 128) == b"\x00\x80"
+    assert single_value_bytes("decimal(9, 2)", 0) == b"\x00"
+    for v in range(-1050, 1050):
+        b = single_value_bytes("decimal(9, 2)", v)
+        assert single_value_decode("decimal(9, 2)", b) == v
+        # re-encoding the decoded minimal bytes is a fixpoint
+        assert len(b) == (8 + (v + (v < 0)).bit_length()) // 8
 
 
 # ---------------------------------------------------------------------------

@@ -193,3 +193,80 @@ def test_export_is_lossless_for_snapshots_files_and_schemas(
         assert mf["manifest_length"] == os.path.getsize(
             os.path.join(t.root, "iceberg", f"snap-{v}.manifest.json")
         )
+
+
+def test_unparseable_partition_transform_raises():
+    """No silent identity fallback (r11 ADVICE): the once-accepted
+    'bucket(col, N)' argument order must fail loudly, not export a
+    wrong identity spec."""
+    import pytest
+
+    from de_gcp_lakehouse_iceberg_spark.lakehouse.iceberg_export import (
+        _partition_fields,
+    )
+
+    with pytest.raises(ValueError, match="unparseable partition transform"):
+        _partition_fields(["bucket(user_id, 8)"], 0)
+    # canonical forms still parse
+    fields = _partition_fields(
+        ["days(ts)", "bucket(8, user_id)", "plain_col"], 0
+    )
+    assert [f["transform"] for f in fields] == ["day", "bucket[8]", "identity"]
+    assert [f["field-id"] for f in fields] == [1000, 1001, 1002]
+
+
+def test_manifest_metadata_carries_spec_required_keys(spark, tmp_path):
+    """Manifest OCF key-value metadata must include the spec-required
+    'partition-spec', 'partition-spec-id', 'schema', 'schema-id',
+    'format-version', and 'content' keys (r11 ADVICE)."""
+    from de_gcp_lakehouse_iceberg_spark.lakehouse import avro, dml
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), partition_by=["s"])
+    t.append(
+        spark.createDataFrame(
+            [(i, "ab"[i % 2], float(i)) for i in range(10)],
+            "id long, s string, v double",
+        )
+    )
+    dml.delete_mor(t, "id = 3")
+    export_iceberg_metadata(t, spark=spark)
+    v = t.current_version()
+    required = {
+        "format-version", "content", "partition-spec",
+        "partition-spec-id", "schema", "schema-id",
+    }
+    for name in (f"snap-{v}.manifest.avro", f"snap-{v}.deletes.manifest.avro"):
+        _, meta, _ = avro.read_ocf(os.path.join(t.root, "iceberg", name))
+        assert required <= set(meta), name
+        spec_fields = json.loads(meta["partition-spec"])
+        assert [f["name"] for f in spec_fields] == ["s"]
+        assert meta["schema-id"].isdigit()
+    assert meta["content"] == "deletes"
+
+
+def test_position_delete_parquet_embeds_reserved_field_ids(spark, tmp_path):
+    """The spec's reserved field-ids 2147483546/2147483545 must be real
+    parquet field_id metadata on the delete files, not just a docstring
+    claim (r11 ADVICE): a Java reader resolves columns by field-id."""
+    import pyarrow.parquet as pq
+
+    from de_gcp_lakehouse_iceberg_spark.lakehouse import avro, dml
+
+    t = LakeTable.create(spark, str(tmp_path / "mor"))
+    t.append(
+        spark.createDataFrame(
+            [(i, "x", float(i)) for i in range(12)],
+            "id long, s string, v double",
+        )
+    )
+    dml.delete_mor(t, "id % 3 = 0")
+    export_iceberg_metadata(t, spark=spark)
+    v = t.current_version()
+    _, _, entries = avro.read_ocf(
+        os.path.join(t.root, "iceberg", f"snap-{v}.deletes.manifest.avro")
+    )
+    assert entries, "no delete entries exported"
+    sch = pq.ParquetFile(entries[0]["data_file"]["file_path"]).schema_arrow
+    fid = lambda f: (f.metadata or {}).get(b"PARQUET:field_id")  # noqa: E731
+    assert fid(sch.field("file_path")) == b"2147483546"
+    assert fid(sch.field("pos")) == b"2147483545"
