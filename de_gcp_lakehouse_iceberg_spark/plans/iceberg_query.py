@@ -10,8 +10,12 @@ manifest encoding, sequence-number semantics (the MOR delete must
 kill rows in both original and CoW-rewritten files, but NOT in the
 later append), position-delete materialization (`pos_delete_rows` is
 read from the delete manifest via the independent OCF decoder and
-must equal the oracle's count of logically deleted rows), and the
-reader's delete application.
+must equal the oracle's count of logically deleted rows), the
+reader's delete application, AND schema evolution (r11 task #8): an
+ALTER TABLE ADD COLUMN lands mid-lifecycle, so the spec read spans
+manifests with MIXED schemas — pre-evolution files must surface the
+new column as NULL while the post-evolution append carries values,
+checked by `chan_cnt` (non-null count per group).
 
 Reference parity anchor: `table_format = 'ICEBERG'`
 (sql/create_iceberg_tables.sql:27-28) — interoperating through the
@@ -26,7 +30,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..lakehouse import LakeTable, avro, dml
+from ..lakehouse import LakeTable, avro, dml, evolution
 from ..lakehouse.iceberg_export import export_iceberg_metadata
 from ..lakehouse.iceberg_reader import read_iceberg
 from ..tables import table
@@ -49,9 +53,9 @@ _LATE = "o_orderkey % 13 = 5"
       SELECT * FROM base
       WHERE NOT ({_COW}) AND NOT ({_MOR})),
     final AS (
-      SELECT * FROM kept
+      SELECT *, CAST(NULL AS VARCHAR) AS o_channel FROM kept
       UNION ALL
-      SELECT * FROM base WHERE {_LATE}),
+      SELECT *, 'backfill' AS o_channel FROM base WHERE {_LATE}),
     scalars AS (
       SELECT CAST((SELECT count(*) FROM base
                    WHERE NOT ({_COW}) AND ({_MOR})) AS BIGINT)
@@ -63,6 +67,7 @@ _LATE = "o_orderkey % 13 = 5"
                       AS DOUBLE) * 100 + 0.5) / 100 AS price_sum,
            CAST(min(f.o_orderkey) AS BIGINT) AS min_key,
            CAST(max(f.o_orderkey) AS BIGINT) AS max_key,
+           CAST(count(f.o_channel) AS BIGINT) AS chan_cnt,
            s.pos_delete_rows,
            s.delete_manifests
     FROM final f CROSS JOIN scalars s
@@ -81,7 +86,16 @@ def q117_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(orders.coalesce(2), operation="load")
     dml.delete(t, _COW)  # copy-on-write rewrite (bumps file seqs)
     dml.delete_mor(t, _MOR)  # predicate delete → position-delete files
-    t.append(orders.filter(F.expr(_LATE)), operation="late_arrivals")
+    # ALTER TABLE ADD COLUMN mid-lifecycle: the export now spans
+    # manifests with two schemas; pre-evolution files read o_channel
+    # as NULL through the spec reader, the late append carries values
+    evolution.add_column(t, "o_channel", "string")
+    t.append(
+        orders.filter(F.expr(_LATE)).withColumn(
+            "o_channel", F.lit("backfill")
+        ),
+        operation="late_arrivals",
+    )
 
     mpath = export_iceberg_metadata(t, spark=spark)
 
@@ -117,6 +131,7 @@ def q117_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("price_sum"),
             F.min("o_orderkey").alias("min_key"),
             F.max("o_orderkey").alias("max_key"),
+            F.count("o_channel").alias("chan_cnt"),
         )
         .withColumn("pos_delete_rows", F.lit(pos_delete_rows).cast("long"))
         .withColumn("delete_manifests", F.lit(len(dels)).cast("long"))
