@@ -106,9 +106,23 @@ def main() -> None:
             print(f"# calibration failed: {exc}", file=sys.stderr)
             return None
 
-    calibration_s = _calibrate()
-    if calibration_s is not None:
-        print(f"# calibration(start): {calibration_s}s", file=sys.stderr)
+    # Interleaved anchors (r11 VERDICT #2): the r11 start/end bracket
+    # spanned 2.0× in one run, so per-query regressions could be
+    # neither confirmed nor acquitted. The anchor now ALSO runs every
+    # SPARK_GRAFT_CAL_EVERY timed queries (default 20) and the ledger
+    # stores the full series; cross-round claims normalize each query
+    # by its NEAREST anchor instead of a whole-run bracket.
+    cal_every = max(1, int(os.environ.get("SPARK_GRAFT_CAL_EVERY", "20")))
+    calibration_series: list[dict] = []
+
+    def _anchor(at: str) -> float | None:
+        c = _calibrate()
+        if c is not None:
+            calibration_series.append({"at": at, "s": c})
+            print(f"# calibration({at}): {c}s", file=sys.stderr)
+        return c
+
+    calibration_s = _anchor("start")
 
     # Failure isolation: one broken query must never void the other
     # measurements — record its error and keep going; ALWAYS emit the
@@ -124,7 +138,13 @@ def main() -> None:
     runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "2")))
     errors: dict[str, str] = {}
     first_run: dict[str, float] = {}
+    timed_since_anchor = 0
     for name in sorted(QUERIES):
+        if timed_since_anchor >= cal_every:
+            _anchor(f"after:{prev_name}")
+            timed_since_anchor = 0
+        prev_name = name
+        timed_since_anchor += 1
         best = None
         for i in range(runs):
             t0 = time.perf_counter()
@@ -148,21 +168,18 @@ def main() -> None:
             timings[name] = round(best, 3)
             print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
-    # closing bracket of the calibration anchor (see note above)
-    calibration_end_s = _calibrate()
-    if calibration_end_s is not None:
-        print(f"# calibration(end): {calibration_end_s}s", file=sys.stderr)
-    cal_pair = [
-        c for c in (calibration_s, calibration_end_s) if c is not None
-    ]
+    # closing bracket of the calibration anchor (see note above); the
+    # bracket's min/max now span the WHOLE interleaved series
+    calibration_end_s = _anchor("end")
+    cal_vals = [p["s"] for p in calibration_series]
     calibration = (
         {
             "start": calibration_s,
             "end": calibration_end_s,
-            "min": min(cal_pair),
-            "max": max(cal_pair),
+            "min": min(cal_vals),
+            "max": max(cal_vals),
         }
-        if cal_pair
+        if cal_vals
         else None
     )
 
@@ -294,6 +311,8 @@ def main() -> None:
         out["calibration_s"] = calibration_s
     if calibration is not None:
         out["calibration"] = calibration
+    if calibration_series:
+        out["calibration_series"] = calibration_series
     if concurrent:
         out["concurrent"] = {
             k: v for k, v in concurrent.items() if k != "latencies"
@@ -314,6 +333,7 @@ def main() -> None:
         "cache": os.environ.get("SPARK_GRAFT_CACHE", "1") != "0",
         "calibration_s": calibration_s,
         "calibration": calibration,
+        "calibration_series": calibration_series,
         "host": {
             "cpus": os.cpu_count(),
             "spark_cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
