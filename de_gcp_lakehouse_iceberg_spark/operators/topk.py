@@ -52,6 +52,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+# Broadcast the rejoin route's winner set only while it stays under
+# this many rows (winners are narrow: group cols + order keys + rank).
+# k x #groups with billions of groups at 100 TB would exceed any
+# broadcast cap (r11 VERDICT anti-pattern note) — above the bound the
+# rejoin falls back to a plain shuffled join and Spark/AQE picks the
+# strategy.
+REJOIN_BROADCAST_WINNERS = 1_000_000
+
+
 def _has_map(dt: T.DataType) -> bool:
     if isinstance(dt, T.MapType):
         return True
@@ -119,6 +128,7 @@ def grouped_topk(
     k: int,
     payload: str = "carry",
     route: str = "bounded",
+    groups_hint: int | None = None,
 ) -> DataFrame:
     """Top-k rows per group under lexicographic `order_cols` ASCENDING
     (invert a column for DESC at the call site). `order_cols` must be
@@ -133,10 +143,16 @@ def grouped_topk(
     payload (bounded route only) — "carry" (default): payload columns
     ride through the Arrow partial; one pass, safe for
     non-deterministic upstreams. "rejoin": only (group, order-key)
-    columns enter the partial; the k winners per group are broadcast
+    columns enter the partial; the k winners per group are joined
     back onto the input — the right call for FAT payloads (document
     text, embeddings): they never cross Arrow and are never shuffled.
-    Requires deterministic order expressions.
+    Requires deterministic order expressions. The winner set is
+    BROADCAST only while it stays under REJOIN_BROADCAST_WINNERS rows
+    — sized from `groups_hint` (k x groups_hint) when the caller
+    knows the group cardinality, else from a count of the (already
+    bounded) winner set itself, materialized via localCheckpoint so
+    the partial never runs twice; above the bound the join runs
+    unhinted (shuffled, AQE-planned).
 
     Returns the original columns plus `rank` (1-based position within
     the group)."""
@@ -186,7 +202,17 @@ def grouped_topk(
                 F.col("_kr.*"),
             )
         )
+        if groups_hint is not None:
+            small = k * groups_hint <= REJOIN_BROADCAST_WINNERS
+        else:
+            # the winner set is already bounded by k x groups; count it
+            # once off a localCheckpoint (the partial runs exactly once,
+            # the join reuses the materialized blocks)
+            winners = winners.localCheckpoint()
+            small = winners.count() <= REJOIN_BROADCAST_WINNERS
         s, w = staged.alias("_gtk_s"), winners.alias("_gtk_w")
+        if small:
+            w = F.broadcast(w)
         cond = reduce(
             Column.__and__,
             [
@@ -194,7 +220,7 @@ def grouped_topk(
                 for c in group_cols + okeys
             ],
         )
-        return s.join(F.broadcast(w), cond, "inner").select(
+        return s.join(w, cond, "inner").select(
             *[F.col(f"_gtk_s.{c}") for c in group_cols],
             F.col("_gtk_w.rank").alias("rank"),
             *[F.col(f"_gtk_s.{c}") for c in pay_cols],
