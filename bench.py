@@ -12,6 +12,21 @@ import re
 import sys
 import time
 
+try:  # UDF bodies must live at MODULE scope: pandas_udf resolves the
+    # (stringified, future-annotations) type hints against the
+    # function's __globals__, so a function-scope `import pandas as
+    # _pd` made the old warm-up fail silently with
+    # UNSUPPORTED_SIGNATURE every round (caught in r12).
+    import pandas as pd
+
+    def _udf_identity(s: pd.Series) -> pd.Series:
+        return s
+
+    def _udf_mix(s: pd.Series) -> pd.Series:
+        return (s * 2654435761) % 1000003
+except ImportError:  # pragma: no cover — pandas is baked in
+    pd = None
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -35,13 +50,9 @@ def main() -> None:
     # charged ~5s of interpreter+numpy import per worker — a fixed
     # session cost, not that query's cost.
     try:
-        import pandas as _pd
         from pyspark.sql.functions import col, pandas_udf
 
-        @pandas_udf("long")
-        def _warm(s: _pd.Series) -> _pd.Series:
-            return s
-
+        _warm = pandas_udf(_udf_identity, "long")
         spark.range(1_000_000).repartition(64).select(
             _warm(col("id"))
         ).count()
@@ -106,6 +117,36 @@ def main() -> None:
             print(f"# calibration failed: {exc}", file=sys.stderr)
             return None
 
+    # Python-worker anchor (r12): the JVM range-sum above cannot see
+    # drift in the Arrow/Python-worker path (serialization, worker
+    # scheduling, numpy throughput) — exactly the path the heaviest
+    # queries (signing UDFs, probes) live on. The r11→r12
+    # "regressions" of q72/q88 tracked THIS axis while the JVM anchor
+    # stayed flat, so both anchors are recorded side by side.
+    try:
+        from pyspark.sql.functions import col as _cal_col
+        from pyspark.sql.functions import pandas_udf as _cal_pudf
+
+        _cal_work = _cal_pudf(_udf_mix, "long")
+
+        def _calibrate_py() -> float | None:
+            try:
+                best = None
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    spark.range(0, 8_000_000, 1, 32).select(
+                        _cal_work(_cal_col("id")).alias("h")
+                    ).selectExpr("sum(h)").collect()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                return round(best, 4)
+            except Exception as exc:  # noqa: BLE001 — best-effort
+                print(f"# py calibration failed: {exc}", file=sys.stderr)
+                return None
+    except Exception:  # noqa: BLE001 — pandas/arrow missing
+        def _calibrate_py() -> float | None:
+            return None
+
     # Interleaved anchors (r11 VERDICT #2): the r11 start/end bracket
     # spanned 2.0× in one run, so per-query regressions could be
     # neither confirmed nor acquitted. The anchor now ALSO runs every
@@ -117,9 +158,14 @@ def main() -> None:
 
     def _anchor(at: str) -> float | None:
         c = _calibrate()
+        py = _calibrate_py()
         if c is not None:
-            calibration_series.append({"at": at, "s": c})
-            print(f"# calibration({at}): {c}s", file=sys.stderr)
+            entry = {"at": at, "s": c}
+            if py is not None:
+                entry["py_s"] = py
+            calibration_series.append(entry)
+            print(f"# calibration({at}): {c}s jvm / {py}s py",
+                  file=sys.stderr)
         return c
 
     calibration_s = _anchor("start")

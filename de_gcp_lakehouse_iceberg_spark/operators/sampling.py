@@ -71,17 +71,33 @@ def sample_by_weights(
     return df.filter(id_hash(id_col) < thresh)
 
 
+# route="auto" picks by MEASURED mean stratum size (one narrow
+# aggregate; see SCALE.md "stratified sampling route crossover"):
+#   mean <= SINGLE bound   -> grouped_topk route="single" (all-JVM,
+#       one shuffle, no Python workers — fastest while each whole
+#       stratum fits one aggregation buffer; grouped_topk's measured
+#       degradation starts past ~10^4 rows/group);
+#   mean >= THRESHOLD bound -> threshold-select (scan-time filter,
+#       payload moves only for ~c·n survivors — the 100 TB shape);
+#   in between              -> topk-rejoin (k-bounded Arrow partial).
+STRATIFIED_SINGLE_MAX_ROWS_PER_STRATUM = 10_000
+STRATIFIED_AUTO_ROWS_PER_STRATUM = 250_000
+
+
 def stratified_sample(
     df: DataFrame,
     n_per_stratum: int,
     stratum_col: str = "source",
     id_col: str = "doc_id",
-    route: str = "topk",
+    route: str = "auto",
     oversample: int = 4,
 ) -> DataFrame:
     """Exactly min(n, |stratum|) rows per stratum, chosen by hash order
-    (deterministic, unbiased); ties broken by id. Both routes produce
-    the identical (oracle-exact) row set.
+    (deterministic, unbiased); ties broken by id. All routes produce
+    the identical (oracle-exact) row set. route="auto" (default — the
+    deployment shape) measures mean stratum size with one narrow
+    aggregate and picks single/topk/threshold per the measured bounds
+    above (SCALE.md "stratified sampling route crossover").
 
     route="topk" (default): bounded grouped_topk with payload="rejoin"
     — only (stratum, hash, id) cross the Arrow partial, the k winners
@@ -123,13 +139,46 @@ def stratified_sample(
 
     n = n_per_stratum
     order = lambda: [id_hash(id_col), F.col(id_col)]  # noqa: E731
+    counts = None
+    if route == "auto":
+        # one narrow aggregate (reused by the threshold route if
+        # chosen, exactly like choose_jaccard_route's measured stat):
+        # route on the MEAN stratum size — the payload/Python-worker
+        # cost the heavier routes avoid scales with rows/stratum
+        counts = df.groupBy(stratum_col).agg(
+            F.count(F.lit(1)).alias("_ns")
+        )
+        stat = counts.agg(
+            F.sum("_ns").alias("_rows"),
+            F.count(F.lit(1)).alias("_k"),
+            F.max("_ns").alias("_max"),
+        ).first()
+        rows, strata = int(stat["_rows"] or 0), int(stat["_k"] or 1)
+        biggest = int(stat["_max"] or 0)
+        if biggest <= STRATIFIED_SINGLE_MAX_ROWS_PER_STRATUM:
+            # every stratum (not just the mean) fits the all-JVM
+            # single-aggregation buffer comfortably
+            route = "single"
+        elif rows >= STRATIFIED_AUTO_ROWS_PER_STRATUM * strata:
+            route = "threshold"
+        else:
+            route = "topk"
+    if route == "single":
+        return grouped_topk(
+            df, [stratum_col], order(), n, route="single"
+        ).select(*df.columns)
     if route == "topk":
         return grouped_topk(
             df, [stratum_col], order(), n, payload="rejoin"
         ).select(*df.columns)
     if route != "threshold":
-        raise ValueError(f"route must be topk|threshold: {route!r}")
-    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_ns"))
+        raise ValueError(
+            f"route must be auto|single|topk|threshold: {route!r}"
+        )
+    if counts is None:
+        counts = df.groupBy(stratum_col).agg(
+            F.count(F.lit(1)).alias("_ns")
+        )
     cuts = counts.select(
         F.col(stratum_col).alias("_st"),
         "_ns",
