@@ -81,7 +81,7 @@ def sample_by_weights(
 #       payload moves only for ~c·n survivors — the 100 TB shape);
 #   in between              -> topk-rejoin (k-bounded Arrow partial).
 STRATIFIED_SINGLE_MAX_ROWS_PER_STRATUM = 10_000
-STRATIFIED_AUTO_ROWS_PER_STRATUM = 250_000
+STRATIFIED_AUTO_ROWS_PER_STRATUM = 300_000
 
 
 def stratified_sample(
