@@ -143,28 +143,55 @@ def brute_force_topk(
     return _topk_per_query(scored, k)
 
 
+# nearest_pairs_blocked auto-route: distribute each block's chunk loop
+# across tasks once any block exceeds this many rows. Below it one
+# task per block already saturates (and the chunk route's extra counts
+# aggregate + duplicating join is pure overhead); above it a handful
+# of big blocks strands the cores — sf3 measured 10 label blocks of
+# ~6.1k rows on 32 cores: 89.6 s block-route vs the chunked route's
+# ~5x task fan-out. Any chunking yields the SAME result: a global
+# top-n pair is within its chunk's local top-n (ties kept), and each
+# pair's double is computed by the same dimension-sequential fold no
+# matter which chunk owns it.
+PAIRS_CHUNK_WHEN_BLOCK_EXCEEDS = 4096
+
+
+def _chunk_rows_for(c: int) -> int:
+    """Rows per accumulator chunk: keep each chunk x block float64
+    accumulator at or under ~64 MB (the block route's original bound)."""
+    return max(1, min(c, 8 * 1024 * 1024 // max(c, 1)))
+
+
 def nearest_pairs_blocked(
     corpus: DataFrame,
     block_col: str,
     top_n: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    parallelism: str = "auto",
 ) -> DataFrame:
     """Embedding near-dup detection, blocked: score all pairs *within a
     block* (e.g. a cluster/label/shard key) and keep the global top-N
     most similar. Blocking turns the quadratic all-pairs into per-block
     quadratics — the standard way to make embedding near-dup tractable;
     the block key at 100 TB comes from a coarse clustering or LSH bucket.
+
+    parallelism: "block" — one task per block (the natural shape while
+    blocks are numerous relative to cores); "chunk" — each block's
+    accumulator chunks become separate tasks (one narrow counts
+    aggregate + a duplicating join, fan-out c/chunk per block), for
+    the few-big-blocks regime; "auto" — chunk once any block exceeds
+    PAIRS_CHUNK_WHEN_BLOCK_EXCEEDS rows. All routes produce the
+    identical rows: every pair's cosine is the same dimension-
+    sequential numpy fold (bit-identical to the oracle's list fold,
+    pinned in tests/test_similarity.py), and per-chunk local top-n
+    with ties kept is a superset of the global top-n.
     """
     n = with_norm(corpus, vec_col)
     # Per-block GEMM instead of a pair JOIN: the join shape shuffles
     # O(Σ c_i²) pair rows each dragging TWO vectors; this shape
-    # shuffles each block's c_i ROWS once and forms the pair matrix in
-    # numpy. The accumulation is dimension-sequential (acc += outer
-    # products, d ascending), so every pair's double is BIT-IDENTICAL
-    # to the cosine() expression fold the oracles replay — pinned in
-    # tests/test_similarity.py. Per-block top-n (ties kept by the
-    # exact global order) is a superset of the global top-n.
+    # shuffles each block's c_i ROWS once (x fan-out on the chunk
+    # route) and forms the pair matrix in numpy.
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     grouped_in = n.select(
@@ -182,21 +209,28 @@ def nearest_pairs_blocked(
         ]
     )
 
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _score_span(pdf: pd.DataFrame, lo: int, hi: int) -> pd.DataFrame:
+        """Pairs (i, j) with lo <= i < hi, i < j < c, over the block
+        rows in pdf (sorted by _id): the accumulator loop of the
+        original block route, restricted to one row span."""
         pdf = pdf.sort_values("_id").reset_index(drop=True)
         c = len(pdf)
+        empty = pd.DataFrame(
+            {block_col: [], "id_a": [], "id_b": [], "cosine": []}
+        )
         if c < 2:
-            return pd.DataFrame(
-                {block_col: [], "id_a": [], "id_b": [], "cosine": []}
-            )
+            return empty
+        hi = min(hi, c)
+        if lo >= hi:
+            return empty
         A = np.vstack(pdf["_vec"].to_numpy()).astype(np.float64)
         norms = pdf["_norm"].to_numpy(dtype=np.float64)
         ids = pdf["_id"].to_numpy()
         d = A.shape[1]
         outs = []
-        chunk = max(1, min(c, 8 * 1024 * 1024 // max(c, 1)))  # ≤64MB acc
-        for s in range(0, c, chunk):
-            e = min(c, s + chunk)
+        chunk = _chunk_rows_for(c)
+        for s in range(lo, hi, chunk):
+            e = min(hi, s + chunk)
             acc = np.zeros((e - s, c), dtype=np.float64)
             for k in range(d):  # dimension-sequential == the fold
                 acc += np.multiply.outer(A[s:e, k], A[:, k])
@@ -225,7 +259,66 @@ def nearest_pairs_blocked(
         )
         return out.iloc[order[: top_n]]
 
-    pairs = grouped_in.groupBy("_blk").applyInPandas(score, out_schema)
+    if parallelism not in ("auto", "block", "chunk"):
+        raise ValueError(
+            f"parallelism must be auto|block|chunk: {parallelism!r}"
+        )
+    sizes = None
+    if parallelism == "auto":
+        sizes = grouped_in.groupBy("_blk").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        biggest = sizes.agg(F.max("_c")).first()[0] or 0
+        parallelism = (
+            "chunk"
+            if biggest > PAIRS_CHUNK_WHEN_BLOCK_EXCEEDS
+            else "block"
+        )
+
+    if parallelism == "block":
+
+        def score(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _score_span(pdf, 0, len(pdf))
+
+        pairs = grouped_in.groupBy("_blk").applyInPandas(score, out_schema)
+    else:
+        # one task per (block, accumulator chunk): duplicate each
+        # block's rows once per chunk through a broadcast join on the
+        # (tiny) chunk map, so a handful of big blocks fans out to
+        # all cores instead of stranding one task per block
+        if sizes is None:
+            sizes = grouped_in.groupBy("_blk").agg(
+                F.count(F.lit(1)).alias("_c")
+            )
+        chunk_rows = (
+            F.greatest(
+                F.lit(1),
+                F.least(
+                    F.col("_c"),
+                    F.floor(F.lit(8 * 1024 * 1024) / F.col("_c")),
+                ),
+            )
+        ).cast("long")
+        chunks = sizes.select(
+            "_blk",
+            chunk_rows.alias("_cr"),
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.col("_c") / chunk_rows).cast("long") - 1,
+                )
+            ).alias("_ck"),
+        )
+        dup = grouped_in.join(F.broadcast(chunks), "_blk")
+
+        def score_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+            cr = int(pdf["_cr"].iloc[0])
+            ck = int(pdf["_ck"].iloc[0])
+            return _score_span(pdf, ck * cr, (ck + 1) * cr)
+
+        pairs = dup.groupBy("_blk", "_ck").applyInPandas(
+            score_chunk, out_schema
+        )
     return (
         pairs.orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
         .limit(top_n)

@@ -186,3 +186,41 @@ def test_pair_dot_udf_bit_identical_to_fold(spark, sf_dir):
         pdot(F.col("ea"), F.col("eb")).alias("arrow"),
     ).collect()
     assert rows and all(r["expr"] == r["arrow"] for r in rows)
+
+
+def test_nearest_pairs_chunk_route_equals_block_route(spark, monkeypatch):
+    """r12: the few-big-blocks route distributes each block's
+    accumulator chunks across tasks; rows must be IDENTICAL to the
+    one-task-per-block route (same dimension-sequential fold per pair,
+    local top-n supersets), and auto must flip on big blocks. Block
+    size 3100 > 8M/3100 forces GENUINE multi-chunk spans (2 chunks per
+    block) through the SQL chunk map."""
+    import numpy as np
+
+    from de_gcp_lakehouse_iceberg_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, int(i % 2), [float(x) for x in rng.standard_normal(4)])
+        for i in range(6200)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    assert sim._chunk_rows_for(3100) < 3100  # really multi-chunk
+
+    block = sim.nearest_pairs_blocked(
+        df, "label", top_n=15, parallelism="block"
+    )
+    want = [tuple(r) for r in block.collect()]
+    assert len(want) == 15
+
+    chunk = sim.nearest_pairs_blocked(
+        df, "label", top_n=15, parallelism="chunk"
+    )
+    assert [tuple(r) for r in chunk.collect()] == want
+
+    # auto flips to the chunk route once a block exceeds the bound
+    monkeypatch.setattr(sim, "PAIRS_CHUNK_WHEN_BLOCK_EXCEEDS", 100)
+    auto = sim.nearest_pairs_blocked(df, "label", top_n=15)
+    assert [tuple(r) for r in auto.collect()] == want
