@@ -8,6 +8,8 @@ unchecked)."""
 
 from __future__ import annotations
 
+from hypothesis import given, settings, strategies as st
+
 from de_gcp_lakehouse_iceberg_spark.plans import (
     _CURRENT_ROUND,
     _GATE_PRIORITY,
@@ -17,6 +19,7 @@ from de_gcp_lakehouse_iceberg_spark.plans import (
 )
 from de_gcp_lakehouse_iceberg_spark.plans.gate_window import (
     MAX_AGE,
+    build_window,
     latest_green_rounds,
 )
 
@@ -60,3 +63,58 @@ def test_every_registered_query_has_oracle_or_is_rows_only():
     # every gate-window query must be hash-checkable (oracle present)
     missing = [n for n in _GATE_PRIORITY if n not in ORACLE_SQL]
     assert not missing, f"gate-window queries without oracle: {missing}"
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.data())
+def test_build_window_invariants(data):
+    """For arbitrary registries / green-row histories / changed sets:
+    the window is deduplicated, at most SIZE, contains every
+    never-gated query, every query stale enough to age out, and every
+    registered changed query — or raises when those mandatory cohorts
+    alone cannot fit."""
+    n = data.draw(st.integers(1, 140))
+    registered = [f"q{i:03d}_x" for i in range(n)]
+    current = data.draw(st.integers(3, 20))
+    latest = {
+        q: data.draw(
+            st.one_of(st.none(), st.integers(1, current - 1)), label=q
+        )
+        for q in registered
+    }
+    latest = {q: r for q, r in latest.items() if r is not None}
+    changed = data.draw(
+        st.lists(st.sampled_from(registered), max_size=10, unique=True)
+    )
+    size = data.draw(st.integers(1, 60))
+
+    new = [q for q in registered if q not in latest]
+    stale = [
+        q for q in registered
+        if q in latest and latest[q] <= current - 3
+    ]
+    mandatory = set(new) | set(stale) | set(changed)
+
+    try:
+        window = build_window(registered, latest, changed, current, size)
+    except ValueError:
+        assert len(set(new) | set(stale) | set(changed)) > size
+        return
+    assert len(window) == len(set(window))
+    assert len(window) <= size
+    assert mandatory <= set(window)
+    assert set(window) <= set(registered)
+    # backfill prefers the OLDEST remaining rows: nothing outside the
+    # window may be strictly older than something backfilled in,
+    # unless the window is full of mandatory + older rows already
+    if len(window) == size:
+        outside = [
+            latest.get(q, 0) for q in registered if q not in set(window)
+        ]
+        backfilled = [
+            latest.get(q, 0)
+            for q in window
+            if q not in mandatory
+        ]
+        if outside and backfilled:
+            assert max(backfilled) <= min(outside)

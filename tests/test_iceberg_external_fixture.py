@@ -306,13 +306,29 @@ def _build_fixture(root: str) -> str:
     # reader that wrongly inherited the manifest's seq for EXISTING
     # entries would scope file A ABOVE the deletes and keep the deleted
     # rows — the explicit seq is load-bearing for the expected rows.
+    # A second entry is DELETED (status=2) and points at a file that
+    # NEVER EXISTED on disk: this repo's exporter never writes status 2,
+    # so only foreign bytes can prove the reader skips such entries —
+    # a reader that fails to would crash on the missing parquet.
     m2a = os.path.join(root, "m2a.avro")
+    ghost = os.path.join(root, "data-ghost-not-on-disk.parquet")
+    ghost_rec = (
+        _long(2)                   # status DELETED
+        + _opt(_long(1))
+        + _opt(_long(1))
+        + _long(0)
+        + _string(ghost)
+        + _string("PARQUET")
+        + _opt(_string("a"))
+        + _long(7)
+        + _long(1234)
+    )
     _ocf(
         m2a,
         spec0_schema,
         {"content": "data"},
-        _entry_rec(0, 1, 1, 0, file_a, "a", 10),
-        1,
+        _entry_rec(0, 1, 1, 0, file_a, "a", 10) + ghost_rec,
+        2,
     )
     # snapshot 2, manifest B: file B ADDED under partition SPEC 1
     m2b = os.path.join(root, "m2b.avro")
