@@ -527,19 +527,28 @@ _ICEBERG_TRANSFORM = {
 }
 
 
-def _partition_fields(partition_by: list[str], base_id: int) -> list[dict]:
+def _partition_fields(
+    partition_by: list[str], base_id: int, schema_json: str = ""
+) -> list[dict]:
     """`partition_by` transform strings → spec partition fields, parsed
     by the ENGINE's own `transforms.parse_spec` so the exported field
     names are exactly the manifest partition-dict keys
     (`Transform.name`: `ts_day`, `id_bucket`, …) and the canonical
-    `bucket(N,col)` argument order is honored. `source-name` is
-    resolved to the spec's source-id by NAME at read time via the
-    schema's name→id table (documented mapping); field-ids follow the
-    spec's 1000-based partition-field numbering in DECLARATION order —
-    the same order `manifest_entry_avro_schema`'s r102 uses, so ids
-    agree between the metadata spec and the manifests."""
+    `bucket(N,col)` argument order is honored. With `schema_json`,
+    each field carries the spec-shaped `source-id` resolved from the
+    schema's name→id table at EXPORT time (r12 ADVICE: Iceberg's Java
+    PartitionSpecParser requires source-id — a name-only spec would be
+    rejected, defeating the stated interop goal); `source-name` stays
+    beside it as engine-facing documentation (unknown keys are ignored
+    by Jackson-style parsers). Field-ids follow the spec's 1000-based
+    partition-field numbering in DECLARATION order — the same order
+    `manifest_entry_avro_schema`'s r102 uses, so ids agree between the
+    metadata spec and the manifests."""
     from .transforms import parse_spec
 
+    name_to_id = {
+        n: fid for n, (fid, _) in schema_field_index(schema_json).items()
+    }
     fields = []
     for i, spec in enumerate(partition_by):
         # No silent identity fallback (r11 ADVICE): an unparseable
@@ -558,14 +567,15 @@ def _partition_fields(partition_by: list[str], base_id: int) -> list[dict]:
             ) from exc
         transform = _ICEBERG_TRANSFORM.get(t.kind, f"{t.kind}[{t.arg}]")
         name, col = t.name, t.source
-        fields.append(
-            {
-                "name": name,
-                "transform": transform,
-                "source-name": col,  # resolved to source-id via schema
-                "field-id": 1000 + i,
-            }
-        )
+        field = {
+            "name": name,
+            "transform": transform,
+            "source-name": col,  # engine-facing documentation
+            "field-id": 1000 + i,
+        }
+        if col in name_to_id:
+            field["source-id"] = name_to_id[col]
+        fields.append(field)
     return fields
 
 
@@ -866,7 +876,9 @@ def metadata_dict(
         "partition-specs": [
             {
                 "spec-id": 0,
-                "fields": _partition_fields(partition_by, 0),
+                "fields": _partition_fields(
+                    partition_by, 0, head.schema_json or ""
+                ),
             }
         ],
         "default-sort-order-id": 0,
@@ -1074,8 +1086,12 @@ def export_iceberg_metadata(
         )
     footer_cache: dict = {}  # data files are immutable: read each once
     _, snap_schema_id = _schema_assignments(snaps)
+    head_schema_json = (
+        snaps[-1].schema_json or "" if snaps else ""
+    )
     part_spec_json = json.dumps(
-        _partition_fields(table.partition_by, 0), sort_keys=True
+        _partition_fields(table.partition_by, 0, head_schema_json),
+        sort_keys=True,
     )
     for s in snaps:
         # human-readable JSON mirror (kept for debuggability)

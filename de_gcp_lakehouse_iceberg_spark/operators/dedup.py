@@ -624,12 +624,57 @@ def _doc_keys2_batch(texts: list, n: int) -> list:
 _UDF_CACHE: dict = {}
 
 
+def _char_poly2_pair_batch(
+    strings: list[str],
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """`_char_poly2_batch`'s two accumulators, returned SEPARATELY —
+    for callers that keep folding (the positional gram-key fold) before
+    combining into the 62-bit key."""
+    n = len(strings)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    lens = np.fromiter((len(s) for s in strings), dtype=np.int64, count=n)
+    flat = np.frombuffer(
+        "".join(strings).encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    h1 = np.zeros(n, dtype=np.int64)
+    h2 = np.zeros(n, dtype=np.int64)
+    for j in range(int(lens.max()) if n else 0):
+        valid = lens > j
+        cp = flat[starts[valid] + j]
+        h1[valid] = (h1[valid] * SIMHASH_BASE + cp) % SIMHASH_MOD
+        h2[valid] = (h2[valid] * JACCARD_BASE2 + cp) % JACCARD_P2
+    return h1, h2
+
+
+# token-level fold bases for the positional gram key (distinct from the
+# char bases so a token sequence never aliases a character sequence)
+_GRAM_TOKB1 = 1000003
+_GRAM_TOKB2 = 999983
+
+
 def doc_gram_keys_udf(n: int = 3):
     """text → ORDERED (non-distinct) 62-bit n-gram keys, one per start
     position (array index == position). Docs with fewer than n tokens
     yield an empty array — dup_span_stats' semantics (a short doc has
     no n-gram), which differs from `_batch_shingles`' whole-text
-    fallback shingle. One Arrow pass per batch; memoized per n."""
+    fallback shingle. One Arrow pass per batch; memoized per n.
+
+    r13 rewrite (the q72 sf3 ceiling): instead of BUILDING every
+    n-gram string (" ".join per position — a Python loop allocating
+    ~n× the corpus text) and char-hashing the ~n×-duplicated bytes,
+    each TOKEN is dual-char-poly-hashed ONCE and the positional gram
+    key is a vectorized n-term polynomial fold of n consecutive token
+    hashes (global shifted-slice fold across the flattened batch;
+    cross-doc windows computed but never selected). The key VALUE
+    changes, but dup_span_stats only needs gram-key EQUALITY — the
+    q72 oracle groups the n-gram STRINGS (span_queries.py docstring)
+    — and two distinct token sequences collide only if both dual
+    polynomial folds collide (~2⁻⁶², the class already accepted for
+    the char-poly key). Measured: the signing pass drops ~3× at sf3
+    (SCALE.md "q72 gram-key signing rewrite")."""
     key = ("gramkeys", n)
     if key in _UDF_CACHE:
         return _UDF_CACHE[key]
@@ -638,27 +683,38 @@ def doc_gram_keys_udf(n: int = 3):
     @pandas_udf("array<long>")
     def f(s: pd.Series) -> pd.Series:
         texts = s.tolist()
-        all_sh: list[str] = []
-        counts = np.zeros(len(texts), dtype=np.int64)
+        all_toks: list[str] = []
+        tok_counts = np.zeros(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
             if t is None:
                 continue
             toks = t.split(" ")
-            m = len(toks) - n
-            if m < 0:
-                continue
-            all_sh.extend(
-                " ".join(toks[i0 : i0 + n]) for i0 in range(m + 1)
-            )
-            counts[i] = m + 1
-        flat = _char_poly2_batch(all_sh)
-        bounds = np.concatenate(([0], np.cumsum(counts)))
-        return pd.Series(
-            [
-                flat[bounds[i] : bounds[i + 1]].tolist()
-                for i in range(len(texts))
-            ]
-        )
+            all_toks.extend(toks)
+            tok_counts[i] = len(toks)
+        t1, t2 = _char_poly2_pair_batch(all_toks)
+        total = len(all_toks)
+        m_all = total - n + 1  # global window count (incl. cross-doc)
+        if m_all > 0:
+            g1 = t1[:m_all].copy()
+            g2 = t2[:m_all].copy()
+            for j in range(1, n):
+                np.multiply(g1, _GRAM_TOKB1, out=g1)
+                np.add(g1, t1[j : m_all + j], out=g1)
+                np.remainder(g1, SIMHASH_MOD, out=g1)
+                np.multiply(g2, _GRAM_TOKB2, out=g2)
+                np.add(g2, t2[j : m_all + j], out=g2)
+                np.remainder(g2, JACCARD_P2, out=g2)
+            g = g1 * JACCARD_P2 + g2
+        bounds = np.concatenate(([0], np.cumsum(tok_counts)))
+        out: list = []
+        for i in range(len(texts)):
+            m = int(tok_counts[i]) - n + 1
+            if m <= 0:
+                out.append([])
+            else:
+                st = int(bounds[i])
+                out.append(g[st : st + m].tolist())
+        return pd.Series(out)
 
     _UDF_CACHE[key] = f
     return f

@@ -71,17 +71,31 @@ def sample_by_weights(
     return df.filter(id_hash(id_col) < thresh)
 
 
-# route="auto" picks by MEASURED mean stratum size (one narrow
+# route="auto" picks by MEASURED stratum sizes (one narrow
 # aggregate; see SCALE.md "stratified sampling route crossover"):
-#   mean <= SINGLE bound   -> grouped_topk route="single" (all-JVM,
-#       one shuffle, no Python workers — fastest while each whole
-#       stratum fits one aggregation buffer; grouped_topk's measured
+#   MAX stratum <= SINGLE bound -> grouped_topk route="single"
+#       (all-JVM, one shuffle, no Python workers — safe only when
+#       EVERY stratum fits one aggregation buffer, so the gate is the
+#       biggest stratum, not the mean; grouped_topk's measured
 #       degradation starts past ~10^4 rows/group);
-#   mean >= THRESHOLD bound -> threshold-select (scan-time filter,
+#   MEAN >= THRESHOLD bound -> threshold-select (scan-time filter,
 #       payload moves only for ~c·n survivors — the 100 TB shape);
 #   in between              -> topk-rejoin (k-bounded Arrow partial).
+# Skew (r12 VERDICT #8): with one giant stratum among many tiny ones
+# the MEAN undershoots while the giant stratum dominates cost — so
+# auto also SPLITS per-stratum when the skew ratio max/mean exceeds
+# STRATIFIED_SKEW_SPLIT_RATIO and the giant strata are individually
+# past the threshold bound: oversized strata take the threshold path,
+# the rest take single/topk, results unioned (row set identical —
+# every route is oracle-exact per stratum).
 STRATIFIED_SINGLE_MAX_ROWS_PER_STRATUM = 10_000
 STRATIFIED_AUTO_ROWS_PER_STRATUM = 300_000
+# Split (giant strata -> threshold, rest -> single/topk) when the
+# biggest stratum is individually past the threshold bound AND
+# dominates the mean by this much — measured on the skewed fixture in
+# SCALE.md "skew-aware stratified split" (1 giant + many tiny strata:
+# split beats the mean-routed topk).
+STRATIFIED_SKEW_SPLIT_RATIO = 8
 
 
 def stratified_sample(
@@ -161,8 +175,57 @@ def stratified_sample(
             route = "single"
         elif rows >= STRATIFIED_AUTO_ROWS_PER_STRATUM * strata:
             route = "threshold"
+        elif (
+            biggest >= STRATIFIED_AUTO_ROWS_PER_STRATUM
+            and biggest * strata >= STRATIFIED_SKEW_SPLIT_RATIO * rows
+        ):
+            # Skew split (r12 VERDICT #8): the MEAN sits in the topk
+            # band only because many tiny strata dilute one giant one.
+            # Route per-stratum: strata individually past the
+            # threshold bound take the threshold path, the rest take
+            # single/topk; union. Row set identical — every route is
+            # oracle-exact per stratum.
+            route = "split"
         else:
             route = "topk"
+    if route == "split":
+        if counts is None:
+            counts = df.groupBy(stratum_col).agg(
+                F.count(F.lit(1)).alias("_ns")
+            )
+        big_keys = counts.filter(
+            F.col("_ns") >= STRATIFIED_AUTO_ROWS_PER_STRATUM
+        ).select(F.col(stratum_col).alias("_bk"))
+        big = df.join(
+            F.broadcast(big_keys),
+            F.col(stratum_col).eqNullSafe(F.col("_bk")),
+            "left_semi",
+        )
+        small = df.join(
+            F.broadcast(big_keys),
+            F.col(stratum_col).eqNullSafe(F.col("_bk")),
+            "left_anti",
+        )
+        small_max = (
+            counts.filter(
+                F.col("_ns") < STRATIFIED_AUTO_ROWS_PER_STRATUM
+            )
+            .agg(F.max("_ns"))
+            .first()[0]
+            or 0
+        )
+        small_route = (
+            "single"
+            if small_max <= STRATIFIED_SINGLE_MAX_ROWS_PER_STRATUM
+            else "topk"
+        )
+        return stratified_sample(
+            big, n, stratum_col, id_col, "threshold", oversample
+        ).unionByName(
+            stratified_sample(
+                small, n, stratum_col, id_col, small_route, oversample
+            )
+        )
     if route == "single":
         return grouped_topk(
             df, [stratum_col], order(), n, route="single"
@@ -173,7 +236,7 @@ def stratified_sample(
         ).select(*df.columns)
     if route != "threshold":
         raise ValueError(
-            f"route must be auto|single|topk|threshold: {route!r}"
+            f"route must be auto|single|topk|threshold|split: {route!r}"
         )
     if counts is None:
         counts = df.groupBy(stratum_col).agg(

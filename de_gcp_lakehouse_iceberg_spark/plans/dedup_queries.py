@@ -106,7 +106,28 @@ _SHINGLE_SQL = """
 )
 def q35_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    pairs = near_dup_pairs(docs, threshold=0.5)
+    # The gate drives the DEPLOYMENT entry point (near_dup_pairs with
+    # measured routing — the r12 re-pin), but the hash gate compares
+    # against an EXACT oracle, so the measured route must be 'exact'
+    # here: if the fixture's Σ df² fan-out ever drifts past
+    # JACCARD_LSH_FANOUT_RATIO the gate would silently compare
+    # banded-LSH output (recall ~1−1e-4, not 1) and fail
+    # NONDETERMINISTICALLY (r12 ADVICE). Assert the chosen route so
+    # fixture drift flips loudly instead.
+    from de_gcp_lakehouse_iceberg_spark.operators.dedup import (
+        choose_jaccard_route,
+    )
+
+    route = choose_jaccard_route(docs)
+    if route != "exact":
+        raise RuntimeError(
+            "q35 gate fixture drifted: choose_jaccard_route picked "
+            f"{route!r}, but the hash gate's oracle is exact Jaccard — "
+            "re-pin the fixture or move the gate to an LSH-tolerant "
+            "oracle (LSH≡exact equality at gate thresholds is pinned "
+            "separately by test_lsh_pairs_equal_exact_pairs)"
+        )
+    pairs = near_dup_pairs(docs, threshold=0.5, route=route)
     return pairs.select(
         "doc_a", "doc_b", _r(F.col("jaccard"), 6).alias("jaccard")
     ).orderBy("doc_a", "doc_b")

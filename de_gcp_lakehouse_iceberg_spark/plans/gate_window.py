@@ -44,11 +44,20 @@ def _qnum(name: str) -> int:
     return int(m.group(1)) if m else 10**9
 
 
-def latest_green_rounds(root: Path | None = None) -> Dict[str, int]:
+def latest_green_rounds(
+    root: Path | None = None, before_round: int | None = None
+) -> Dict[str, int]:
     """Map query name -> latest round with a fully-green driver row.
 
     Green = rows_match and schema_match true, hash_match true or absent
     (rows-only queries), and no recorded error.
+
+    ``before_round`` excludes ledgers at or after that round. The window
+    for round N must be derived from rounds < N only: the driver writes
+    ``CORRECTNESS_r{N}.json`` AFTER the builder's final commit, so
+    without the cutoff the derivation is self-referential the moment the
+    in-flight round's file lands (r12 verdict, "What's wrong" #1 — the
+    pinned window would be right but the equality test wrong-by-time).
     """
     root = root or repo_root()
     latest: Dict[str, int] = {}
@@ -57,6 +66,8 @@ def latest_green_rounds(root: Path | None = None) -> Dict[str, int]:
         if not m:
             continue
         rnd = int(m.group(1))
+        if before_round is not None and rnd >= before_round:
+            continue
         try:
             rows = json.loads(f.read_text())
         except (OSError, json.JSONDecodeError):

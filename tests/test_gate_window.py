@@ -41,11 +41,42 @@ def test_gate_window_is_derived_from_correctness_ledger():
     assert _GATE_PRIORITY == _derived_gate_window()
 
 
+def test_derivation_ignores_the_in_flight_rounds_ledger(tmp_path):
+    """The round-N window derives from rounds < N ONLY (r12 verdict,
+    "What's wrong" #1): the driver writes CORRECTNESS_r{N}.json after the
+    builder's final commit, so a derivation that reads it would disagree
+    with the pinned window the moment the file lands. Synthesize an
+    in-flight file and assert the cutoff excludes it."""
+    import json
+
+    (tmp_path / "CORRECTNESS_r11.json").write_text(json.dumps({
+        "q01_x": {"rows_match": True, "schema_match": True,
+                  "hash_match": True, "err": None},
+    }))
+    (tmp_path / "CORRECTNESS_r12.json").write_text(json.dumps({
+        "q01_x": {"rows_match": True, "schema_match": True,
+                  "hash_match": True, "err": None},
+        "q02_y": {"rows_match": True, "schema_match": True,
+                  "hash_match": True, "err": None},
+    }))
+    full = latest_green_rounds(root=tmp_path)
+    assert full == {"q01_x": 12, "q02_y": 12}
+    cut = latest_green_rounds(root=tmp_path, before_round=12)
+    assert cut == {"q01_x": 11}
+    # and the real derivation is pinned at the cutoff, so the static
+    # window stays equal to the derived one even after the driver writes
+    # CORRECTNESS_r{_CURRENT_ROUND}.json into the repo root
+    assert all(
+        r < _CURRENT_ROUND
+        for r in latest_green_rounds(before_round=_CURRENT_ROUND).values()
+    )
+
+
 def test_no_registered_query_ages_past_two_rounds():
     """Every query whose latest green row would exceed MAX_AGE rounds of
     age after this round MUST be inside the gate window; queries with no
     green row at all (new this round) must be in the window too."""
-    latest = latest_green_rounds()
+    latest = latest_green_rounds(before_round=_CURRENT_ROUND)
     window = set(_GATE_PRIORITY)
     stale_cut = _CURRENT_ROUND - MAX_AGE - 1
     violations = [

@@ -270,3 +270,35 @@ def test_position_delete_parquet_embeds_reserved_field_ids(spark, tmp_path):
     fid = lambda f: (f.metadata or {}).get(b"PARQUET:field_id")  # noqa: E731
     assert fid(sch.field("file_path")) == b"2147483546"
     assert fid(sch.field("pos")) == b"2147483545"
+
+
+def test_partition_spec_fields_carry_source_id_from_schema():
+    """r12 ADVICE: Iceberg's Java PartitionSpecParser REQUIRES
+    source-id — a name-only spec would be rejected by a real reader.
+    The exporter must resolve source-name -> the schema's field id at
+    export time and emit spec-shaped fields."""
+    from de_gcp_lakehouse_iceberg_spark.lakehouse.iceberg_export import (
+        _partition_fields,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    ).json()
+    fields = _partition_fields(["days(ts)", "bucket(16,id)"], 0, schema)
+    by_name = {f["name"]: f for f in fields}
+    # fresh-ids assignment: id=1, ts=2, v=3
+    assert by_name["ts_day"]["source-id"] == 2
+    assert by_name["id_bucket"]["source-id"] == 1
+    assert by_name["ts_day"]["transform"] == "day"
+    assert by_name["id_bucket"]["field-id"] == 1001
+    # spec-shaped: every key a Java parser reads is present
+    assert {"name", "transform", "source-id", "field-id"} <= set(
+        by_name["ts_day"]
+    )
+    # without a schema the spec stays name-documented only (no fake id)
+    bare = _partition_fields(["days(ts)"], 0)
+    assert "source-id" not in bare[0]

@@ -282,3 +282,51 @@ def test_stratified_sample_auto_routes_all_sides(spark, monkeypatch):
     high = sampling.stratified_sample(df, 7, route="auto")
     assert "Union" in plan(high)
     assert sorted(map(tuple, high.collect())) == want
+
+
+def test_stratified_sample_skew_split_route(spark, monkeypatch):
+    """r12 VERDICT #8: one giant stratum among many tiny ones puts the
+    MEAN in the topk band while the giant stratum dominates cost.
+    route="auto" must detect the skew and SPLIT — the giant stratum
+    takes the threshold path, the rest single/topk — with the row set
+    identical to every other route."""
+    from de_gcp_lakehouse_iceberg_spark.operators import sampling
+
+    giant = spark.range(1200).select(
+        F.col("id").alias("doc_id"), F.lit("giant").alias("source")
+    )
+    tiny = spark.range(300).select(
+        (F.col("id") + 10_000).alias("doc_id"),
+        F.concat(F.lit("t"), (F.col("id") % 30).cast("string")).alias(
+            "source"
+        ),
+    )
+    df = giant.unionByName(tiny)
+    want = sorted(
+        tuple(r)
+        for r in sampling.stratified_sample(df, 5, route="topk").collect()
+    )
+    assert len(want) == 5 + 30 * 5
+
+    # shrink the bounds so the fixture is skewed AT TEST SCALE:
+    # biggest=1200 >= threshold bound 1000; mean = 1500/31 ~ 48 (topk
+    # band); skew ratio biggest/mean ~ 24.8 >= 8 -> split
+    monkeypatch.setattr(
+        sampling, "STRATIFIED_SINGLE_MAX_ROWS_PER_STRATUM", 100
+    )
+    monkeypatch.setattr(sampling, "STRATIFIED_AUTO_ROWS_PER_STRATUM", 1000)
+    out = sampling.stratified_sample(df, 5, route="auto")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan  # the threshold side's shortfall union
+    assert sorted(map(tuple, out.collect())) == want
+
+    # explicit route="split" is accepted and identical
+    out2 = sampling.stratified_sample(df, 5, route="split")
+    assert sorted(map(tuple, out2.collect())) == want
+
+    # tiny strata above the single bound push the small side to topk
+    monkeypatch.setattr(
+        sampling, "STRATIFIED_SINGLE_MAX_ROWS_PER_STRATUM", 5
+    )
+    out3 = sampling.stratified_sample(df, 5, route="split")
+    assert sorted(map(tuple, out3.collect())) == want
