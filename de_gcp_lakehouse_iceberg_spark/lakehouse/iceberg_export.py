@@ -318,13 +318,21 @@ def _idmap(
     }
 
 
-def manifest_entry_avro_schema(partition_names: list[str]) -> dict:
+def manifest_entry_avro_schema(
+    partition_names: list[str],
+    partition_field_ids: list[int] | None = None,
+) -> dict:
     """The spec's `manifest_entry` (wrapping `data_file`) Avro schema.
     The partition struct `r102` is built per-table from the partition
     field names (values are this engine's string representation, so
     each field is an optional string with spec partition-field ids
-    1000+i). Optional stat maps this engine does not track are
+    1000+i — or the EXPLICIT `partition_field_ids` when the table has
+    evolved specs, so a field keeps its table-wide id across
+    manifests). Optional stat maps this engine does not track are
     omitted from the schema (spec-legal)."""
+    fids = partition_field_ids or [
+        1000 + i for i in range(len(partition_names))
+    ]
     r102 = {
         "type": "record",
         "name": "r102",
@@ -332,7 +340,7 @@ def manifest_entry_avro_schema(partition_names: list[str]) -> dict:
             {
                 "name": _safe_avro_name(n),
                 "type": ["null", "string"],
-                "field-id": 1000 + i,
+                "field-id": fids[i],
                 "default": None,
             }
             for i, n in enumerate(partition_names)
@@ -528,7 +536,10 @@ _ICEBERG_TRANSFORM = {
 
 
 def _partition_fields(
-    partition_by: list[str], base_id: int, schema_json: str = ""
+    partition_by: list[str],
+    base_id: int,
+    schema_json: str = "",
+    field_ids: dict[str, int] | None = None,
 ) -> list[dict]:
     """`partition_by` transform strings → spec partition fields, parsed
     by the ENGINE's own `transforms.parse_spec` so the exported field
@@ -543,7 +554,11 @@ def _partition_fields(
     by Jackson-style parsers). Field-ids follow the spec's 1000-based
     partition-field numbering in DECLARATION order — the same order
     `manifest_entry_avro_schema`'s r102 uses, so ids agree between the
-    metadata spec and the manifests."""
+    metadata spec and the manifests. After partition-spec EVOLUTION
+    the id space is shared across specs (Iceberg v2: a partition field
+    keeps its id for the table's life) — pass `field_ids` (the
+    table-wide name→id map from `_global_partition_field_ids`) and
+    each field uses its first-appearance id instead of 1000+position."""
     from .transforms import parse_spec
 
     name_to_id = {
@@ -571,12 +586,83 @@ def _partition_fields(
             "name": name,
             "transform": transform,
             "source-name": col,  # engine-facing documentation
-            "field-id": 1000 + i,
+            "field-id": (
+                field_ids[name] if field_ids is not None else 1000 + i
+            ),
         }
         if col in name_to_id:
             field["source-id"] = name_to_id[col]
         fields.append(field)
     return fields
+
+
+def table_spec_history(table: LakeTable) -> list[dict]:
+    """Ordered partition-spec history for a table: every superseded
+    spec from `_properties.json`'s `partition_spec_history` (written by
+    evolution.set_partition_spec, each with the last version it
+    applied to), then the CURRENT spec with `until_version: None`.
+    Index in this list == Iceberg spec-id."""
+    import json as _json
+
+    props_path = os.path.join(table.root, "_properties.json")
+    try:
+        with open(props_path) as f:
+            props = _json.load(f)
+    except FileNotFoundError:
+        props = {}
+    hist = [
+        {"spec": list(h["spec"]), "until_version": h["until_version"]}
+        for h in props.get("partition_spec_history", [])
+    ]
+    hist.append({"spec": list(table.partition_by), "until_version": None})
+    return hist
+
+
+def _spec_at(history: list[dict], version: int) -> tuple[int, list[str]]:
+    """(spec-id, spec transform strings) in force at a snapshot
+    version: the first history entry whose `until_version` covers it,
+    else the current (last) spec."""
+    for i, h in enumerate(history):
+        u = h["until_version"]
+        if u is not None and version <= u:
+            return i, h["spec"]
+    return len(history) - 1, history[-1]["spec"]
+
+
+def _global_partition_field_ids(history: list[dict]) -> dict[str, int]:
+    """Table-wide partition-field name → field-id, first-appearance
+    order across the spec history starting at 1000 — Iceberg v2's
+    shared partition-field id space (a field evolved INTO a later spec
+    keeps the id of its first appearance; a field dropped and re-added
+    under the same name keeps its original id, which is also what the
+    manifest partition-dict keying by NAME requires)."""
+    from .transforms import parse_spec
+
+    ids: dict[str, int] = {}
+    for h in history:
+        for spec in h["spec"]:
+            name = parse_spec(spec).name
+            if name not in ids:
+                ids[name] = 1000 + len(ids)
+    return ids
+
+
+def _ids_for_names(
+    part_names: list[str], global_ids: dict[str, int]
+) -> list[int]:
+    """Field-ids for one manifest's r102 partition struct: the global
+    assignment for names any spec declared; deterministic follow-on
+    ids (max+1 in list order) for stray keys found only on files —
+    an engine-recovery case, not a spec state."""
+    next_id = 1000 + len(global_ids)
+    out = []
+    for n in part_names:
+        if n in global_ids:
+            out.append(global_ids[n])
+        else:
+            out.append(next_id)
+            next_id += 1
+    return out
 
 
 def snapshot_records(
@@ -852,12 +938,20 @@ def metadata_dict(
     partition_by: list[str],
     location: str,
     table_uuid: str,
+    spec_history: list[dict] | None = None,
 ) -> dict:
     """Pure construction of the v2 table-metadata document (no I/O) —
     deterministic given its inputs, which is what the golden-fixture
-    test pins."""
+    test pins. `spec_history` (table_spec_history output) makes the
+    document carry EVERY spec the table has lived under with the
+    shared field-id space and `default-spec-id` naming the current
+    one; without it the single current spec is spec 0."""
     head = snapshots[-1]
     schemas, snap_schema_id = _schema_assignments(snapshots)
+    history = spec_history or [
+        {"spec": list(partition_by), "until_version": None}
+    ]
+    global_ids = _global_partition_field_ids(history)
     return {
         "format-version": FORMAT_VERSION,
         "table-uuid": table_uuid,
@@ -872,15 +966,22 @@ def metadata_dict(
         ),
         "current-schema-id": snap_schema_id[head.version],
         "schemas": schemas,
-        "default-spec-id": 0,
+        "default-spec-id": len(history) - 1,
         "partition-specs": [
             {
-                "spec-id": 0,
+                "spec-id": i,
                 "fields": _partition_fields(
-                    partition_by, 0, head.schema_json or ""
+                    h["spec"],
+                    0,
+                    head.schema_json or "",
+                    field_ids=global_ids,
                 ),
             }
+            for i, h in enumerate(history)
         ],
+        # v2-required: highest assigned partition field id (999 when
+        # the table never had one — the spec's pre-1000 sentinel)
+        "last-partition-id": 999 + len(global_ids),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {"write.format.default": "parquet"},
@@ -1089,10 +1190,20 @@ def export_iceberg_metadata(
     head_schema_json = (
         snaps[-1].schema_json or "" if snaps else ""
     )
-    part_spec_json = json.dumps(
-        _partition_fields(table.partition_by, 0, head_schema_json),
-        sort_keys=True,
-    )
+    history = table_spec_history(table)
+    global_pids = _global_partition_field_ids(history)
+
+    def _spec_json_for(version: int) -> tuple[str, int]:
+        spec_id, spec = _spec_at(history, version)
+        return (
+            json.dumps(
+                _partition_fields(
+                    spec, 0, head_schema_json, field_ids=global_pids
+                ),
+                sort_keys=True,
+            ),
+            spec_id,
+        )
     for s in snaps:
         # human-readable JSON mirror (kept for debuggability)
         mf, entries = snapshot_records(s, table.root)
@@ -1101,9 +1212,15 @@ def export_iceberg_metadata(
             json.dump(entries, f, indent=1, sort_keys=True)
         mf["manifest_length"] = os.path.getsize(mpath)
         json_list = [mf]
-        # spec Avro manifest + manifest list
-        part_names = partition_field_names(s, table.partition_by)
-        entry_schema = manifest_entry_avro_schema(part_names)
+        # spec Avro manifest + manifest list — partition fields and
+        # the manifest's spec stamp come from the spec IN FORCE at this
+        # snapshot (r12 VERDICT #7: multi-spec metadata end-to-end)
+        part_spec_json, spec_id = _spec_json_for(s.version)
+        _, spec_strs = _spec_at(history, s.version)
+        part_names = partition_field_names(s, spec_strs)
+        entry_schema = manifest_entry_avro_schema(
+            part_names, _ids_for_names(part_names, global_pids)
+        )
         ice_schema_json = (
             json.dumps(iceberg_schema(s.schema_json), sort_keys=True)
             if s.schema_json
@@ -1121,13 +1238,14 @@ def export_iceberg_metadata(
                 "format-version": "2",
                 "content": "data",
                 "partition-spec": part_spec_json,
-                "partition-spec-id": "0",
+                "partition-spec-id": str(spec_id),
                 "schema": ice_schema_json,
                 "schema-id": str(snap_schema_id[s.version]),
             },
             codec=codec,
         )
         records = [_manifest_file_record(s, apath, alen, part_names)]
+        records[0]["partition_spec_id"] = spec_id
         if s is head_snap and delete_entries:
             dpath = os.path.join(
                 out_dir, f"snap-{s.version}.deletes.manifest.avro"
@@ -1140,7 +1258,7 @@ def export_iceberg_metadata(
                     "format-version": "2",
                     "content": "deletes",
                     "partition-spec": part_spec_json,
-                    "partition-spec-id": "0",
+                    "partition-spec-id": str(spec_id),
                     "schema": ice_schema_json,
                     "schema-id": str(snap_schema_id[s.version]),
                 },
@@ -1150,7 +1268,7 @@ def export_iceberg_metadata(
             del_mf = {
                 "manifest_path": dpath,
                 "manifest_length": dlen,
-                "partition_spec_id": 0,
+                "partition_spec_id": spec_id,
                 "content": 1,  # DELETES
                 "sequence_number": s.version,
                 "min_sequence_number": min(dseqs),
@@ -1188,6 +1306,7 @@ def export_iceberg_metadata(
         table.partition_by,
         table.root,
         str(_uuid.uuid5(_uuid.NAMESPACE_URL, table.root)),
+        spec_history=history,
     )
     mpath = os.path.join(out_dir, f"v{head}.metadata.json")
     with open(mpath, "w") as f:

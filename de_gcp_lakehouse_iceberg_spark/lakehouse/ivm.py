@@ -65,6 +65,14 @@ from . import dml
 from .table import LakeTable
 
 _CONFIG = "ivm.json"
+
+# Explicit broadcast gate for the JoinRollup delta joins (r12 VERDICT
+# #4) — the same policy as the Iceberg reader's delete-set broadcast
+# (iceberg_reader.py): broadcast only when the table's own metadata
+# says the side is small. 64 MiB of parquet comfortably under-shoots
+# executor memory after decode (~3-5x expansion) while covering any
+# real dimension table.
+IVM_BROADCAST_MAX_BYTES = 64 << 20
 _DEC = "decimal(28,6)"
 _GB = "_gb"  # hidden group-hash bucket column (layout only)
 
@@ -620,6 +628,12 @@ class JoinRollup(IncrementalRollup):
         return rollup
 
     # -- source hooks --------------------------------------------------
+    @staticmethod
+    def _snapshot_bytes(tbl: LakeTable, version: int) -> int:
+        """Data bytes of one snapshot, from table METADATA only (no
+        file reads) — the broadcast gate's input."""
+        return tbl.snapshot(version).total_bytes
+
     def _source_cursor(self):
         fact = LakeTable.load(self.spark, self.base_root)
         dim = LakeTable.load(self.spark, self.dim_root)
@@ -651,12 +665,31 @@ class JoinRollup(IncrementalRollup):
         terms = []
         if cur["fact"] != last["fact"]:
             # ΔF ⋈ D@cur_d — keeps ΔF's _change_type (the cross term
-            # ΔF⋈ΔD is included because the dim is at its NEW version)
+            # ΔF⋈ΔD is included because the dim is at its NEW version).
+            # The dim side broadcasts only under the EXPLICIT metadata
+            # size gate below (r12 VERDICT #4: the "broadcast when the
+            # dim is dimension-sized" claim is now a tested condition,
+            # not an AQE hope) — an oversized dim falls back to a
+            # shuffle join that AQE may still convert at runtime.
             df_ = dml.changelog(fact, last["fact"], cur["fact"])
-            terms.append(self._joined(df_, dim.scan(version=cur["dim"])))
+            dscan = dim.scan(version=cur["dim"])
+            if self._snapshot_bytes(dim, cur["dim"]) <= \
+                    IVM_BROADCAST_MAX_BYTES:
+                dscan = F.broadcast(dscan)
+            terms.append(self._joined(df_, dscan))
         if cur["dim"] != last["dim"]:
-            # F@last_f ⋈ ΔD — keeps ΔD's _change_type
+            # F@last_f ⋈ ΔD — keeps ΔD's _change_type. ΔD's rows come
+            # from the dim's commits in (last_d, cur_d]; its bytes are
+            # bounded by the files those commits touch, itself bounded
+            # by the dim's size at either end of the range — gate the
+            # broadcast on that bound.
             dd = dml.changelog(dim, last["dim"], cur["dim"])
+            dd_bound = max(
+                self._snapshot_bytes(dim, last["dim"]),
+                self._snapshot_bytes(dim, cur["dim"]),
+            )
+            if dd_bound <= IVM_BROADCAST_MAX_BYTES:
+                dd = F.broadcast(dd)
             terms.append(
                 self._joined(fact.scan(version=last["fact"]), dd)
             )

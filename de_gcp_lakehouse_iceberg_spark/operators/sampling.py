@@ -82,12 +82,18 @@ def sample_by_weights(
 #       payload moves only for ~c·n survivors — the 100 TB shape);
 #   in between              -> topk-rejoin (k-bounded Arrow partial).
 # Skew (r12 VERDICT #8): with one giant stratum among many tiny ones
-# the MEAN undershoots while the giant stratum dominates cost — so
-# auto also SPLITS per-stratum when the skew ratio max/mean exceeds
-# STRATIFIED_SKEW_SPLIT_RATIO and the giant strata are individually
-# past the threshold bound: oversized strata take the threshold path,
-# the rest take single/topk, results unioned (row set identical —
-# every route is oracle-exact per stratum).
+# the MEAN undershoots while the giant stratum dominates cost. When
+# the skew ratio max/mean exceeds STRATIFIED_SKEW_SPLIT_RATIO and the
+# giant stratum is individually past the threshold bound, auto routes
+# the WHOLE input down the threshold path: the per-stratum cut already
+# adapts (giant strata filter to ~c·n survivors, small strata keep
+# everything and the bounded top-n finishes them), so no split is
+# needed. A per-stratum SPLIT route (giant→threshold, rest→topk,
+# union) exists (route="split", equality-tested) but MEASURED SLOWER —
+# its two extra corpus-wide semi/anti joins and second count pass cost
+# more than they save (skewed fixture, 3.2M rows, skew 188×:
+# threshold 3.06 s, topk 3.32 s, split 5.82 s min-of-3 interleaved;
+# SCALE.md "skew-aware stratified routing").
 STRATIFIED_SINGLE_MAX_ROWS_PER_STRATUM = 10_000
 STRATIFIED_AUTO_ROWS_PER_STRATUM = 300_000
 # Split (giant strata -> threshold, rest -> single/topk) when the
@@ -179,13 +185,12 @@ def stratified_sample(
             biggest >= STRATIFIED_AUTO_ROWS_PER_STRATUM
             and biggest * strata >= STRATIFIED_SKEW_SPLIT_RATIO * rows
         ):
-            # Skew split (r12 VERDICT #8): the MEAN sits in the topk
-            # band only because many tiny strata dilute one giant one.
-            # Route per-stratum: strata individually past the
-            # threshold bound take the threshold path, the rest take
-            # single/topk; union. Row set identical — every route is
-            # oracle-exact per stratum.
-            route = "split"
+            # Skew (r12 VERDICT #8): the MEAN sits in the topk band
+            # only because many tiny strata dilute one giant one.
+            # Measured answer: the plain threshold route (its cut is
+            # per-stratum already) — NOT the split route, which loses
+            # to both alternatives (see module comment).
+            route = "threshold"
         else:
             route = "topk"
     if route == "split":

@@ -90,6 +90,15 @@ def q117_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # manifests with two schemas; pre-evolution files read o_channel
     # as NULL through the spec reader, the late append carries values
     evolution.add_column(t, "o_channel", "string")
+    # Partition-spec evolution mid-lifecycle (r12 VERDICT #7): the
+    # table starts unpartitioned and switches to a bucket spec before
+    # the late append, so the export emits MULTI-SPEC metadata
+    # (partition-specs [spec0, spec1], default-spec-id 1, per-manifest
+    # partition-spec-id = the spec in force at that snapshot) and the
+    # reader consumes manifests whose r102 partition structs differ —
+    # all under the same hash gate (metadata-only evolution must not
+    # change a single value).
+    evolution.set_partition_spec(t, ["bucket(4, o_orderkey)"])
     t.append(
         orders.filter(F.expr(_LATE)).withColumn(
             "o_channel", F.lit("backfill")

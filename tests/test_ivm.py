@@ -643,3 +643,40 @@ def test_join_rollup_noop_and_reload(spark, tmp_path):
     assert re.refresh()["mode"] == "delta"
     _assert_join_matches(re, fact, dim)
     assert re.refresh()["mode"] == "noop"
+
+
+def test_join_rollup_broadcast_is_size_gated(spark, tmp_path, monkeypatch):
+    """r12 VERDICT #4: ivm.py's "ΔF⋈D is a broadcast when the dim is
+    dimension-sized" must be an EXPLICIT, tested metadata gate (the
+    reader's delete-broadcast policy), not an AQE hope. Small dim →
+    the delta-join plan carries the broadcast; gate forced to 0 →
+    no explicit hint."""
+    from de_gcp_lakehouse_iceberg_spark.lakehouse import ivm
+
+    fact, dim = _join_tables(spark, tmp_path)
+    ru = JoinRollup.create_join(
+        spark, str(tmp_path / "ru"), fact, dim, ["k"], ["seg"], ["v"]
+    )
+    dml.delete(fact, "fk % 7 = 3")
+    dml.update(dim, {"seg": "'RECODED'"}, "k % 3 = 1")
+
+    def delta_plan():
+        handle, last, cur = ru._source_cursor()
+        ch = ru._change_rows(handle, last, cur)
+        return ch._jdf.queryExecution().optimizedPlan().toString()
+
+    # the 23-row dim is far under the 64 MiB gate: both delta terms
+    # must carry an explicit broadcast hint in the logical plan
+    assert ivm.IVM_BROADCAST_MAX_BYTES == 64 << 20
+    plan_small = delta_plan()
+    assert plan_small.count("strategy=broadcast") == 2, plan_small
+
+    # gate forced shut: no explicit hint anywhere
+    monkeypatch.setattr(ivm, "IVM_BROADCAST_MAX_BYTES", 0)
+    plan_big = delta_plan()
+    assert "strategy=broadcast" not in plan_big, plan_big
+
+    # and the refresh itself stays correct under both gates
+    res = ru.refresh()
+    assert res["mode"] == "delta"
+    _assert_join_matches(ru, fact, dim)

@@ -287,9 +287,10 @@ def test_stratified_sample_auto_routes_all_sides(spark, monkeypatch):
 def test_stratified_sample_skew_split_route(spark, monkeypatch):
     """r12 VERDICT #8: one giant stratum among many tiny ones puts the
     MEAN in the topk band while the giant stratum dominates cost.
-    route="auto" must detect the skew and SPLIT — the giant stratum
-    takes the threshold path, the rest single/topk — with the row set
-    identical to every other route."""
+    route="auto" must detect the skew and take the THRESHOLD path (the
+    measured winner — the per-stratum cut adapts; the split route is
+    implemented and equality-tested below but measured slower), with
+    the row set identical to every other route."""
     from de_gcp_lakehouse_iceberg_spark.operators import sampling
 
     giant = spark.range(1200).select(
@@ -310,7 +311,7 @@ def test_stratified_sample_skew_split_route(spark, monkeypatch):
 
     # shrink the bounds so the fixture is skewed AT TEST SCALE:
     # biggest=1200 >= threshold bound 1000; mean = 1500/31 ~ 48 (topk
-    # band); skew ratio biggest/mean ~ 24.8 >= 8 -> split
+    # band); skew ratio biggest/mean ~ 24.8 >= 8 -> threshold
     monkeypatch.setattr(
         sampling, "STRATIFIED_SINGLE_MAX_ROWS_PER_STRATUM", 100
     )
