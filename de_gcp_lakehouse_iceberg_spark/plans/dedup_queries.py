@@ -108,24 +108,30 @@ def q35_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # The gate drives the DEPLOYMENT entry point (near_dup_pairs with
     # measured routing — the r12 re-pin), but the hash gate compares
-    # against an EXACT oracle, so the measured route must be 'exact'
-    # here: if the fixture's Σ df² fan-out ever drifts past
-    # JACCARD_LSH_FANOUT_RATIO the gate would silently compare
+    # against an EXACT oracle, so AT GATE SCALE the measured route
+    # must be 'exact': if a gate fixture's Σ df² fan-out ever drifts
+    # past JACCARD_LSH_FANOUT_RATIO the gate would silently compare
     # banded-LSH output (recall ~1−1e-4, not 1) and fail
-    # NONDETERMINISTICALLY (r12 ADVICE). Assert the chosen route so
-    # fixture drift flips loudly instead.
+    # NONDETERMINISTICALLY (r12 ADVICE). The assert is BOUND to gate
+    # scale (the driver gate runs at sf0.01, pytest parity at
+    # sf0.001/0.01 — ≤500 docs; _GATE_SCALE_MAX_DOCS leaves 20×
+    # headroom): at bench scales (sf1's 50k docs flip the measured
+    # route to LSH by design) the routed shape runs un-asserted, as a
+    # perf measurement with no oracle comparison attached.
     from de_gcp_lakehouse_iceberg_spark.operators.dedup import (
         choose_jaccard_route,
     )
 
+    _GATE_SCALE_MAX_DOCS = 10_000
     route = choose_jaccard_route(docs)
-    if route != "exact":
+    if route != "exact" and docs.count() <= _GATE_SCALE_MAX_DOCS:
         raise RuntimeError(
             "q35 gate fixture drifted: choose_jaccard_route picked "
-            f"{route!r}, but the hash gate's oracle is exact Jaccard — "
-            "re-pin the fixture or move the gate to an LSH-tolerant "
-            "oracle (LSH≡exact equality at gate thresholds is pinned "
-            "separately by test_lsh_pairs_equal_exact_pairs)"
+            f"{route!r} at gate scale, but the hash gate's oracle is "
+            "exact Jaccard — re-pin the fixture or move the gate to an "
+            "LSH-tolerant oracle (LSH≡exact equality at gate "
+            "thresholds is pinned separately by "
+            "test_lsh_pairs_equal_exact_pairs)"
         )
     pairs = near_dup_pairs(docs, threshold=0.5, route=route)
     return pairs.select(
