@@ -607,17 +607,141 @@ def _batch_shingles(texts: list, n: int) -> tuple[list[str], "np.ndarray"]:
     return all_sh, counts
 
 
+def _char_poly_fams(
+    strings: list[str], fams: tuple
+) -> list["np.ndarray"]:
+    """Char-poly hashes of a batch for SEVERAL (base, mod) families in
+    one flat-codepoint pass (the `_char_poly_batch` masked fold,
+    generalized — one UTF-32 encode shared by all families)."""
+    n = len(strings)
+    outs = [np.zeros(n, dtype=np.int64) for _ in fams]
+    if n == 0:
+        return outs
+    lens = np.fromiter((len(s) for s in strings), dtype=np.int64, count=n)
+    flat = np.frombuffer(
+        "".join(strings).encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    for j in range(int(lens.max())):
+        valid = lens > j
+        cp = flat[starts[valid] + j]
+        for out, (base, mod) in zip(outs, fams):
+            out[valid] = (out[valid] * base + cp) % mod
+    return outs
+
+
+_SPACE_CP = 32  # ord(' ') — the shingle separator's codepoint
+
+_FAMS1 = ((SIMHASH_BASE, SIMHASH_MOD),)
+_FAMS2 = ((SIMHASH_BASE, SIMHASH_MOD), (JACCARD_BASE2, JACCARD_P2))
+
+
+def _window_keys_batch(texts: list, n: int, fams: tuple) -> list:
+    """Per-doc n-token-window shingle keys WITHOUT building the shingle
+    strings (r13: the q88/q90/q37 signing ceiling — `_batch_shingles`'
+    per-position `" ".join` allocated ~n× the corpus text in Python and
+    char-hashed the duplicated bytes).
+
+    EXACT modular composition replaces string construction: for the
+    char-poly fold h(s) = fold((acc·B + cp) % P) over s's codepoints,
+    h(a + " " + b) == ((h(a)·B + 32) % P · B^len(b) + h(b)) % P — so
+    each token is hashed ONCE and every window key is a vectorized
+    (n−1)-step fold of consecutive token hashes with precomputed
+    B^len(token) % P shift tables. Unlike `doc_gram_keys_udf`'s r13
+    token-fold (which changed key VALUES — fine for span stats), these
+    keys are BIT-IDENTICAL to hashing the built shingle string, so
+    every portable-hash oracle (q35-q37, q44, q46, q88, q90) replays
+    them unchanged. Intermediates stay < 2^62 (g < P ≤ 2^31, shift
+    < 2^31), int64-exact like the Column form.
+
+    Per-doc semantics mirror `_batch_shingles` minus its string-level
+    dedup (callers np.unique the keys — the same set): docs with ≥ n
+    tokens yield one key per window in position order; docs with
+    1..n−1 tokens yield the whole-text fallback shingle's key; None
+    yields empty. Cross-doc windows are computed by the global fold
+    but never selected (the q72 rewrite's pattern)."""
+    ndocs = len(texts)
+    all_toks: list[str] = []
+    tok_counts = np.zeros(ndocs, dtype=np.int64)
+    is_none = np.zeros(ndocs, dtype=bool)
+    for i, t in enumerate(texts):
+        if t is None:
+            is_none[i] = True
+            continue
+        toks = t.split(" ")
+        all_toks.extend(toks)
+        tok_counts[i] = len(toks)
+    total = len(all_toks)
+    hs = _char_poly_fams(all_toks, fams)
+    lens = np.fromiter((len(s) for s in all_toks), dtype=np.int64, count=total)
+    maxlen = int(lens.max()) if total else 0
+    pws = []
+    for base, mod in fams:
+        table = np.empty(maxlen + 1, dtype=np.int64)
+        v = 1
+        for ln in range(maxlen + 1):
+            table[ln] = v
+            v = (v * base) % mod
+        pws.append(table[lens])
+    m_all = total - n + 1  # global window count (incl. cross-doc)
+    gs = []
+    for h, pw, (base, mod) in zip(hs, pws, fams):
+        if m_all <= 0:
+            gs.append(np.zeros(0, dtype=np.int64))
+            continue
+        g = h[:m_all].copy()
+        for j in range(1, n):
+            # append separator then token j: both products < 2^62
+            np.multiply(g, base, out=g)
+            np.add(g, _SPACE_CP, out=g)
+            np.remainder(g, mod, out=g)
+            np.multiply(g, pw[j : m_all + j], out=g)
+            np.add(g, h[j : m_all + j], out=g)
+            np.remainder(g, mod, out=g)
+        gs.append(g)
+    starts_tok = np.concatenate(([0], np.cumsum(tok_counts)))
+    short_idx = np.nonzero((~is_none) & (tok_counts < n))[0]
+    sks = []
+    for h, pw, (base, mod) in zip(hs, pws, fams):
+        if len(short_idx) == 0:
+            sks.append(np.zeros(0, dtype=np.int64))
+            continue
+        st = starts_tok[short_idx]
+        m = tok_counts[short_idx]
+        k = h[st].copy()
+        for j in range(1, int(m.max())):
+            sel = m > j
+            kk = (k[sel] * base + _SPACE_CP) % mod
+            k[sel] = (kk * pw[st[sel] + j] + h[st[sel] + j]) % mod
+        sks.append(k)
+    if len(fams) == 1:
+        gkey, skey = gs[0], sks[0]
+    else:  # combined 62-bit key — same packing as _char_poly2_batch
+        gkey = gs[0] * fams[1][1] + gs[1]
+        skey = sks[0] * fams[1][1] + sks[1]
+    spos = {int(d): i for i, d in enumerate(short_idx)}
+    out: list = []
+    for i in range(ndocs):
+        if is_none[i]:
+            out.append(np.empty(0, np.int64))
+            continue
+        m = int(tok_counts[i])
+        if m >= n:
+            st = int(starts_tok[i])
+            out.append(gkey[st : st + m - n + 1])
+        else:
+            out.append(skey[spos[i] : spos[i] + 1])
+    return out
+
+
 def _doc_keys2_batch(texts: list, n: int) -> list:
     """Per-doc distinct 62-bit shingle keys (sorted) in one batch —
-    the exact-Jaccard fast path's whole per-doc state."""
-    all_sh, counts = _batch_shingles(texts, n)
-    flat = _char_poly2_batch(all_sh)
-    bounds = np.concatenate(([0], np.cumsum(counts)))
+    the exact-Jaccard fast path's whole per-doc state. Keys via the
+    string-free window fold (`_window_keys_batch`) — bit-identical to
+    char-hashing the built shingle strings."""
     return [
-        np.unique(flat[bounds[i] : bounds[i + 1]])
-        if counts[i]
-        else np.empty(0, np.int64)
-        for i in range(len(texts))
+        np.unique(k) if len(k) else np.empty(0, np.int64)
+        for k in _window_keys_batch(texts, n, _FAMS2)
     ]
 
 
@@ -752,14 +876,21 @@ def _doc_keys_sig_batch(
     what keeps the DuckDB oracle reproducing this pipeline. The
     signature fold is ONE (flat_keys × num_hashes) int64 matmul-shaped
     pass + np.minimum.reduceat per batch — no per-doc Python loops in
-    the hash math."""
-    all_sh, counts = _batch_shingles(texts, n)
-    flat = _char_poly_batch(all_sh)
+    the hash math. r13: keys come from the string-free window fold
+    (`_window_keys_batch` — bit-identical values, ~2-3× less signing
+    work), deduped per doc BEFORE the MinHash pass (duplicates never
+    affect a min)."""
+    keys_out = [
+        np.unique(k) if len(k) else np.empty(0, np.int64)
+        for k in _window_keys_batch(texts, n, _FAMS1)
+    ]
+    counts = np.fromiter(
+        (len(k) for k in keys_out), dtype=np.int64, count=len(keys_out)
+    )
+    flat = (
+        np.concatenate(keys_out) if keys_out else np.zeros(0, np.int64)
+    )
     bounds = np.concatenate(([0], np.cumsum(counts)))
-    keys_out: list = []
-    for i in range(len(texts)):
-        seg = flat[bounds[i] : bounds[i + 1]]
-        keys_out.append(np.unique(seg) if len(seg) else np.empty(0, np.int64))
     A = np.array([a for a, _ in coeffs], dtype=np.int64)
     B = np.array([b for _, b in coeffs], dtype=np.int64)
     num_hashes = len(coeffs)

@@ -156,6 +156,14 @@ def brute_force_topk(
 PAIRS_CHUNK_WHEN_BLOCK_EXCEEDS = 4096
 
 
+# Safety margin for matmul-based candidate SELECTION (never scoring):
+# |dgemm − sequential fold| ≤ ~d·u·Σ|a||b| ≈ 7e-15 for unit vectors at
+# d = 64; 1e-9 dominates it by 10^5 while sitting far below any cosine
+# gap the 6-dp output rounding could surface. Survivors are re-scored
+# with the exact fold, so this widens the candidate band only.
+_MATMUL_EPS = 1e-9
+
+
 def _chunk_rows_for(c: int) -> int:
     """Rows per accumulator chunk: keep each chunk x block float64
     accumulator at or under ~64 MB (the block route's original bound)."""
@@ -231,14 +239,30 @@ def nearest_pairs_blocked(
         chunk = _chunk_rows_for(c)
         for s in range(lo, hi, chunk):
             e = min(hi, s + chunk)
-            acc = np.zeros((e - s, c), dtype=np.float64)
-            for k in range(d):  # dimension-sequential == the fold
-                acc += np.multiply.outer(A[s:e, k], A[:, k])
-            cosm = acc / np.multiply.outer(norms[s:e], norms)
+            # SELECTION via one BLAS matmul (r13: 20x+ over the d-pass
+            # outer-product loop), then EXACT re-score of only the
+            # surviving band with the dimension-sequential fold — so
+            # every EMITTED cosine stays bit-identical to the oracle's
+            # list fold. _MATMUL_EPS (1e-9) dominates the dgemm error
+            # bound (~d·u ≈ 7e-15 for unit vectors) by 10^5, so the
+            # approx cut can never drop a pair the exact cut keeps.
+            cosm = (A[s:e] @ A.T) / np.multiply.outer(norms[s:e], norms)
             ii, jj = np.nonzero(
                 np.arange(c)[None, :] > np.arange(s, e)[:, None]
             )
-            cos = cosm[ii, jj]
+            cos_a = cosm[ii, jj]
+            if len(cos_a) > top_n:
+                kth = np.partition(cos_a, len(cos_a) - top_n)[
+                    len(cos_a) - top_n
+                ]
+                keep = cos_a >= kth - _MATMUL_EPS
+                ii, jj = ii[keep], jj[keep]
+            # exact dimension-sequential fold on the survivors only
+            gi = ii + s
+            acc = np.zeros(len(ii), dtype=np.float64)
+            for k in range(d):
+                acc += A[gi, k] * A[jj, k]
+            cos = acc / (norms[gi] * norms[jj])
             if len(cos) > top_n:
                 kth = np.partition(cos, len(cos) - top_n)[len(cos) - top_n]
                 keep = cos >= kth  # ties at the cut retained

@@ -309,3 +309,44 @@ def test_exact_dedup_map_payload_falls_back_to_window(spark):
         for r in dedup.exact_dedup(df, ["text"], "id").collect()
     }
     assert out == {"x": (1, {"k": 1}), "y": (9, {"k": 9})}
+
+
+def test_window_keys_match_string_built_shingle_keys():
+    """r13 signing rewrite: `_window_keys_batch` composes each shingle
+    key from per-token char-poly hashes via exact modular identities —
+    the values must be BIT-IDENTICAL to hashing the built shingle
+    strings (that is what keeps every portable-hash oracle unchanged).
+    Pure-numpy property check across the edge zoo: None, empty text,
+    short docs (whole-text fallback), empty tokens from double spaces,
+    non-ASCII codepoints, and single-char/long tokens."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(7)
+    words = ["apple", "b", "caterpillar", "δelta", "", "x" * 40, "yy"]
+    texts: list = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(1, 30)))
+        for _ in range(500)
+    ]
+    texts += [None, "", "one", "one two", "a  b", " ", "  ", "ű ő 語"]
+
+    def built(t: str | None, n: int, dual: bool) -> np.ndarray:
+        if t is None:
+            return np.empty(0, np.int64)
+        toks = t.split(" ")
+        sh = [
+            " ".join(toks[i : i + n])
+            for i in range(max(len(toks) - n, 0) + 1)
+        ]
+        return (
+            dedup._char_poly2_batch(sh)
+            if dual
+            else dedup._char_poly_batch(sh)
+        )
+
+    for n in (2, 3, 5):
+        for fams, dual in ((dedup._FAMS1, False), (dedup._FAMS2, True)):
+            got = dedup._window_keys_batch(texts, n, fams)
+            for t, g in zip(texts, got):
+                assert np.array_equal(g, built(t, n, dual)), (n, dual, t)
