@@ -12,21 +12,27 @@ oracle that unrolls the same iterations):
   is then an INTEGER sum: exact and order-independent, so shuffle
   order cannot perturb the result;
 - per-row math (squared-L2 distance to each centroid, centroid norms)
-  runs as a sequential ``F.aggregate`` fold in DOUBLE over the dims —
-  fixed evaluation order, bit-identical to DuckDB's ``list_sum`` fold
-  (the q38 cosine oracle pins this equivalence);
+  accumulates DIMENSION-SEQUENTIALLY in DOUBLE — fixed evaluation
+  order, bit-identical to DuckDB's ``list_sum`` fold (the q38 cosine
+  oracle pins this equivalence). The fold has two implementations
+  with identical per-element op order: the Catalyst ``F.aggregate``
+  form (``assign_mode="fold"`` — the oracle-shaped anchor) and the
+  r13 DEFAULT Arrow form (``"exact"`` — the same sequential
+  accumulation vectorized across batch rows in numpy, no BLAS/SIMD
+  reordering anywhere; equality pinned in tests/test_clustering.py);
 - assignment ties break to the lowest centroid id; empty clusters keep
   their previous centroid.
 
-Scale posture: per iteration, assignment is a broadcast of k·d doubles
-against a narrow projection (no shuffle), and the update is ONE
+Scale posture: per iteration, assignment is k·d doubles against a
+narrow projection (broadcast join for the fold form, a worker closure
+for the Arrow forms — no shuffle either way), and the update is ONE
 shuffle of (k·d) integer partial sums — map-side combine reduces each
-partition to ≤ k·d rows before the exchange. The Catalyst fold is
-interpreted (not codegen); ``kmeans(..., fast=True)`` swaps the
-assignment for the Arrow numpy-matmul path (same vectorized shape as
-operators/similarity.py) for bulk scoring at 100 TB — kept out of the
-default because SIMD summation order can flip argmin on near-ties,
-and the driver oracle (q58) pins fold semantics.
+partition to ≤ k·d rows before the exchange.
+``kmeans(..., fast=True)`` swaps the assignment for the Arrow
+numpy-MATMUL path (same vectorized shape as operators/similarity.py)
+for bulk scoring at 100 TB — kept out of the default because BLAS
+summation order can flip argmin on exact near-ties, and the driver
+oracle (q58) pins fold semantics.
 """
 
 from __future__ import annotations
@@ -64,6 +70,7 @@ def kmeans(
     vec_col: str = "embedding",
     quant: int = QUANT,
     fast: bool = False,
+    assign_mode: str | None = None,
 ) -> DataFrame:
     """Lloyd's k-means on the quantized vectors; returns the final
     assignment (id_col, cluster_id, dist) after `iters` update rounds.
@@ -152,7 +159,64 @@ def kmeans(
             score, schema="vec_id long, q array<long>, cid int, dist double"
         )
 
-    assign = assign_fast if fast else assign_fold
+    def assign_exact(cents: DataFrame) -> DataFrame:
+        # r13 default: the Catalyst fold's EXACT semantics, Arrow-
+        # batched. Per centroid, the squared-L2 accumulates dimension-
+        # sequentially in double ((x_k − c_k)² added in dim order —
+        # the same per-element op order as the `_sq_dist` fold, so
+        # results are BIT-IDENTICAL; no BLAS/SIMD reordering anywhere),
+        # vectorized across the batch rows. Argmin scans centroids in
+        # cid order with a strict < update, which IS the struct-MIN
+        # rule (lowest dist, ties to lowest cid). k·d doubles to the
+        # driver per iteration — bounded, same as assign_fast.
+        # Equality with assign_fold is pinned by
+        # tests/test_clustering.py::test_exact_assign_equals_fold.
+        import numpy as np
+        import pandas as pd
+
+        rows = cents.orderBy("cid").collect()
+        C = np.array([r["c"] for r in rows], dtype=np.float64)
+        cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+
+        def score(batches):
+            for pdf in batches:
+                X = np.array(pdf["q"].tolist(), dtype=np.float64)
+                n, d = X.shape if len(X) else (0, C.shape[1])
+                if n == 0:
+                    continue
+                best_d = None
+                best_c = None
+                for ci in range(len(C)):
+                    acc = np.zeros(n, dtype=np.float64)
+                    for kk in range(d):  # dimension-sequential == fold
+                        diff = X[:, kk] - C[ci, kk]
+                        acc += diff * diff
+                    if best_d is None:
+                        best_d = acc
+                        best_c = np.full(n, cids[ci], dtype=np.int64)
+                    else:
+                        better = acc < best_d  # ties keep lower cid
+                        best_d = np.where(better, acc, best_d)
+                        best_c = np.where(better, cids[ci], best_c)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "q": pdf["q"],
+                        "cid": best_c,
+                        "dist": best_d,
+                    }
+                )
+
+        return qv.mapInPandas(
+            score, schema="vec_id long, q array<long>, cid int, dist double"
+        )
+
+    mode = assign_mode or ("fast" if fast else "exact")
+    assign = {
+        "fast": assign_fast,
+        "fold": assign_fold,
+        "exact": assign_exact,
+    }[mode]
 
     for _ in range(iters):
         assigned = assign(centroids)

@@ -136,3 +136,22 @@ def test_semdedup_auto_k_deployment_route(spark, sf_dir):
                                   fast=True).collect()}
     assert auto == explicit
     assert len({c for _, c, _ in auto}) <= k_expect
+
+
+def test_exact_assign_equals_fold(spark, sf_dir):
+    """r13: the default Arrow assignment ("exact") must be BIT-IDENTICAL
+    to the Catalyst fold form ("fold") — same dimension-sequential
+    accumulation order, no BLAS — including the dist doubles, not just
+    the argmin. (fast=True is only set-equal; this one is exact.)"""
+    from de_gcp_lakehouse_iceberg_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    exact = {
+        r.vec_id: (r.cid, r.dist)
+        for r in kmeans(emb, k=4, iters=2).collect()
+    }
+    fold = {
+        r.vec_id: (r.cid, r.dist)
+        for r in kmeans(emb, k=4, iters=2, assign_mode="fold").collect()
+    }
+    assert exact == fold  # exact dict equality: cid AND dist bits
