@@ -39,7 +39,11 @@ _N_SHARDS = 8
     """,
 )
 def q71_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    # spread_corpus=False: the operator's contract IS the single
+    # exchange (test_shuffle_shard_single_exchange_plan)
+    docs = table(spark, sf_dir, "documents", spread_corpus=False).select(
+        "doc_id"
+    )
     sharded = shuffle_shard(docs, _N_SHARDS)
     return (
         sharded.groupBy("shard")

@@ -31,7 +31,9 @@ from .queries import register
     """,
 )
 def q79_split_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    # spread_corpus=False: split assignment is scan-time by contract
+    # (test_plan_q79_split_is_scan_time pins a zero-exchange plan)
+    docs = table(spark, sf_dir, "documents", spread_corpus=False)
     return (
         split_assign(docs)
         .groupBy("split", "lang")

@@ -55,7 +55,7 @@ def test_shuffle_shard_single_exchange_plan(spark, sf_dir):
     """write_shards' repartition(n, shard) is the only corpus shuffle
     (the row_number window reuses the same hash partitioning when
     keyed on shard)."""
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    docs = table(spark, sf_dir, "documents", spread_corpus=False).select("doc_id")
     plan = (
         shuffle_shard(docs, 4)
         ._jdf.queryExecution()

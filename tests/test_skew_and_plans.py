@@ -138,7 +138,7 @@ def test_plan_q79_split_is_scan_time(spark, sf_dir):
     )
     from de_gcp_lakehouse_iceberg_spark.tables import table
 
-    df = split_assign(table(spark, sf_dir, "documents"))
+    df = split_assign(table(spark, sf_dir, "documents", spread_corpus=False))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
 
