@@ -224,3 +224,59 @@ def test_nearest_pairs_chunk_route_equals_block_route(spark, monkeypatch):
     monkeypatch.setattr(sim, "PAIRS_CHUNK_WHEN_BLOCK_EXCEEDS", 100)
     auto = sim.nearest_pairs_blocked(df, "label", top_n=15)
     assert [tuple(r) for r in auto.collect()] == want
+
+
+def test_nearest_pairs_tie_band_survives_matmul_selection(spark):
+    """r13: candidate SELECTION runs on a BLAS matmul whose result can
+    differ from the exact dimension-sequential fold by ~1e-15; the
+    survivors are re-scored exactly. Stress the cut with a fixture
+    whose top-n boundary is a THICK TIE BAND (many duplicated vectors
+    → byte-identical cosines straddling the cut): selection must keep
+    the whole band (the _MATMUL_EPS margin) and the emitted rows must
+    equal the oracle-shape brute force built in numpy with the same
+    sequential fold, including every tie at the kth place."""
+    import numpy as np
+
+    from de_gcp_lakehouse_iceberg_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((12, 8))
+    # 60 vectors = each base vector repeated 5x: duplicate pairs tie at
+    # cosine 1.0 and every cross pair's cosine occurs 25x — the top-20
+    # cut lands INSIDE a tie class, the worst case for approx selection
+    V = np.repeat(base, 5, axis=0)
+    rows = [
+        (i, 0, [float(x) for x in V[i]]) for i in range(len(V))
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+
+    def fold_norm(a):
+        acc = 0.0
+        for k in range(len(a)):  # norm() is a sequential fold too
+            acc += a[k] * a[k]
+        return np.sqrt(acc)
+
+    def fold_cos(a, b):
+        acc = 0.0
+        for k in range(len(a)):  # the oracle's sequential fold
+            acc += a[k] * b[k]
+        return acc / (fold_norm(a) * fold_norm(b))
+
+    exact = sorted(
+        (
+            (fold_cos(V[i], V[j]), i, j)
+            for i in range(len(V))
+            for j in range(i + 1, len(V))
+        ),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )
+    for par in ("block", "chunk"):
+        got = [
+            (r.id_a, r.id_b, r.cosine)
+            for r in sim.nearest_pairs_blocked(
+                df, "label", top_n=20, parallelism=par
+            ).collect()
+        ]
+        assert got == [(i, j, c) for c, i, j in exact[:20]], par
