@@ -198,8 +198,18 @@ def unigram_doc_scores(
             / 1_000_000
         ).alias("lp_q"),
     )
+    # shuffle_hash, never broadcast: the score table is VOCABULARY-
+    # sized (Heaps' law — it grows with the corpus, ~370k rows already
+    # at sf3), so at scale it can never broadcast; and at sf1 Spark's
+    # size estimate sneaked it under the auto-broadcast threshold,
+    # where rebuilding the ~200k-row hash table on every executor made
+    # the join the ledger's worst entry (measured 3-run A/B at sf1:
+    # default/broadcast [8.8, 4.0, 6.0] s vs shuffle_hash
+    # [3.1, 2.1, 2.0] s — SCALE.md r13 closing notes). The shuffled
+    # form also re-keys the corpus on (lang, t), the same key the
+    # counts aggregation used.
     return (
-        toks.join(lp, [lang_col, "t"])
+        toks.join(lp.hint("shuffle_hash"), [lang_col, "t"])
         .groupBy(id_col, lang_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -286,8 +296,12 @@ def bigram_doc_scores(
             .alias("lp_q"),
         )
     )
+    # shuffle_hash for the same reason as unigram_doc_scores: the
+    # bigram score table is corpus-scaled (never broadcastable at
+    # 100 TB) and the broadcast plan Spark picks at small-SF estimates
+    # is the slower shape even there.
     return (
-        bg.join(lp, [lang_col, "p", "c"])
+        bg.join(lp.hint("shuffle_hash"), [lang_col, "p", "c"])
         .groupBy(id_col, lang_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
