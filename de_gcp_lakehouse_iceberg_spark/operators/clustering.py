@@ -211,12 +211,24 @@ def kmeans(
             score, schema="vec_id long, q array<long>, cid int, dist double"
         )
 
-    mode = assign_mode or ("fast" if fast else "exact")
-    assign = {
+    routes = {
         "fast": assign_fast,
         "fold": assign_fold,
         "exact": assign_exact,
-    }[mode]
+    }
+    if assign_mode is not None and assign_mode not in routes:
+        raise ValueError(
+            f"assign_mode must be one of {sorted(routes)}, got {assign_mode!r}"
+        )
+    if fast and assign_mode not in (None, "fast"):
+        # `fast=True` is sugar for assign_mode="fast"; a conflicting
+        # explicit mode must fail loudly, not silently win
+        raise ValueError(
+            f"fast=True conflicts with assign_mode={assign_mode!r}; "
+            "pass one or the other"
+        )
+    mode = assign_mode or ("fast" if fast else "exact")
+    assign = routes[mode]
 
     for _ in range(iters):
         assigned = assign(centroids)

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from ..operators.multimodal import MEDIA_SCHEMA, resize_media
-from ..tables import table
+from ..tables import SPREAD_MIN_ROWS, _measured_splits, spread, table, table_rows
 from .queries import register
 
 _W = "8 + doc_id % 5"   # source width  in [8, 12]
@@ -89,8 +89,25 @@ def _byte_sum(payload):  # type: ignore[no-untyped-def]
     """,
 )
 def q81_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    thumbs = resize_media(_raw_media(docs), _W2, _H2)
+    # The generator consumes ONLY doc_id, so spreading the full
+    # documents scan ahead of it is pure overhead (the r13 normalized
+    # drift, 2.7x at gate scale) — when the fan-out pays at all, fan
+    # the NARROW key projection out instead: the exchange ships longs
+    # only, and the heavy stage (payload synthesis + resize, the
+    # decode stand-in) still gets every core. Measured at sf3:
+    # full-spread 2.32 s / narrow 2.05 s / none 4.49 s. Below the
+    # rows floor even the narrow exchange's fixed stage cost exceeds
+    # the whole workload (sf0.1: none 0.86 s vs narrow 1.78 s), so
+    # the spread routes on the measured footer cardinality. Same
+    # no-op-at-100TB posture: keyed on the measured split ceiling.
+    docs = table(spark, sf_dir, "documents", heavy=False)
+    gen_in = docs.select("doc_id")
+    if table_rows(spark, sf_dir, "documents") >= SPREAD_MIN_ROWS:
+        gen_in = spread(
+            gen_in, "doc_id",
+            measured=_measured_splits(spark, sf_dir, "documents"),
+        )
+    thumbs = resize_media(_raw_media(gen_in), _W2, _H2)
     return (
         thumbs.select(
             F.col("media_id").alias("doc_id"),

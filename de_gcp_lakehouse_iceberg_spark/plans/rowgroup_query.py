@@ -40,7 +40,19 @@ _BUILT: dict[str, str] = {}
 
 
 def _sorted_layout(spark: SparkSession, sf_dir: str, li: DataFrame):
-    key = os.path.basename(os.path.normpath(sf_dir))
+    # key on the FULL fixture path, not the basename: two fixture dirs
+    # sharing a basename (/a/sf1 and /b/sf1) in one process must not
+    # reuse each other's sorted layout — the cached hit ignores `li`,
+    # so a basename collision would silently serve the wrong fixture's
+    # data. Hash the normpath into the scratch subdir name (path-safe).
+    import hashlib
+
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    key = (
+        os.path.basename(norm)
+        + "-"
+        + hashlib.sha256(norm.encode()).hexdigest()[:12]
+    )
     root = os.path.join(_ROOT, key)
     if _BUILT.get(key) == root and os.path.exists(root):
         return LakeTable.load(spark, root)

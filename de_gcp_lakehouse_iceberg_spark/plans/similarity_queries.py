@@ -323,8 +323,21 @@ _SQ8_RERANK = 30
 )
 def q96_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import sq8_topk
+    from ..tables import table_rows
 
-    emb = table(spark, sf_dir, "embeddings")
+    # SQ8's per-row work (one 64-dim code UDF + integer distance) is
+    # far lighter than the text pipelines the spread guard was built
+    # for, so its fan-out crossover sits higher: measured no-spread
+    # wins at 2k rows (1.76 vs 2.91 s), spread wins at 20k (2.52 vs
+    # 3.24 s) and 60k (3.09 vs 5.22 s). Route by the measured footer
+    # cardinality — below the floor the exchange's fixed stage cost
+    # exceeds the starved splits' entire workload. At 100 TB rows >>
+    # floor AND splits >= cores, so this floor never bites there (the
+    # split-count guard already no-ops the spread).
+    from ..tables import SPREAD_MIN_ROWS
+
+    n = table_rows(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", heavy=(n >= SPREAD_MIN_ROWS))
     out = sq8_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=10, rerank=_SQ8_RERANK
     )

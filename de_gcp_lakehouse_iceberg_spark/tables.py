@@ -28,13 +28,145 @@ TESTDATA_TABLES = (
 # even at 100 TB fact-table scale.
 BROADCAST_SAFE = {"region", "nation"}
 
+# Tables whose DEFAULT consumers run per-row work heavy enough that scan
+# parallelism IS the query's parallelism (regex chains, token explodes,
+# Arrow signing UDFs) — the spread guard is on by default for these.
+# This is a default HINT, not the decision: the decision itself is the
+# measured split count (see spread()).
+_HEAVY_DEFAULT = {"documents", "embeddings"}
+
+# Hash key for the fan-out repartition per table — the table's unique
+# key, so the exchange is balanced and downstream equi-joins on the key
+# can reuse the partitioning.
+_SPREAD_KEYS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+# Measured max-parallelism per (normpath(sf_dir), table) — memoized so
+# table() doesn't pay a metadata read (let alone driver-side physical
+# planning) on every load. A fixture file's split ceiling is immutable
+# within a session.
+_SPLITS: dict[tuple[str, str], int] = {}
+_ROWS: dict[tuple[str, str], int] = {}
+
+# Fan-out floor for LIGHT per-row work (SQ8 codes, payload synthesis):
+# below this many rows the starved splits' entire workload is cheaper
+# than the exchange's fixed stage cost, so call sites with light
+# projections route around the spread (measured crossovers: q96 no-
+# spread wins at 2k rows, spread wins at 20k; q81 likewise 5k vs 50k).
+# The text pipelines (regex chains, signing UDFs) keep the unconditional
+# guard — their per-row cost crosses over well below the smallest
+# fixture.
+SPREAD_MIN_ROWS = 8192
+
+
+def table_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Memoized footer row count — the cheap cardinality signal
+    call-site routing decisions key on (e.g. q96 spreads its corpus
+    side only when the starved splits would carry enough per-row work
+    to amortize the exchange). -1 when the footer isn't readable as
+    one file."""
+    import os
+
+    key = (os.path.normpath(sf_dir), name)
+    if key not in _ROWS:
+        try:
+            import pyarrow.parquet as pq
+
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            _ROWS[key] = pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            _ROWS[key] = -1
+    return _ROWS[key]
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark size-conf string to bytes ("134217728", "128m", "1g")."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgtp]?)b?\s*", str(v).lower())
+    if not m:
+        raise ValueError(f"unparseable size conf {v!r}")
+    mult = {"": 1, "k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40,
+            "p": 2**50}[m.group(2)]
+    return int(m.group(1)) * mult
+
+
+def _measured_splits(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Max achievable scan parallelism for the fixture file.
+
+    Two independent ceilings, the scan gets the LOWER: (a) Spark cannot
+    split a parquet scan below row-group granularity, so the row-group
+    count bounds the non-empty tasks; (b) byte-based split planning
+    packs ~maxPartitionBytes per task, so a file of many SMALL row
+    groups still plans few splits. Both read once from the footer /
+    file size (no Spark job, no RDD conversion; also AQE-independent,
+    unlike observing df.rdd pre-execution). Falls back to the planned
+    partition count if the path isn't one readable file (directory
+    layouts)."""
+    import math
+    import os
+
+    key = (os.path.normpath(sf_dir), name)
+    if key not in _SPLITS:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        try:
+            import pyarrow.parquet as pq
+
+            groups = pq.ParquetFile(path).metadata.num_row_groups
+            raw = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+            mpb = _parse_bytes(raw) if raw else 128 * 1024 * 1024
+            planned = max(1, math.ceil(os.path.getsize(path) / mpb))
+            _SPLITS[key] = min(groups, planned)
+        except Exception:
+            _SPLITS[key] = spark.read.parquet(path).rdd.getNumPartitions()
+    return _SPLITS[key]
+
 
 def table(
     spark: SparkSession,
     sf_dir: str,
     name: str,
     spread_corpus: bool = True,
+    heavy: bool | None = None,
 ) -> DataFrame:
+    """Load a testdata table, with the scan fan-out guard for heavy
+    consumers.
+
+    The corpus tables feed regex chains, token explodes, and Arrow
+    signing UDFs — per-row work heavy enough that scan parallelism IS
+    the query's parallelism. Their single-file fixtures carry almost
+    no row groups (sf0.1: 1 split; sf3: 7), and Spark cannot split a
+    parquet scan below row-group granularity, so without this guard
+    the expensive stage of every corpus query ran on a fraction of
+    the executor slots (q66's redaction chain at sf3: 18 s → ~4 s
+    with the guard). At 100 TB file counts give natural fan-out and
+    the guard no-ops — it keys on the MEASURED split ceiling (footer
+    row-group count, memoized per fixture), never on the table name.
+
+    ``heavy`` is the caller's per-pipeline declaration and overrides
+    the default hint in both directions:
+      - heavy=True  — this pipeline does expensive per-row work over
+        the scan, apply the guard even to a relational table (a future
+        narrow-file corpus gets the fix without an allowlist edit);
+      - heavy=False / spread_corpus=False — opt out: for operators
+        whose CONTRACT is the exchange count itself (q71's one-shuffle
+        shard, q79's zero-shuffle scan-time split assignment) or
+        consumers of only a key column, where the exchange is pure
+        overhead (q81's generator reads nothing but doc_id);
+      - default (None): guard on for the corpus tables, off for
+        relational tables — their typical per-row work is plain
+        columnar arithmetic, where an extra exchange costs about what
+        it saves.
+    """
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table {name!r}")
     # Reference semantics are UTC-everything (sql/create_iceberg_tables.sql
@@ -44,26 +176,13 @@ def table(
     if name == "events":
         return _read_events(spark, sf_dir)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # The corpus tables feed regex chains, token explodes, and Arrow
-    # signing UDFs — per-row work heavy enough that scan parallelism IS
-    # the query's parallelism. Their single-file fixtures carry almost
-    # no row groups (sf0.1: 1 split; sf3: 7), and Spark cannot split a
-    # parquet scan below row-group granularity, so without this guard
-    # the expensive stage of every corpus query ran on a fraction of
-    # the executor slots (q66's redaction chain at sf3: 18 s → ~4 s
-    # with the guard). Relational tables stay as scanned: their per-row
-    # work is plain columnar arithmetic, where an extra exchange costs
-    # about what it saves. At 100 TB file counts give natural fan-out
-    # and spread() no-ops — it keys on the measured split count.
-    # spread_corpus=False opts a pipeline out — for operators whose
-    # CONTRACT is the exchange count itself (q71's one-shuffle shard,
-    # q79's zero-shuffle scan-time split assignment): their per-row
-    # work is a single hash, so scan fan-out buys nothing and the
-    # extra exchange would break the plan shape their tests pin.
-    if spread_corpus and name == "documents":
-        return spread(df, "doc_id")
-    if spread_corpus and name == "embeddings":
-        return spread(df, "vec_id")
+    want = heavy if heavy is not None else (
+        spread_corpus and name in _HEAVY_DEFAULT
+    )
+    if want:
+        keys = (_SPREAD_KEYS[name],) if name in _SPREAD_KEYS else ()
+        return spread(df, *keys,
+                      measured=_measured_splits(spark, sf_dir, name))
     return df
 
 
@@ -104,7 +223,7 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TESTDATA_TABLES}
 
 
-def spread(df: DataFrame, *keys: str) -> DataFrame:
+def spread(df: DataFrame, *keys: str, measured: int | None = None) -> DataFrame:
     """Raise a narrow scan's parallelism to the session's core count
     before a compute-heavy projection.
 
@@ -121,8 +240,14 @@ def spread(df: DataFrame, *keys: str) -> DataFrame:
     100 TB the same guard holds: file counts give natural parallelism
     and this becomes a no-op, which is why it keys on the MEASURED
     partition count, not the SF.
+
+    ``measured`` lets the caller supply an already-known split count
+    (table() memoizes the footer row-group ceiling per fixture) so the
+    guard costs nothing per call; without it the planned partition
+    count is observed from the DataFrame.
     """
     cpus = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= cpus:
+    splits = measured if measured is not None else df.rdd.getNumPartitions()
+    if splits >= cpus:
         return df
     return df.repartition(cpus, *keys) if keys else df.repartition(cpus)

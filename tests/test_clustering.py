@@ -155,3 +155,21 @@ def test_exact_assign_equals_fold(spark, sf_dir):
         for r in kmeans(emb, k=4, iters=2, assign_mode="fold").collect()
     }
     assert exact == fold  # exact dict equality: cid AND dist bits
+
+
+def test_kmeans_kwarg_validation(spark, sf_dir):
+    """r14 (ADVICE): an invalid assign_mode must raise a descriptive
+    ValueError (not a bare KeyError), and fast=True with a CONFLICTING
+    explicit assign_mode must fail loudly instead of silently ignoring
+    one of them. fast=True + assign_mode="fast" is consistent sugar."""
+    import pytest
+
+    from de_gcp_lakehouse_iceberg_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="assign_mode"):
+        kmeans(emb, k=2, iters=0, assign_mode="nope")
+    with pytest.raises(ValueError, match="conflicts"):
+        kmeans(emb, k=2, iters=0, fast=True, assign_mode="fold")
+    # consistent combination stays allowed
+    kmeans(emb, k=2, iters=0, fast=True, assign_mode="fast")

@@ -136,3 +136,36 @@ def test_zorder_rewrite_enables_multicolumn_rg_skipping(spark, tmp_path):
             where=[(col, ">=", 1000), (col, "<", 2000)]
         ).count()
         assert got == 1000
+
+
+def test_sorted_layout_cache_distinguishes_same_basename(spark, tmp_path):
+    """r14 (ADVICE): q103's per-process sorted-layout cache was keyed on
+    basename(sf_dir) only — two fixture dirs sharing a basename (/a/sf1
+    and /b/sf1) silently reused the first one's layout, serving the
+    WRONG fixture's data with no error. The key now hashes the full
+    normalized path; distinct dirs with equal basenames must build
+    distinct layouts with their own data."""
+    from de_gcp_lakehouse_iceberg_spark.plans.rowgroup_query import (
+        _sorted_layout,
+    )
+
+    dir_a = tmp_path / "a" / "sfX"
+    dir_b = tmp_path / "b" / "sfX"
+    dir_a.mkdir(parents=True)
+    dir_b.mkdir(parents=True)
+    li_a = spark.range(100).select(
+        F.col("id").alias("l_orderkey"),
+        F.lit(1.0).alias("l_quantity"),
+        F.lit(7).alias("l_suppkey"),
+    )
+    li_b = spark.range(250).select(
+        F.col("id").alias("l_orderkey"),
+        F.lit(1.0).alias("l_quantity"),
+        F.lit(7).alias("l_suppkey"),
+    )
+    t_a = _sorted_layout(spark, str(dir_a), li_a)
+    t_b = _sorted_layout(spark, str(dir_b), li_b)
+    assert t_a.scan().count() == 100
+    assert t_b.scan().count() == 250  # not dir_a's cached 100
+    # and the cache HIT path still works per distinct dir
+    assert _sorted_layout(spark, str(dir_a), li_b).scan().count() == 100
