@@ -70,6 +70,13 @@ def _query_axis(name: str, df) -> str:
 
 
 def main() -> None:
+    # Ambient host load, sampled BEFORE Spark spins up: the end-of-run
+    # loadavg is dominated by bench's own 32-core work, so only this
+    # pre-session sample can say whether the recording window was
+    # quiet. A ledger recorded at ambient load is self-describing via
+    # host.degraded — the r13 lesson (ledgers committed from a
+    # loadavg-20 window read as 2x regressions until re-recorded).
+    ambient_load = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -464,7 +471,12 @@ def main() -> None:
         "host": {
             "cpus": os.cpu_count(),
             "spark_cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+            # end-of-run loadavg is self-inclusive (bench's own 32-core
+            # work); ambient is the pre-Spark sample and carries the
+            # quiet-window judgement
             "loadavg_1m": round(os.getloadavg()[0], 2),
+            "loadavg_ambient": ambient_load,
+            "degraded": ambient_load > 2.0,
             "recorded_at": time.strftime(
                 "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
             ),

@@ -14,6 +14,12 @@ Scope (documented, not silently elided):
 - format-version 2, parquet data files, copy-on-write plus POSITION
   deletes (content=1 delete manifests). Equality deletes and v3
   features are rejected loudly.
+- format-version 1 READS (r14): the still-dominant deployed format.
+  Per the spec's v1→v2 upgrade rules, v1 manifests carry no sequence
+  numbers (all files read as seq 0) and no delete content; the legacy
+  single-`schema` metadata layout and snapshots embedding a
+  `manifests` path list (pre-manifest-list writers) are both handled.
+  Writes stay v2-only.
 - Schema comes from the metadata's current/snapshot schema via
   `iceberg_schema_to_spark`; files are read with that schema so
   add-column evolution reads as NULL for pre-evolution files
@@ -84,9 +90,9 @@ def load_metadata(path: str) -> dict:
             )
     with open(path) as f:
         meta = json.load(f)
-    if meta.get("format-version") != 2:
+    if meta.get("format-version") not in (1, 2):
         raise ValueError(
-            f"only format-version 2 is supported, got "
+            f"only format-version 1 and 2 are supported, got "
             f"{meta.get('format-version')!r}"
         )
     return meta
@@ -94,12 +100,27 @@ def load_metadata(path: str) -> dict:
 
 def _manifest_entries(
     manifest_list_path: str,
+    format_version: int = 2,
+    inline_manifests: list[str] | None = None,
 ) -> tuple[list[dict], list[dict]]:
     """Manifest list → (data entries, position-delete entries), each
     entry annotated with its data sequence number (inherited from the
     manifest when the entry's is null, per the spec's sequence-number
-    inheritance rule)."""
-    _, _, manifests = avro.read_ocf(_strip_scheme(manifest_list_path))
+    inheritance rule).
+
+    ``format_version`` 1 relaxes the v2 invariants the way the spec's
+    v1→v2 upgrade rules do: v1 manifests carry NO sequence_number
+    field at all (every v1 data file reads as sequence number 0) and
+    no delete content, so a null seq on an EXISTING entry is the
+    format, not corruption. ``inline_manifests`` serves v1 snapshots
+    that embed a `manifests` path list instead of a `manifest-list`
+    file (the pre-manifest-list layout early Java writers produced)."""
+    if inline_manifests is not None:
+        manifests: list[dict] = [
+            {"manifest_path": p} for p in inline_manifests
+        ]
+    else:
+        _, _, manifests = avro.read_ocf(_strip_scheme(manifest_list_path))
     data_entries: list[dict] = []
     delete_entries: list[dict] = []
     for mf in manifests:
@@ -114,15 +135,20 @@ def _manifest_entries(
                 # number); EXISTING entries must carry their original
                 # explicit sequence number — a null there is corrupt
                 # metadata, and guessing the manifest's seq could
-                # mis-scope delete application (r11 ADVICE).
-                if e.get("status") != ADDED:
+                # mis-scope delete application (r11 ADVICE). In v1
+                # there are no sequence numbers anywhere: the spec's
+                # upgrade rule assigns 0 to all v1 files.
+                if format_version < 2:
+                    seq = 0
+                elif e.get("status") != ADDED:
                     raise ValueError(
                         "EXISTING manifest entry with null "
                         f"sequence_number in {mf['manifest_path']!r} — "
                         "the spec inherits sequence numbers only for "
                         "ADDED entries"
                     )
-                seq = mf.get("sequence_number", 0)
+                else:
+                    seq = mf.get("sequence_number", 0)
             content = e["data_file"].get("content", 0)
             rec = {
                 "path": _strip_scheme(e["data_file"]["file_path"]),
@@ -171,13 +197,33 @@ def read_iceberg(
     )
     if snap is None:
         raise ValueError(f"snapshot {snap_id!r} not in metadata")
-    schemas = {sc["schema-id"]: sc for sc in meta["schemas"]}
-    schema_id = snap.get("schema-id", meta.get("current-schema-id"))
+    fv = meta["format-version"]
+    if "schemas" in meta:
+        schemas = {sc["schema-id"]: sc for sc in meta["schemas"]}
+        schema_id = snap.get("schema-id", meta.get("current-schema-id"))
+    else:
+        # v1 legacy single-`schema` layout (the `schemas` list only
+        # became required in v2); its schema-id defaults to 0
+        legacy = meta["schema"]
+        schema_id = legacy.get("schema-id", 0)
+        schemas = {schema_id: legacy}
     spark_schema = iceberg_schema_to_spark(schemas[schema_id])
 
-    data_entries, delete_entries = _manifest_entries(
-        snap["manifest-list"]
-    )
+    # v1 snapshots may embed a `manifests` path list instead of
+    # writing a manifest-list file
+    if "manifest-list" in snap:
+        data_entries, delete_entries = _manifest_entries(
+            snap["manifest-list"], format_version=fv
+        )
+    elif fv < 2 and "manifests" in snap:
+        data_entries, delete_entries = _manifest_entries(
+            "", format_version=fv, inline_manifests=snap["manifests"]
+        )
+    else:
+        raise ValueError(
+            f"snapshot {snap_id} carries neither manifest-list nor "
+            "manifests"
+        )
     if not data_entries:
         return spark.createDataFrame([], spark_schema)
     bad = {e["format"] for e in data_entries + delete_entries} - {

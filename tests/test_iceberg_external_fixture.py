@@ -663,3 +663,264 @@ def test_equality_delete_manifest_rejected_on_external_bytes(
 
     with pytest.raises(NotImplementedError, match="equality-delete"):
         read_iceberg(spark, mpath)
+
+
+# ---------------------------------------------------------------------------
+# r14: a FORMAT-VERSION 1 table from foreign bytes (r13 VERDICT task #6).
+# v1 is the still-dominant deployed Iceberg format and differs from v2
+# in exactly the ways a v2-only reader trips over: manifests carry NO
+# sequence_number field at all (the v1->v2 upgrade rule assigns seq 0
+# to every v1 file), data_file has no content field, the metadata may
+# carry the legacy single-`schema` / `partition-spec` layout instead of
+# the v2 lists, and early snapshots may embed a `manifests` path list
+# instead of writing a manifest-list file. This fixture exercises ALL
+# of those, including an EXISTING entry with a null seq — the exact
+# shape the v2 path must keep REJECTING as corrupt (policed below).
+# ---------------------------------------------------------------------------
+
+
+def _entry_schema_v1() -> str:
+    # v1 manifest_entry: no sequence_number field; data_file without
+    # content (Iceberg spec, v1 manifest schema)
+    return json.dumps(
+        {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int", "field-id": 0},
+                {
+                    "name": "snapshot_id",
+                    "type": ["null", "long"],
+                    "field-id": 1,
+                    "default": None,
+                },
+                {
+                    "name": "data_file",
+                    "field-id": 2,
+                    "type": {
+                        "type": "record",
+                        "name": "r2",
+                        "fields": [
+                            {
+                                "name": "file_path",
+                                "type": "string",
+                                "field-id": 100,
+                            },
+                            {
+                                "name": "file_format",
+                                "type": "string",
+                                "field-id": 101,
+                            },
+                            {
+                                "name": "partition",
+                                "field-id": 102,
+                                "type": {
+                                    "type": "record",
+                                    "name": "r102",
+                                    "fields": [
+                                        {
+                                            "name": "cat",
+                                            "type": ["null", "string"],
+                                            "field-id": 1000,
+                                            "default": None,
+                                        }
+                                    ],
+                                },
+                            },
+                            {
+                                "name": "record_count",
+                                "type": "long",
+                                "field-id": 103,
+                            },
+                            {
+                                "name": "file_size_in_bytes",
+                                "type": "long",
+                                "field-id": 104,
+                            },
+                        ],
+                    },
+                },
+            ],
+        }
+    )
+
+
+def _entry_rec_v1(
+    status: int, snap_id: int, file_path: str, partition: str | None,
+    rows: int,
+) -> bytes:
+    return (
+        _long(status)
+        + _opt(_long(snap_id))
+        + _string(file_path)
+        + _string("PARQUET")
+        + _opt(None if partition is None else _string(partition))
+        + _long(rows)
+        + _long(os.path.getsize(file_path))
+    )
+
+
+# v1 manifest_file: no content / sequence-number fields
+_MANIFEST_FILE_SCHEMA_V1 = json.dumps(
+    {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string", "field-id": 500},
+            {"name": "manifest_length", "type": "long", "field-id": 501},
+            {"name": "partition_spec_id", "type": "int", "field-id": 502},
+            {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        ],
+    }
+)
+
+
+def _build_v1_fixture(root: str) -> str:
+    os.makedirs(root)
+    sch = pa.schema(
+        [_field("id", pa.int64(), 1), _field("cat", pa.string(), 2)]
+    )
+    file_a = os.path.join(root, "data-a.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(10), pa.int64()),
+                "cat": pa.array(["ab"[i % 2] for i in range(10)]),
+            },
+            schema=sch,
+        ),
+        file_a,
+    )
+    file_b = os.path.join(root, "data-b.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(10, 15), pa.int64()),
+                "cat": pa.array(["c"] * 5),
+            },
+            schema=sch,
+        ),
+        file_b,
+    )
+
+    # snapshot 1's manifest: file A ADDED — referenced INLINE from the
+    # snapshot (no manifest-list file, the pre-manifest-list layout)
+    m1 = os.path.join(root, "m1.avro")
+    _ocf(
+        m1,
+        _entry_schema_v1(),
+        {},
+        _entry_rec_v1(1, 1, file_a, "a", 10),
+        1,
+    )
+    # snapshot 2's manifest: file A EXISTING + file B ADDED — neither
+    # carries any sequence number because the v1 schema has no such
+    # field; deflate-coded like real Java writers
+    m2 = os.path.join(root, "m2.avro")
+    _ocf(
+        m2,
+        _entry_schema_v1(),
+        {},
+        _entry_rec_v1(0, 1, file_a, "a", 10)
+        + _entry_rec_v1(1, 2, file_b, "c", 5),
+        2,
+        codec="deflate",
+    )
+    ml2 = os.path.join(root, "snap-2.manifest-list.avro")
+    _ocf(
+        ml2,
+        _MANIFEST_FILE_SCHEMA_V1,
+        {},
+        _string(m2) + _long(os.path.getsize(m2)) + _long(0) + _long(2),
+        1,
+    )
+
+    meta = {
+        "format-version": 1,
+        "table-uuid": "3f1a08e1-55f3-4c04-8a9d-6f3a2a9b1c22",
+        "location": root,
+        "last-updated-ms": 1700000000000,
+        "last-column-id": 2,
+        # legacy single-schema layout: no `schemas` list, no schema-id
+        "schema": {
+            "type": "struct",
+            "fields": [
+                _ice_field(1, "id", "long"),
+                _ice_field(2, "cat", "string"),
+            ],
+        },
+        # legacy single partition spec (field list, not spec objects)
+        "partition-spec": [
+            {
+                "name": "cat",
+                "transform": "identity",
+                "source-id": 2,
+                "field-id": 1000,
+            }
+        ],
+        "properties": {},
+        "current-snapshot-id": 2,
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "timestamp-ms": 1699990000000,
+                "summary": {"operation": "append"},
+                "manifests": [m1],
+            },
+            {
+                "snapshot-id": 2,
+                "timestamp-ms": 1700000000000,
+                "summary": {"operation": "append"},
+                "manifest-list": ml2,
+            },
+        ],
+        "snapshot-log": [
+            {"snapshot-id": 1, "timestamp-ms": 1699990000000},
+            {"snapshot-id": 2, "timestamp-ms": 1700000000000},
+        ],
+    }
+    mpath = os.path.join(root, "v1.metadata.json")
+    with open(mpath, "w") as f:
+        json.dump(meta, f, indent=1)
+    return mpath
+
+
+def test_reader_consumes_v1_fixture(spark, tmp_path):
+    mpath = _build_v1_fixture(str(tmp_path / "v1"))
+    cur = read_iceberg(spark, mpath)
+    assert [f.name for f in cur.schema.fields] == ["id", "cat"]
+    assert sorted(r.id for r in cur.collect()) == list(range(15))
+    # time travel to the inline-`manifests` snapshot
+    assert sorted(snapshot_ids(mpath)) == [1, 2]
+    old = read_iceberg(spark, mpath, snapshot_id=1)
+    assert sorted(r.id for r in old.collect()) == list(range(10))
+
+
+def test_v1_null_seq_tolerance_does_not_leak_into_v2(spark, tmp_path):
+    """The same EXISTING-entry-with-null-seq bytes that v1 must accept
+    (the v1 schema has no seq field) remain CORRUPT under v2 — the
+    format-version gates the tolerance, not a global relaxation."""
+    import pytest
+
+    root = str(tmp_path / "v1")
+    mpath = _build_v1_fixture(root)
+    meta = json.load(open(mpath))
+    meta["format-version"] = 2
+    meta["last-sequence-number"] = 2
+    meta["schemas"] = [dict(meta.pop("schema"), **{"schema-id": 0})]
+    meta["current-schema-id"] = 0
+    meta["partition-specs"] = [
+        {"spec-id": 0, "fields": meta.pop("partition-spec")}
+    ]
+    meta["default-spec-id"] = 0
+    meta["snapshots"] = [
+        s for s in meta["snapshots"] if "manifest-list" in s
+    ]
+    for s in meta["snapshots"]:
+        s["sequence-number"] = 2
+        s["schema-id"] = 0
+    m2path = os.path.join(root, "v2-upgraded.metadata.json")
+    with open(m2path, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="EXISTING manifest entry"):
+        read_iceberg(spark, m2path).collect()
