@@ -59,8 +59,22 @@ def delete(table: LakeTable, predicate: Column | str) -> Snapshot:
         table._read_files(snap, affected)
         .filter(~pred | pred.isNull())
     )
+    # A string predicate is recorded in the commit summary: for a CoW
+    # delete, removed-rows minus survivor-rows IS exactly the set of
+    # pred-true rows, so `changelog` can emit the DELETE feed from a
+    # filter over the removed files instead of a two-sided exceptAll
+    # diff (r14 — replace_files drops the summary key if a concurrent
+    # rebase re-filtered the output, where the identity no longer
+    # holds).
+    summary = (
+        {"predicate": predicate} if isinstance(predicate, str) else None
+    )
     return table.replace_files(
-        affected, survivors, operation="delete", expected_base=snap.version
+        affected,
+        survivors,
+        operation="delete",
+        summary=summary,
+        expected_base=snap.version,
     )
 
 
@@ -260,6 +274,26 @@ def changelog(table: LakeTable, from_version: int, to_version: int) -> DataFrame
         removed = sorted(pf - cf)
         added = sorted(cf - pf)
         if not removed and not added:
+            continue
+        if cur.operation == "delete" and cur.summary.get("predicate"):
+            # CoW delete with its predicate recorded at commit time
+            # (dml.delete): the survivors are exactly the removed
+            # files' rows with the predicate false-or-NULL, so the
+            # net diff is `removed_rows WHERE pred` — one filtered
+            # read of the removed files, no read of the added files,
+            # no exceptAll shuffles (r14; the summary key is dropped
+            # by replace_files whenever a rebase re-filtered the
+            # output, which is the one case the identity breaks).
+            pred = F.coalesce(
+                F.expr(cur.summary["predicate"]), F.lit(False)
+            )
+            tagged = table._read_files(prev, removed).filter(pred).select(
+                "*",
+                F.lit("DELETE").alias("_change_type"),
+                F.lit(v).alias("_change_version"),
+                F.lit(cur.timestamp_ms).alias("_change_timestamp"),
+            )
+            out = tagged if out is None else out.unionByName(tagged)
             continue
         add_df = table._read_files(cur, added) if added else None
         rem_df = table._read_files(prev, removed) if removed else None

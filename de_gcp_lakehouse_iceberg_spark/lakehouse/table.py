@@ -893,6 +893,7 @@ class LakeTable:
         df: DataFrame,
         subdir: str | None = None,
         writer_options: dict[str, Any] | None = None,
+        extra_partition_by: list[str] | None = None,
     ) -> list[FileEntry]:
         """Write a DataFrame as immutable parquet files under data/ and
         return their manifest entries. Uses a unique staging prefix so
@@ -928,8 +929,11 @@ class LakeTable:
             # e.g. parquet.block.size to control row-group granularity
             # (passed into the write job's hadoop conf by Spark)
             writer = writer.option(k, v)
-        if transforms:
-            writer = writer.partitionBy(*[f"_p_{t.name}" for t in transforms])
+        part_cols = [f"_p_{t.name}" for t in transforms] + list(
+            extra_partition_by or []
+        )
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
         writer.parquet(out_dir)
         entries = self._scan_written(out_dir)
         # stamp the spec the files were laid out under (per-file spec_id:
@@ -1083,6 +1087,75 @@ class LakeTable:
 
         return self._rebase_retry(_attempt)
 
+    def append_clustered(
+        self,
+        df: DataFrame,
+        cluster_expr,
+        n_clusters: int,
+        operation: str = "append",
+        summary: dict[str, Any] | None = None,
+    ) -> Snapshot:
+        """ACID append laid out as ONE data file per distinct value of
+        `cluster_expr` — the single-job, single-commit form of the
+        sequential `for band: append(filter(band == b).coalesce(1))`
+        load loop (same per-file row sets, hence identical footer
+        stats/blooms; one snapshot instead of N). This is the
+        clustered-write posture Iceberg spells
+        `write.distribution-mode=hash`: rows are hash-routed by the
+        cluster value so each cluster lands wholly inside one task,
+        and the writer's partition-dir split emits exactly one file
+        per cluster (AQE may coalesce tasks freely — the per-dir split
+        keeps the file-per-cluster contract either way).
+
+        `cluster_expr` (SQL string or Column over the TABLE columns)
+        is layout-only: it rides a shadow `_p__cluster` column that
+        never enters the data files. `n_clusters` sizes the shuffle."""
+        from pyspark.sql import functions as F
+
+        base = self.current_version()
+        prev = self.snapshot(base)
+        if prev.schema_json:
+            df = self._align_to_schema(df, prev.schema_json)
+            aligned_schema = prev.schema_json
+        else:
+            aligned_schema = df.schema.json()
+        cl = (
+            F.expr(cluster_expr)
+            if isinstance(cluster_expr, str)
+            else cluster_expr
+        )
+        work = df.withColumn("_p__cluster", cl.cast("string")).repartition(
+            n_clusters, "_p__cluster"
+        )
+        written = self._write_files(
+            work, extra_partition_by=["_p__cluster"]
+        )
+
+        def _attempt() -> Snapshot:
+            head = self.current_version()
+            hprev = self.snapshot(head)
+            if (
+                head != base
+                and hprev.schema_json
+                and hprev.schema_json != aligned_schema
+            ):
+                raise ValueError(
+                    "table schema changed while this append was in "
+                    "flight — re-run the append against the new schema"
+                )
+            new_files = self._stamp_seq(written)
+            return self._commit_snapshot(
+                operation=operation,
+                files=hprev.files + new_files,
+                schema_json=hprev.schema_json or aligned_schema,
+                base=head,
+                summary={"added_files": len(new_files),
+                         "added_rows": sum(f.rows for f in new_files),
+                         **(summary or {})},
+            )
+
+        return self._rebase_retry(_attempt)
+
     def overwrite(
         self,
         df: DataFrame,
@@ -1160,7 +1233,7 @@ class LakeTable:
         )
 
         def _attempt() -> Snapshot:
-            nonlocal written
+            nonlocal written, summary
             head = self.current_version()
             prev = self.snapshot(head)
             if expected_base is not None and head != expected_base:
@@ -1169,6 +1242,16 @@ class LakeTable:
                 )
                 if reapply:
                     written = self._reapply_mor_deletes(written, reapply)
+                    # the rebase re-filtered the replacement rows, so
+                    # removed-minus-added no longer equals the recorded
+                    # predicate's rows — changelog must fall back to
+                    # the exact exceptAll diff for this commit
+                    if summary and "predicate" in summary:
+                        summary = {
+                            k: v
+                            for k, v in summary.items()
+                            if k != "predicate"
+                        }
             kept = [f for f in prev.files if f.path not in removed]
             new_files = self._stamp_seq(list(written))
             return self._commit_snapshot(

@@ -58,33 +58,41 @@ class TermStatsIndex:
     def _deltas(
         self, docs: DataFrame, text_col: str, lang_col: str, id_col: str
     ) -> DataFrame:
+        # ONE tokenize pass and ONE shuffle (r14, guide §2.3/§2.4):
+        # per-document term dedup moves into `array_distinct` (the old
+        # row-level distinct shuffled every token occurrence, and the
+        # separate language branch re-tokenized the whole batch), and a
+        # per-doc NULL-term sentinel row carries the token length, so a
+        # single (lang, term) hash aggregation — with map-side partial
+        # aggregation — yields both the term df deltas and the
+        # per-language (n_docs, sum_len) deltas. Row set and schema are
+        # identical to the old two-branch union.
         base = docs.select(
-            F.col(id_col).alias("_id"),
             F.col(lang_col).alias("lang"),
-            tokens(text_col).alias("_t"),
+            F.coalesce(
+                tokens(text_col), F.array().cast("array<string>")
+            ).alias("_t"),
         )
-        occ = base.select(
-            "_id", "lang", F.explode("_t").alias("term")
-        ).distinct()
-        term_rows = occ.groupBy("lang", "term").agg(
-            F.count("*").cast("long").alias("df_delta"),
-            F.lit(0).cast("long").alias("n_docs_delta"),
-            F.lit(0).cast("long").alias("sum_len_delta"),
-        )
-        lang_rows = base.groupBy("lang").agg(
-            F.lit(0).cast("long").alias("df_delta"),
-            F.count("*").cast("long").alias("n_docs_delta"),
-            F.sum(F.size("_t")).cast("long").alias("sum_len_delta"),
-        ).select(
+        rows = base.select(
             "lang",
-            F.lit(None).cast("string").alias("term"),
-            "df_delta",
-            "n_docs_delta",
-            "sum_len_delta",
+            F.size("_t").alias("_len"),
+            F.explode(
+                F.concat(
+                    F.array_distinct("_t"),
+                    F.array(F.lit(None).cast("string")),
+                )
+            ).alias("term"),
         )
-        return term_rows.select(
+        is_term = F.col("term").isNotNull()
+        return rows.groupBy("lang", "term").agg(
+            F.count(F.when(is_term, 1)).alias("df_delta"),
+            F.count(F.when(~is_term, 1)).alias("n_docs_delta"),
+            F.sum(F.when(~is_term, F.col("_len")).otherwise(0))
+            .cast("long")
+            .alias("sum_len_delta"),
+        ).select(
             "lang", "term", "df_delta", "n_docs_delta", "sum_len_delta"
-        ).unionByName(lang_rows)
+        )
 
     def ingest(
         self,

@@ -75,11 +75,14 @@ def q73_bloom_prune_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
 
     t = LakeTable.create(spark, root)
-    for i in range(_FILES):
-        t.append(
-            events.filter(F.col("event_id") % _FILES == i).coalesce(1),
-            operation="load_stripe",
-        )
+    # one clustered commit — identical per-stripe files to the old
+    # _FILES-iteration append loop, one Spark job + one snapshot (r14)
+    t.append_clustered(
+        events,
+        F.col("event_id") % _FILES,
+        _FILES,
+        operation="load_stripe",
+    )
     _s, stats_planned = t.plan_files(where=[("event_id", "=", _PROBE)])
     add_bloom_filters(t, ["event_id"], bits=_BITS, k=_K)
     snap, bloom_planned = t.plan_files(where=[("event_id", "=", _PROBE)])

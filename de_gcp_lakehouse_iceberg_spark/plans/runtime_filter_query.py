@@ -111,12 +111,18 @@ def q91_join_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(_ROOT, os.path.basename(os.path.normpath(sf_dir)))
     shutil.rmtree(root, ignore_errors=True)
     t = LakeTable.create(spark, root)
-    for i in range(_FILES):
-        t.append(
-            orders.filter((F.col("o_custkey") / w).cast("long") == i)
-            .coalesce(1),
-            operation="load_cluster",
-        )
+    # one clustered commit — same 15 per-band files (and footer stats /
+    # blooms) the old 15-iteration append loop produced, in ONE Spark
+    # job + ONE snapshot (r14: the loop serialized 15 full commit
+    # cycles; the band filter bound keeps the historical behavior of
+    # dropping any row past the last band)
+    band = (F.col("o_custkey") / w).cast("long")
+    t.append_clustered(
+        orders.filter(band.between(0, _FILES - 1)),
+        band,
+        _FILES,
+        operation="load_cluster",
+    )
     dim = customer.filter(F.expr(_DIM_PRED))
 
     # stats-only pruning (pre-bloom), then the full runtime filter

@@ -68,16 +68,23 @@ def q60_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(_ROOT, os.path.basename(os.path.normpath(sf_dir)))
     shutil.rmtree(root, ignore_errors=True)
     t = LakeTable.create(spark, root)
-    # one append (= one file with its own stats) per contiguous time
-    # slice — the shape a daily ingest produces naturally
-    for i in range(_N_BATCHES):
-        s = lo_us + (hi_us - lo_us) * i // _N_BATCHES
-        e = lo_us + (hi_us - lo_us) * (i + 1) // _N_BATCHES
-        batch = events.filter(
-            (F.unix_micros("ts") >= s)
-            & ((F.unix_micros("ts") < e) | F.lit(i == _N_BATCHES - 1))
-        )
-        t.append(batch.coalesce(1), operation=f"slice_{i}")
+    # one file with its own stats per contiguous time slice — the
+    # shape a daily ingest produces naturally. r14: the slice index is
+    # computed as a closed-form expression (count of slice starts at or
+    # below the event time — exactly the [s_i, s_i+1) membership the
+    # old per-slice filter loop expressed), so the load is ONE
+    # clustered commit instead of _N_BATCHES sequential ones; per-file
+    # row sets, and so footer stats, are identical.
+    starts = [
+        lo_us + (hi_us - lo_us) * i // _N_BATCHES
+        for i in range(1, _N_BATCHES)
+    ]
+    slice_idx = sum(
+        (F.unix_micros("ts") >= s).cast("int") for s in starts
+    )
+    t.append_clustered(
+        events, slice_idx, _N_BATCHES, operation="load_slices"
+    )
 
     snap, planned = t.plan_files(where=[("ts", ">=", _us_to_dt(start_us))])
     hit = t.scan(where=[("ts", ">=", _us_to_dt(start_us))])
