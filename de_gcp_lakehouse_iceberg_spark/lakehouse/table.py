@@ -957,30 +957,44 @@ class LakeTable:
     def _scan_written(self, out_dir: str) -> list[FileEntry]:
         import pyarrow.parquet as pq
 
-        entries: list[FileEntry] = []
+        paths: list[str] = []
         for dirpath, _dirnames, filenames in os.walk(out_dir):
             for fn in filenames:
-                if not fn.endswith(".parquet"):
-                    continue
-                full = os.path.join(dirpath, fn)
-                rel = os.path.relpath(full, self.root)
-                # partition values from dir components k=v
-                part: dict[str, str] = {}
-                for comp in os.path.relpath(dirpath, out_dir).split(os.sep):
-                    if "=" in comp:
-                        k, v = comp.split("=", 1)
-                        part[k.removeprefix("_p_")] = v
-                meta = pq.ParquetFile(full).metadata
-                entries.append(
-                    FileEntry(
-                        path=rel,
-                        rows=meta.num_rows,
-                        bytes=os.path.getsize(full),
-                        partition=part,
-                        stats=_footer_stats(meta),
-                        rg_stats=_footer_rg_stats(meta),
-                    )
-                )
+                if fn.endswith(".parquet"):
+                    paths.append(os.path.join(dirpath, fn))
+
+        def _one(full: str) -> FileEntry:
+            rel = os.path.relpath(full, self.root)
+            # partition values from dir components k=v
+            part: dict[str, str] = {}
+            comps = os.path.relpath(os.path.dirname(full), out_dir)
+            for comp in comps.split(os.sep):
+                if "=" in comp:
+                    k, v = comp.split("=", 1)
+                    part[k.removeprefix("_p_")] = v
+            meta = pq.ParquetFile(full).metadata
+            return FileEntry(
+                path=rel,
+                rows=meta.num_rows,
+                bytes=os.path.getsize(full),
+                partition=part,
+                stats=_footer_stats(meta),
+                rg_stats=_footer_rg_stats(meta),
+            )
+
+        if len(paths) > 4:
+            # footer harvesting is per-file independent and I/O-bound
+            # (pyarrow releases the GIL on the footer read) — a
+            # partitioned load landing hundreds of files per commit
+            # was paying a serial driver loop here (r14, guide §6)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(16, len(paths))
+            ) as ex:
+                entries = list(ex.map(_one, paths))
+        else:
+            entries = [_one(p) for p in paths]
         return sorted(entries, key=lambda e: e.path)
 
     def _align_to_schema(self, df: DataFrame, schema_json: str) -> DataFrame:
@@ -1244,13 +1258,15 @@ class LakeTable:
                     written = self._reapply_mor_deletes(written, reapply)
                     # the rebase re-filtered the replacement rows, so
                     # removed-minus-added no longer equals the recorded
-                    # predicate's rows — changelog must fall back to
+                    # DML text's rows — changelog must fall back to
                     # the exact exceptAll diff for this commit
-                    if summary and "predicate" in summary:
+                    if summary and (
+                        "predicate" in summary or "assignments" in summary
+                    ):
                         summary = {
                             k: v
                             for k, v in summary.items()
-                            if k != "predicate"
+                            if k not in ("predicate", "assignments")
                         }
             kept = [f for f in prev.files if f.path not in removed]
             new_files = self._stamp_seq(list(written))

@@ -8,9 +8,11 @@ BEFORE committing to a quadratic cross-source dedup. The honest scale
 path is the sketch: ONE corpus pass builds 20 sketches of ≤k longs
 (`operators/sketches.kmv_sketch`), and the 190-pair overlap matrix is
 pure array arithmetic on those sketches — the corpus is never joined
-against itself. The exact pairwise intersection (a real key self-join)
-rides along at test scale as the verification column, exactly like
-q82's estimate-vs-exact shape.
+against itself. The exact pairwise intersection rides along at test
+scale as the verification column (q82's estimate-vs-exact shape); r14
+it derives from the same per-key source-set aggregation as everything
+else (set size ≤ #sources), so the whole query runs ONE substantial
+shuffle and zero self-joins.
 
 Trigram keys are engine-portable integers: per-token key
 (len·31 + first-codepoint, the `fingerprint` convention), folded into
@@ -69,31 +71,59 @@ def _trigram_keys(text):
 
 def trigram_keys_fast():
     """Arrow-batched trigram keys, bit-identical to `_trigram_keys`
-    (tests pin equality). Python ints are exact, so the polynomial
-    mod-arithmetic matches the JVM long path 1:1. Built lazily (the
-    decorator parses its DDL return type against the active session —
-    the repo-wide pandas_udf convention)."""
+    (tests pin equality). r14: the per-window polynomial fold is now a
+    vectorized int64 numpy pass over the whole batch (the old per-row
+    Python loop did 4 bigint ops per window) — the `_window_keys_batch`
+    pattern: per-token keys are laid out flat with two zero-pads after
+    each document, so every document's windows read its own tokens and
+    the out-of-range positions read the pad zeros, exactly the
+    `coalesce(try_element_at(...), 0)` convention of the Column form.
+    All intermediates stay < 2^52, so int64 numpy arithmetic is exact.
+    Built lazily (the decorator parses its DDL return type against the
+    active session — the repo-wide pandas_udf convention)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<long>")
     def _udf(texts):
+        import numpy as np
         import pandas as pd
 
-        def one(s: str):
-            toks = s.split(" ")
-            keys = [
-                len(w) * 31 + (ord(w[0]) if w else 0) for w in toks
+        tok_lists = [s.split(" ") for s in texts]
+        ndocs = len(tok_lists)
+        counts = np.fromiter(
+            (len(t) for t in tok_lists), dtype=np.int64, count=ndocs
+        )
+        total = int(counts.sum())
+        flat = np.fromiter(
+            (
+                len(w) * 31 + (ord(w[0]) if w else 0)
+                for t in tok_lists
+                for w in t
+            ),
+            dtype=np.int64,
+            count=total,
+        )
+        padded = np.zeros(total + 2 * ndocs, dtype=np.int64)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pstarts = np.concatenate(([0], np.cumsum(counts + 2)[:-1]))
+        for i in range(ndocs):
+            c = counts[i]
+            padded[pstarts[i]: pstarts[i] + c] = flat[
+                starts[i]: starts[i] + c
             ]
-            n = len(keys)
-            out = []
-            for i in range(max(n - 2, 1)):
-                t1 = keys[i]
-                t2 = keys[i + 1] if i + 1 < n else 0
-                t3 = keys[i + 2] if i + 2 < n else 0
-                out.append(((t1 * _B + t2) % _M * _B + t3) % _M)
-            return out
-
-        return pd.Series([one(s) for s in texts])
+        g = padded[:-2] * _B
+        np.add(g, padded[1:-1], out=g)
+        np.remainder(g, _M, out=g)
+        np.multiply(g, _B, out=g)
+        np.add(g, padded[2:], out=g)
+        np.remainder(g, _M, out=g)
+        wcounts = np.maximum(counts - 2, 1)
+        return pd.Series(
+            [
+                g[pstarts[i]: pstarts[i] + wcounts[i]]
+                for i in range(ndocs)
+            ]
+        )
 
     return _udf
 
@@ -149,12 +179,22 @@ def q108_source_overlap_matrix(
     occ = docs.select(
         "source", F.explode(trigram_keys_fast()(F.col("text"))).alias("key")
     )
-    # Everything downstream derives from the ONE distinct (source, key)
-    # shuffle: KMV sketches only see distinct values anyway, so building
-    # them from dk lets Catalyst reuse the exchange across the sketch,
-    # per-source-count, and exact-intersection branches instead of
-    # re-running the keying UDF per branch.
-    dk_all = occ.distinct()
+    # ONE substantial shuffle for the whole query (r14, guide §2.4 —
+    # interleaved A/B: 1.9 s vs 3.6 s for the old distinct+self-join
+    # shape): occurrences aggregate straight to per-key source SETS
+    # (collect_set dedups map-side, so the exchange carries partially
+    # deduped rows; set size is bounded by #sources). Every downstream
+    # branch derives from `ks` without touching the corpus again:
+    # the distinct (source, key) pairs re-appear via explode (no
+    # shuffle), per-source counts and KMV partial min-k's aggregate
+    # map-side into tiny exchanges, and the exact pairwise
+    # intersections expand each set into its sorted pairs (≤ C(#src,2)
+    # structs per key) — the old dk ⋈ dk self-join shuffled the
+    # distinct pairs twice more on top of the distinct itself.
+    ks = occ.groupBy("key").agg(
+        F.array_sort(F.collect_set("source")).alias("ss")
+    )
+    dk_all = ks.select(F.explode("ss").alias("source"), "key")
     sk = kmv_sketch(dk_all, ["source"], "key", k=_K)
 
     srcs = sk.select("source")
@@ -171,13 +211,22 @@ def q108_source_overlap_matrix(
     ).select("src_a", "src_b", "hashes")
     ov = kmv_overlap(a_side, b_side, ["src_a", "src_b"], k=_K)
 
-    dk = dk_all
-    nd = dk.groupBy("source").agg(F.count("*").alias("c"))
+    nd = dk_all.groupBy("source").agg(F.count("*").alias("c"))
     inter = (
-        dk.select(F.col("source").alias("src_a"), "key")
-        .join(dk.select(F.col("source").alias("src_b"), "key"), "key")
-        .filter(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
+        ks.filter(F.size("ss") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (a, i) -> "
+                    "transform(slice(ss, i + 2, size(ss) - i - 1), "
+                    "b -> named_struct('src_a', a, 'src_b', b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(
+            F.col("p.src_a").alias("src_a"),
+            F.col("p.src_b").alias("src_b"),
+        )
         .agg(F.count("*").alias("i"))
     )
     return (
