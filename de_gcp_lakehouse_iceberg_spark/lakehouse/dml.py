@@ -78,6 +78,30 @@ def delete(table: LakeTable, predicate: Column | str) -> Snapshot:
     )
 
 
+def _update_replayable(
+    predicate: str, assignments: dict[str, str]
+) -> bool:
+    """True iff `changelog` can replay this UPDATE's net diff from the
+    recorded text alone. The sequential when-chain in `update` lets a
+    LATER assignment (and its pred evaluation) see columns already
+    rewritten by an EARLIER one; the filter-first replay sees original
+    values. Equivalence therefore requires that neither the predicate
+    nor any assignment expression references a column assigned EARLIER
+    in chain order (self-references see the pre-assignment value in
+    both forms and are fine). Identifier detection is a conservative
+    word match — a false hit merely skips the fast path."""
+    import re
+
+    earlier: list[str] = []
+    for name, expr in assignments.items():
+        for prev_name in earlier:
+            word = re.compile(rf"\b{re.escape(prev_name)}\b")
+            if word.search(expr) or word.search(predicate):
+                return False
+        earlier.append(name)
+    return True
+
+
 def update(
     table: LakeTable, assignments: dict[str, Column | str], predicate: Column | str
 ) -> Snapshot:
@@ -95,8 +119,30 @@ def update(
         rewritten = rewritten.withColumn(
             name, F.when(pred, new_val).otherwise(F.col(name))
         )
+    # All-text DML records itself in the commit summary so `changelog`
+    # can replay the net diff from the REMOVED files only (r14): the
+    # rewritten files are pred-false rows unchanged plus pred-true rows
+    # mapped, and multiset difference cancels the unchanged side
+    # analytically — (A ⊎ B) \ (C ⊎ B) = A \ C — so the feed is
+    # exceptAll over just the pred-true slice instead of both full file
+    # sets. Guarded by _update_replayable (chain-order visibility) and
+    # dropped by replace_files if a concurrent rebase re-filters the
+    # output (same rule as the delete fast path).
+    summary = None
+    if isinstance(predicate, str) and all(
+        isinstance(e, str) for e in assignments.values()
+    ):
+        if _update_replayable(predicate, dict(assignments)):
+            summary = {
+                "predicate": predicate,
+                "assignments": dict(assignments),
+            }
     return table.replace_files(
-        affected, rewritten, operation="update", expected_base=snap.version
+        affected,
+        rewritten,
+        operation="update",
+        summary=summary,
+        expected_base=snap.version,
     )
 
 
@@ -294,6 +340,52 @@ def changelog(table: LakeTable, from_version: int, to_version: int) -> DataFrame
                 F.lit(cur.timestamp_ms).alias("_change_timestamp"),
             )
             out = tagged if out is None else out.unionByName(tagged)
+            continue
+        if (
+            cur.operation == "update"
+            and cur.summary.get("predicate")
+            and cur.summary.get("assignments")
+        ):
+            # CoW update recorded as replayable text (dml.update): the
+            # added files are pred-false rows unchanged ⊎ pred-true
+            # rows mapped, and multiset difference cancels the
+            # unchanged slice analytically, so the net diff is
+            # exceptAll over ONLY the pred-true rows vs their mapped
+            # versions — removed files read once, added files never
+            # read, shuffle bytes ∝ updated rows instead of all rows
+            # of every affected file (r14). The when(true)/otherwise
+            # wrapper and the cast back to the scan schema reproduce
+            # update()'s type coercion and the writer's schema
+            # alignment bit-for-bit.
+            pred = F.coalesce(
+                F.expr(cur.summary["predicate"]), F.lit(False)
+            )
+            rp = table._read_files(prev, removed).filter(pred)
+            mapped = rp
+            for name, expr in cur.summary["assignments"].items():
+                mapped = mapped.withColumn(
+                    name,
+                    F.when(F.lit(True), F.expr(expr)).otherwise(
+                        F.col(name)
+                    ),
+                )
+            mapped = mapped.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in rp.schema.fields
+                ]
+            )
+            for piece, kind in (
+                (mapped.exceptAll(rp), "INSERT"),
+                (rp.exceptAll(mapped), "DELETE"),
+            ):
+                tagged = piece.select(
+                    "*",
+                    F.lit(kind).alias("_change_type"),
+                    F.lit(v).alias("_change_version"),
+                    F.lit(cur.timestamp_ms).alias("_change_timestamp"),
+                )
+                out = tagged if out is None else out.unionByName(tagged)
             continue
         add_df = table._read_files(cur, added) if added else None
         rem_df = table._read_files(prev, removed) if removed else None

@@ -74,6 +74,9 @@ _CONFIG = "ivm.json"
 # real dimension table.
 IVM_BROADCAST_MAX_BYTES = 64 << 20
 _DEC = "decimal(28,6)"
+# sum(decimal(28,6)) resolves to decimal(38,6); the two-phase re-sum is
+# pinned to the same type so the stored schema is unchanged
+_SUMDEC = "decimal(38,6)"
 _GB = "_gb"  # hidden group-hash bucket column (layout only)
 
 
@@ -147,49 +150,104 @@ class IncrementalRollup:
             "int"
         )
 
-    def _kmv(self, c: Column | str) -> Column:
-        """Per-group KMV sketch: the k smallest distinct portable hashes,
-        ascending. collect_set partial-aggregates map-side
-        (ObjectHashAggregate), so the per-group buffer bound matches an
-        exact COUNT(DISTINCT) — the sketch's payoff is the MAINTENANCE
-        (mergeable inserts, no-rescan refresh), not the bootstrap."""
-        col = F.col(c) if isinstance(c, str) else c
-        # cast pins containsNull=true: collect_set yields
-        # containsNull=false but the refresh-union/coalesce path yields
-        # true, and schema alignment can't narrow true→false — store
-        # the permissive form everywhere
-        return F.slice(
+    def _grouped_agg(
+        self,
+        df: DataFrame,
+        group_cols: list[str],
+        scalars: bool = True,
+        prefix: str = "",
+    ) -> DataFrame:
+        """TWO-PHASE (pid-salted) group aggregation — guide §2.5's
+        two-level aggregation for few-group rollups. Measured honestly
+        at gate scale (r14, interleaved A/B + stage-metric bytes): the
+        exchange BYTES are neutral vs the single-phase form (partial
+        collect_set dedups map-side either way, so phase 1's exchange
+        ships the same per-(map-partition, group) sets), and the extra
+        stage costs ~0.15 s locally. What the salt buys is BOUNDED
+        MERGE STATE: single-phase funnels every group's ENTIRE distinct
+        set into one reduce task (per-group state = |distinct(group)|
+        — the COUNT(DISTINCT)-class ceiling the r13 note accepted),
+        while here each (group, pid) cell merges only one map
+        partition's contribution and the final merge handles ≤
+        k·n_partitions bounded arrays per group (min-k of a union ==
+        min-k of the per-part min-k's — the `kmv_sketch` identity, so
+        sketches are bit-identical). With groups ≪ cores (q102: 5
+        priority groups) that is the difference between 5 unbounded
+        straggler tasks and a parallel, memory-capped merge. Scalar
+        aggregates ride the same two phases (count/sum/min/max are
+        associative; decimal sums are exact under re-association).
+        `prefix` names the output columns (the targeted recompute uses
+        `_f_`)."""
+        minset = lambda col: F.slice(  # noqa: E731
             F.array_sort(F.collect_set(id_hash(col))), 1, self.kmv_k
-        ).cast("array<long>")
-
-    def _aggs(self) -> list[Column]:
-        return [
-            F.count(F.lit(1)).alias("cnt"),
-            *[
-                F.sum(F.col(c).cast(_DEC)).alias(f"sum_{c}")
-                for c in self.sum_cols
-            ],
+        )
+        p1 = (
+            df.withColumn("_pid", F.spark_partition_id())
+            .groupBy(*group_cols, "_pid")
+            .agg(
+                *(
+                    [F.count(F.lit(1)).alias("_p_cnt")]
+                    + [
+                        F.sum(F.col(c).cast(_DEC)).alias(f"_p_sum_{c}")
+                        for c in self.sum_cols
+                    ]
+                    if scalars
+                    else []
+                ),
+                *[
+                    a
+                    for c in self.minmax_cols
+                    for a in (
+                        F.min(c).alias(f"_p_min_{c}"),
+                        F.max(c).alias(f"_p_max_{c}"),
+                    )
+                ],
+                *[
+                    minset(F.col(c)).alias(f"_p_kmv_{c}")
+                    for c in self.distinct_cols
+                ],
+            )
+        )
+        return p1.groupBy(*group_cols).agg(
+            *(
+                [F.sum("_p_cnt").alias(f"{prefix}cnt")]
+                + [
+                    F.sum(f"_p_sum_{c}")
+                    .cast(_SUMDEC)
+                    .alias(f"{prefix}sum_{c}")
+                    for c in self.sum_cols
+                ]
+                if scalars
+                else []
+            ),
             *[
                 a
                 for c in self.minmax_cols
                 for a in (
-                    F.min(c).alias(f"min_{c}"),
-                    F.max(c).alias(f"max_{c}"),
+                    F.min(f"_p_min_{c}").alias(f"{prefix}min_{c}"),
+                    F.max(f"_p_max_{c}").alias(f"{prefix}max_{c}"),
                 )
             ],
             *[
-                self._kmv(c).alias(f"kmv_{c}")
+                F.slice(
+                    F.array_sort(
+                        F.array_distinct(
+                            F.flatten(F.collect_list(f"_p_kmv_{c}"))
+                        )
+                    ),
+                    1,
+                    self.kmv_k,
+                )
+                .cast("array<long>")
+                .alias(f"{prefix}kmv_{c}")
                 for c in self.distinct_cols
             ],
-        ]
+        )
 
     def _full_compute(self, base: LakeTable) -> DataFrame:
-        return (
-            base.scan()
-            .groupBy(*self.group_cols)
-            .agg(*self._aggs())
-            .withColumn(_GB, self._bucket())
-        )
+        return self._grouped_agg(
+            base.scan(), self.group_cols
+        ).withColumn(_GB, self._bucket())
 
     # -- source abstraction (overridden by JoinRollup) -----------------
     def _source_cursor(self):
@@ -481,23 +539,11 @@ class IncrementalRollup:
         for c in self.group_cols:
             eq = b[c].eqNullSafe(keys[f"_k_{c}"])
             cond = eq if cond is None else (cond & eq)
-        fresh = (
-            b.join(keys, cond, "inner")
-            .groupBy(*[f"_k_{c}" for c in self.group_cols])
-            .agg(
-                *[
-                    a
-                    for c in self.minmax_cols
-                    for a in (
-                        F.min(c).alias(f"_f_min_{c}"),
-                        F.max(c).alias(f"_f_max_{c}"),
-                    )
-                ],
-                *[
-                    self._kmv(c).alias(f"_f_kmv_{c}")
-                    for c in self.distinct_cols
-                ],
-            )
+        fresh = self._grouped_agg(
+            b.join(keys, cond, "inner"),
+            [f"_k_{c}" for c in self.group_cols],
+            scalars=False,
+            prefix="_f_",
         )
         rcond = None
         for c in self.group_cols:
@@ -653,12 +699,9 @@ class JoinRollup(IncrementalRollup):
 
     def _full_compute(self, handle) -> DataFrame:
         fact, dim = handle
-        return (
-            self._joined(fact.scan(), dim.scan())
-            .groupBy(*self.group_cols)
-            .agg(*self._aggs())
-            .withColumn(_GB, self._bucket())
-        )
+        return self._grouped_agg(
+            self._joined(fact.scan(), dim.scan()), self.group_cols
+        ).withColumn(_GB, self._bucket())
 
     def _change_rows(self, handle, last, cur) -> DataFrame:
         fact, dim = handle

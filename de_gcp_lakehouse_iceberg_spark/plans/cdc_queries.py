@@ -66,7 +66,10 @@ def q63_cdc_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey", F.col("s_suppkey") + 100_000
         )
     )
-    dml.update(src, {"s_acctbal": F.col("s_acctbal") + 1}, "s_nationkey < 5")
+    # all-text UPDATE so changelog() replays its net diff from the
+    # removed files' pred-true slice (r14 fast path) instead of a
+    # two-sided exceptAll over every affected file's full row set
+    dml.update(src, {"s_acctbal": "s_acctbal + 1"}, "s_nationkey < 5")
     dml.delete(src, "s_suppkey % 7 = 0")
 
     feed = dml.changelog(src, v0, src.current_version())

@@ -275,3 +275,81 @@ def test_apply_changelog_map_payload_falls_back(spark, tmp_path):
     dml.apply_changelog(replica, feed, key_cols=["id"])
     rows = replica.scan().collect()
     assert len(rows) == 1 and dict(rows[0].meta) == {"a": 2}
+
+
+def _feed_rows(t, v0):
+    feed = dml.changelog(t, v0, t.current_version())
+    return sorted(
+        tuple(r)
+        for r in feed.select(
+            "key", "bucket", "amount", "_change_type", "_change_version"
+        ).collect()
+    )
+
+
+def test_update_changelog_fast_path_equals_generic(spark, tmp_path):
+    """The r14 all-text UPDATE fast path (net diff replayed from the
+    removed files' pred-true slice) must emit the EXACT feed the
+    generic two-sided exceptAll path produces — including cancelling
+    no-op assignments (rows the expression maps to themselves)."""
+    rows = [(i, i % 3, float(min(i, 6))) for i in range(12)]
+    feeds = {}
+    for mode in ("text", "column"):
+        t = LakeTable.create(spark, str(tmp_path / mode))
+        t.append(
+            spark.createDataFrame(
+                rows, "key long, bucket long, amount double"
+            )
+        )
+        v0 = t.current_version()
+        if mode == "text":
+            # greatest(amount, 4): rows with amount >= 4 are no-ops
+            # that multiset-cancel in the generic path — the fast
+            # path must cancel them identically
+            dml.update(
+                t, {"amount": "greatest(amount, 4.0)"}, "bucket = 1"
+            )
+            assert t.snapshot().summary.get("assignments"), (
+                "text UPDATE should record the replayable fast path"
+            )
+        else:
+            dml.update(
+                t,
+                {"amount": F.greatest(F.col("amount"), F.lit(4.0))},
+                F.col("bucket") == 1,
+            )
+            assert not t.snapshot().summary.get("assignments")
+        feeds[mode] = _feed_rows(t, v0)
+    assert feeds["text"] == feeds["column"]
+    # sanity: the no-op rows (amount already >= 4) are absent — of
+    # bucket==1 keys {1,4,7,10} only key 1 (amount 1.0) changes
+    changed_keys = {r[0] for r in feeds["text"]}
+    assert changed_keys == {1}
+
+
+def test_update_chain_order_visibility_skips_fast_path(spark, tmp_path):
+    """A later assignment reading an earlier-assigned column (chain
+    visibility) is NOT text-replayable — update() must fall back to
+    the generic diff, and the feed must still match the sequential
+    when-chain semantics."""
+    t = LakeTable.create(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, 1, 1.0), (2, 1, 2.0), (3, 0, 3.0)],
+            "key long, bucket long, amount double",
+        )
+    )
+    v0 = t.current_version()
+    dml.update(
+        t,
+        {"amount": "amount + 10", "bucket": "CAST(amount AS LONG)"},
+        "bucket = 1",
+    )
+    assert not t.snapshot().summary.get("assignments"), (
+        "chain-visible assignment must not record the fast path"
+    )
+    # bucket sees the UPDATED amount (sequential when-chain semantics)
+    got = sorted(tuple(r) for r in t.scan().collect())
+    assert got == [(1, 11, 11.0), (2, 12, 12.0), (3, 0, 3.0)]
+    feed = _feed_rows(t, v0)
+    assert {r[0] for r in feed} == {1, 2}
