@@ -279,6 +279,47 @@ def merge(
     )
 
 
+def _net_diff_feed(
+    plus: DataFrame, minus: DataFrame, v: int, ts_ms: int
+) -> DataFrame:
+    """Fused two-sided multiset diff — the exact feed
+    `plus.exceptAll(minus)` tagged INSERT unioned with
+    `minus.exceptAll(plus)` tagged DELETE, computed in ONE aggregation.
+
+    Spark itself rewrites EXCEPT ALL as a ±1-tagged union, a count
+    aggregation, and row replication (RewriteExceptAll), so running two
+    of them costs two shuffles and scans every input twice. Tagging
+    once with +1/−1 and keeping BOTH signs of the net count yields the
+    identical multiset — per row value, exceptAll emits
+    max(0, n_plus − n_minus) INSERTs and max(0, n_minus − n_plus)
+    DELETEs, which is exactly |net| rows of the net's sign — from one
+    shuffle and one scan of each side (r14, guide §2.3/§2.4: the
+    changelog diff was the dominant shuffle of every IVM/CDC lifecycle
+    query)."""
+    cols = plus.columns
+    tagged = plus.select(*cols, F.lit(1).alias("_sgn")).unionByName(
+        minus.select(*cols, F.lit(-1).alias("_sgn"))
+    )
+    net = (
+        tagged.groupBy(*cols)
+        .agg(F.sum("_sgn").alias("_net"))
+        .filter(F.col("_net") != 0)
+    )
+    return net.select(
+        *cols,
+        F.explode(
+            F.array_repeat(
+                F.when(F.col("_net") > 0, F.lit("INSERT")).otherwise(
+                    F.lit("DELETE")
+                ),
+                F.abs(F.col("_net")).cast("int"),
+            )
+        ).alias("_change_type"),
+        F.lit(v).alias("_change_version"),
+        F.lit(ts_ms).alias("_change_timestamp"),
+    )
+
+
 def changelog(table: LakeTable, from_version: int, to_version: int) -> DataFrame:
     """Row-level change feed between snapshots (S6): per intermediate
     commit, reads only the files that entered/left the snapshot (manifest
@@ -375,27 +416,11 @@ def changelog(table: LakeTable, from_version: int, to_version: int) -> DataFrame
                     for f in rp.schema.fields
                 ]
             )
-            for piece, kind in (
-                (mapped.exceptAll(rp), "INSERT"),
-                (rp.exceptAll(mapped), "DELETE"),
-            ):
-                tagged = piece.select(
-                    "*",
-                    F.lit(kind).alias("_change_type"),
-                    F.lit(v).alias("_change_version"),
-                    F.lit(cur.timestamp_ms).alias("_change_timestamp"),
-                )
-                out = tagged if out is None else out.unionByName(tagged)
+            tagged = _net_diff_feed(mapped, rp, v, cur.timestamp_ms)
+            out = tagged if out is None else out.unionByName(tagged)
             continue
         add_df = table._read_files(cur, added) if added else None
         rem_df = table._read_files(prev, removed) if removed else None
-        if add_df is not None and rem_df is not None:
-            inserts = add_df.exceptAll(rem_df)
-            deletes = rem_df.exceptAll(add_df)
-        elif add_df is not None:
-            inserts, deletes = add_df, None
-        else:
-            inserts, deletes = None, rem_df
 
         def _tag(df: DataFrame, kind: str) -> DataFrame:
             return df.select(
@@ -405,11 +430,13 @@ def changelog(table: LakeTable, from_version: int, to_version: int) -> DataFrame
                 F.lit(cur.timestamp_ms).alias("_change_timestamp"),
             )
 
-        for piece, kind in ((inserts, "INSERT"), (deletes, "DELETE")):
-            if piece is None:
-                continue
-            tagged = _tag(piece, kind)
-            out = tagged if out is None else out.unionByName(tagged)
+        if add_df is not None and rem_df is not None:
+            tagged = _net_diff_feed(add_df, rem_df, v, cur.timestamp_ms)
+        elif add_df is not None:
+            tagged = _tag(add_df, "INSERT")
+        else:
+            tagged = _tag(rem_df, "DELETE")
+        out = tagged if out is None else out.unionByName(tagged)
     if out is None:
         raise ValueError("no changes between requested versions")
     return out
