@@ -353,3 +353,52 @@ def test_update_chain_order_visibility_skips_fast_path(spark, tmp_path):
     assert got == [(1, 11, 11.0), (2, 12, 12.0), (3, 0, 3.0)]
     feed = _feed_rows(t, v0)
     assert {r[0] for r in feed} == {1, 2}
+
+
+def test_net_diff_feed_equals_two_sided_exceptall(spark):
+    """The fused changelog diff (r14: one signed aggregation) must emit
+    the exact multiset of the two-sided exceptAll form — including
+    duplicate-row multiplicities and NULL key values, the cases where a
+    naive row-wise diff diverges."""
+    from de_gcp_lakehouse_iceberg_spark.lakehouse.dml import _net_diff_feed
+
+    plus = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "a"), (2, "b"), (None, "n"), (4, None)],
+        "k int, s string",
+    )
+    minus = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b"), (None, "n"), (5, "x")],
+        "k int, s string",
+    )
+
+    fused = _net_diff_feed(plus, minus, 7, 1234)
+    ref_ins = plus.exceptAll(minus).select(
+        "*",
+        F.lit("INSERT").alias("_change_type"),
+        F.lit(7).alias("_change_version"),
+        F.lit(1234).alias("_change_timestamp"),
+    )
+    ref_del = minus.exceptAll(plus).select(
+        "*",
+        F.lit("DELETE").alias("_change_type"),
+        F.lit(7).alias("_change_version"),
+        F.lit(1234).alias("_change_timestamp"),
+    )
+    ref = ref_ins.unionByName(ref_del)
+
+    key = lambda r: tuple(  # noqa: E731
+        "<null>" if v is None else v for v in r
+    )
+    got = sorted(key(r) for r in fused.collect())
+    want = sorted(key(r) for r in ref.collect())
+    assert got == want
+    # the worked example: +1a net +2 INSERTs, 2b net -1 DELETE,
+    # nulls cancel, one-sided rows pass through
+    types = {}
+    for r in fused.collect():
+        types.setdefault((r["k"], r["s"]), []).append(r["_change_type"])
+    assert sorted(types[(1, "a")]) == ["INSERT", "INSERT"]
+    assert types[(2, "b")] == ["DELETE"]
+    assert (None, "n") not in types
+    assert types[(4, None)] == ["INSERT"]
+    assert types[(5, "x")] == ["DELETE"]
