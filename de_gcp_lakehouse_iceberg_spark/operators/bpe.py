@@ -42,9 +42,12 @@ _M2 = chr(2)  # symbol start marker
 _M3 = chr(3)  # symbol end marker
 
 
-def _pair_counts(seqs: DataFrame) -> DataFrame:
-    """Adjacent symbol pairs of every word sequence, weighted by word
-    frequency. Overlapping adjacents all count (zip convention)."""
+def _pair_rows(seqs: DataFrame) -> DataFrame:
+    """Un-aggregated adjacent symbol pairs (lhs, rhs, freq) of every
+    word sequence — the explode feeding `_pair_counts`' aggregation
+    (split out in r15 so the incremental sequential learner can merge
+    delta pair rows and the standing count table in ONE aggregation).
+    Overlapping adjacents all count (zip convention)."""
     inner = F.expr(f"trim(LEADING '{_M2}' FROM trim(TRAILING '{_M3}' FROM seq))")
     arr = F.split(inner, _M3 + _M2)
     toks = seqs.select(arr.alias("t"), "freq").filter(F.size("t") >= 2)
@@ -52,9 +55,17 @@ def _pair_counts(seqs: DataFrame) -> DataFrame:
         F.slice("t", 1, F.size("t") - 1).alias("a"),
         F.slice("t", 2, F.size("t") - 1).alias("b"),
     )
+    return toks.select(F.explode(zipped).alias("p"), "freq").select(
+        F.col("p.a").alias("lhs"), F.col("p.b").alias("rhs"), F.col("freq")
+    )
+
+
+def _pair_counts(seqs: DataFrame) -> DataFrame:
+    """Adjacent symbol pairs of every word sequence, weighted by word
+    frequency. Overlapping adjacents all count (zip convention)."""
     return (
-        toks.select(F.explode(zipped).alias("p"), "freq")
-        .groupBy(F.col("p.a").alias("lhs"), F.col("p.b").alias("rhs"))
+        _pair_rows(seqs)
+        .groupBy("lhs", "rhs")
         .agg(F.sum("freq").alias("pair_count"))
     )
 
@@ -118,6 +129,18 @@ def select_compatible_merges(
     return accepted
 
 
+# The sequential learner's size gate (r15, guide §8 — decide with
+# small rows): the unique-word table is vocabulary-sized (Heaps' law),
+# and when it fits comfortably on the driver the 8-style merge loop is
+# pure per-iteration JOB OVERHEAD on a cluster (measured at sf0.1: a
+# 31-word vocabulary still paid ~0.42 s of scheduling per iteration).
+# Below the gate the loop runs on the COLLECTED (seq, freq) pairs —
+# the k-means-centroid-collect posture; bounded: 131072 words × ~100 B
+# ≈ 13 MB of driver state. Above it, the distributed incremental
+# learner keeps cluster-sized vocabularies cluster-resident.
+DRIVER_VOCAB_MAX_WORDS = 131_072
+
+
 def bpe_learn(
     spark: SparkSession,
     docs: DataFrame,
@@ -125,6 +148,7 @@ def bpe_learn(
     n_merges: int = 8,
     checkpoint_every: int = 32,
     merges_per_pass: int = 1,
+    driver_vocab_max: int = DRIVER_VOCAB_MAX_WORDS,
 ) -> DataFrame:
     """Learn `n_merges` BPE merges over the corpus. Returns a small
     DataFrame (step, lhs, rhs, pair_count, tokens_after) where
@@ -154,21 +178,38 @@ def bpe_learn(
       the same pass would have out-ranked a later one — rare on natural
       text and bounded by M; `merges_per_pass=1` (default) is exactly
       sequential BPE and is what the q106 driver gate runs.
+    - `driver_vocab_max` (r15): sequential learning over a vocabulary
+      at most this many unique words collects the (seq, freq) table
+      and runs the merge loop on the driver — results IDENTICAL by
+      construction (Python `str.replace` is the same greedy
+      left-to-right non-overlapping rewrite as Spark's `replace()`,
+      tuple ordering matches the struct-MIN tie-break because UTF-8
+      byte order preserves code-point order; pinned by
+      test_driver_route_equals_distributed). 0 forces the distributed
+      incremental learner.
     """
     words = word_frequencies(docs, text_col)
     seqs = words.select(
         F.regexp_replace("word", "(.)", _M2 + "$1" + _M3).alias("seq"),
         "freq",
     ).persist()
-    # One job materializes the base AND yields the corpus word count.
-    total_freq = int(
-        seqs.agg(F.sum("freq").alias("f")).collect()[0]["f"] or 0
-    )
+    # One job materializes the base AND yields the corpus word count
+    # plus the vocabulary size the driver-route gate needs.
+    first = seqs.agg(
+        F.sum("freq").alias("f"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    total_freq = int(first["f"] or 0)
+    n_words = int(first["n"])
     try:
         if merges_per_pass > 1:
             rows = _learn_batched(
                 seqs, total_freq, n_merges, checkpoint_every, merges_per_pass
             )
+        elif n_words <= driver_vocab_max:
+            pairs = [
+                (r["seq"], int(r["freq"])) for r in seqs.collect()
+            ]
+            rows = _learn_sequential_local(pairs, total_freq, n_merges)
         else:
             rows = _learn_sequential(
                 seqs, total_freq, n_merges, checkpoint_every
@@ -182,25 +223,103 @@ def bpe_learn(
     )
 
 
+def _word_pairs(seq: str) -> list[tuple[str, str]]:
+    """A word's adjacent symbol pairs — the Python mirror of
+    `_pair_rows`' trim + split (lstrip/rstrip strip ALL leading
+    markers, exactly SQL trim(LEADING/TRAILING ...))."""
+    syms = seq.lstrip(_M2).rstrip(_M3).split(_M3 + _M2)
+    return list(zip(syms, syms[1:]))
+
+
+def _learn_sequential_local(
+    pairs: list[tuple[str, int]], total_freq: int, n_merges: int
+) -> list[tuple]:
+    """Driver-side sequential merge loop over the collected vocabulary
+    (the size-gated route — see bpe_learn). Pair counts are maintained
+    INCREMENTALLY: a merge re-counts only the words containing its
+    pattern, subtracting their old pairs and adding the rewritten ones
+    — the same delta identity the distributed learner uses. All
+    arithmetic is exact integers; the tie-break tuple
+    (-count, lhs, rhs) is the struct-MIN order."""
+    rows: list[tuple] = []
+    cur = list(pairs)
+    counts: dict[tuple[str, str], int] = {}
+    for seq, freq in cur:
+        for p in _word_pairs(seq):
+            counts[p] = counts.get(p, 0) + freq
+    pending = None
+    for step in range(n_merges + 1):
+        live = {p: c for p, c in counts.items() if c != 0}
+        tokens_now = sum(live.values()) + total_freq
+        if pending is not None:
+            rows.append((*pending, tokens_now))
+        if step == n_merges or not live:
+            break
+        (lhs, rhs), cnt = min(
+            live.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        pending = (step, lhs, rhs, cnt)
+        pat, rep = _pat(lhs, rhs)
+        for i, (seq, freq) in enumerate(cur):
+            if pat not in seq:
+                continue
+            for p in _word_pairs(seq):
+                counts[p] -= freq
+            new_seq = seq.replace(pat, rep)
+            for p in _word_pairs(new_seq):
+                counts[p] = counts.get(p, 0) + freq
+            cur[i] = (new_seq, freq)
+    return rows
+
+
 def _learn_sequential(
     seqs: DataFrame, total_freq: int, n_merges: int, checkpoint_every: int
 ) -> list[tuple]:
-    # Per iteration, ONE aggregate over the pair table yields both the
-    # winning merge — min of (-count, lhs, rhs) is argmax with the
-    # (count DESC, lhs ASC, rhs ASC) tie-break — and the total pair
-    # weight. Since every word's symbol count is its adjacent-pair
-    # count + 1, corpus tokens = total pair weight + total word
-    # frequency EXACTLY, so the previous iteration's tokens_after falls
-    # out of this iteration's aggregate for free (one extra iteration
-    # closes the last merge). The oracle recomputes tokens_after from
-    # string lengths — an independent path onto the same integers.
+    # INCREMENTAL pair-count maintenance (r15, guide §2.3): only words
+    # containing the winning pattern change between iterations, so the
+    # standing (lhs, rhs, pair_count) table is kept as a checkpointed
+    # state and each iteration merges a DELTA — the pair rows of the
+    # affected words' rewritten form (+freq) minus their old form
+    # (−freq) — instead of re-exploding and re-shuffling the whole
+    # vocabulary. Exact by construction: recounting an affected word's
+    # pairs before/after the same greedy replace() is precisely the
+    # full recount restricted to the rows that changed; net-zero pairs
+    # are dropped so the table always equals a from-scratch
+    # `_pair_counts(cur)` (the pure-Python replay in tests/test_bpe.py
+    # and the q106 DuckDB oracle pin this).
+    #
+    # Per iteration, ONE eager job (the state checkpoint) also yields —
+    # as Observation metrics riding the same job, the dedup.py CC
+    # pattern — both the winning merge (min of (-count, lhs, rhs) is
+    # argmax with the (count DESC, lhs ASC, rhs ASC) tie-break) and the
+    # total pair weight. Since every word's symbol count is its
+    # adjacent-pair count + 1, corpus tokens = total pair weight +
+    # total word frequency EXACTLY, so the previous iteration's
+    # tokens_after falls out of this iteration's metrics for free (one
+    # extra iteration closes the last merge). The oracle recomputes
+    # tokens_after from string lengths — an independent path onto the
+    # same integers.
+    from pyspark.sql import Observation
+
     rows: list[tuple] = []
     pending = None  # (step, lhs, rhs, count) awaiting its tokens_after
     cur = seqs
+    pc: DataFrame | None = None  # checkpointed standing pair counts
+    delta: DataFrame | None = None  # signed pair rows of affected words
     for step in range(n_merges + 1):
-        agg = (
-            _pair_counts(cur)
-            .agg(
+        if pc is None:
+            upd = _pair_rows(cur)  # first iteration: full count
+        else:
+            upd = pc.select(
+                "lhs", "rhs", F.col("pair_count").alias("freq")
+            ).unionByName(delta)
+        obs = Observation()
+        pc = (
+            upd.groupBy("lhs", "rhs")
+            .agg(F.sum("freq").alias("pair_count"))
+            .filter(F.col("pair_count") != 0)
+            .observe(
+                obs,
                 F.min(
                     F.struct(
                         (-F.col("pair_count")).alias("negc"),
@@ -210,8 +329,9 @@ def _learn_sequential(
                 ).alias("best"),
                 F.sum("pair_count").alias("pw"),
             )
-            .collect()[0]
+            .localCheckpoint()  # eager, so obs.get below is safe
         )
+        agg = obs.get
         tokens_now = int(agg["pw"] or 0) + total_freq
         if pending is not None:
             rows.append((*pending, tokens_now))
@@ -221,6 +341,28 @@ def _learn_sequential(
         cnt = -int(agg["best"]["negc"])
         pending = (step, lhs, rhs, cnt)
         pat, rep = _pat(lhs, rhs)
+        # ONE scan of the (persisted) word table builds the delta: each
+        # affected word contributes its rewritten pairs at +freq and
+        # its old pairs at −freq (a single explode over both forms).
+        aff = cur.filter(F.locate(pat, F.col("seq")) > 0)
+        delta = _pair_rows(
+            aff.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.replace(
+                                F.col("seq"), F.lit(pat), F.lit(rep)
+                            ).alias("seq"),
+                            F.col("freq").alias("freq"),
+                        ),
+                        F.struct(
+                            F.col("seq").alias("seq"),
+                            (-F.col("freq")).alias("freq"),
+                        ),
+                    )
+                ).alias("x")
+            ).select("x.seq", "x.freq")
+        )
         cur = cur.select(
             F.replace(F.col("seq"), F.lit(pat), F.lit(rep)).alias("seq"),
             "freq",
