@@ -27,6 +27,31 @@ def _as_col(pred: Column | str) -> Column:
     return F.expr(pred) if isinstance(pred, str) else pred
 
 
+# Functions whose presence makes a recorded predicate/assignment text
+# non-replayable: re-evaluating them at changelog time yields DIFFERENT
+# values than the DML evaluated at commit time (r14 VERDICT #6).
+# Conservative word-level match — a false hit merely skips a fast path.
+_NONDET_FUNCS = (
+    "rand", "randn", "random", "uuid", "shuffle",
+    "current_timestamp", "current_date", "current_timezone", "now",
+    "localtimestamp", "unix_timestamp", "unix_micros", "unix_millis",
+    "monotonically_increasing_id", "spark_partition_id",
+    "input_file_name", "session_user", "current_user", "user",
+)
+import re as _re
+
+_NONDET_RE = _re.compile(
+    r"\b(" + "|".join(_NONDET_FUNCS) + r")\s*\(", _re.IGNORECASE
+)
+
+
+def _deterministic_text(*exprs: str) -> bool:
+    """True iff none of the SQL texts call a non-deterministic or
+    time/context-dependent function, so replaying the text later
+    reproduces the values the DML wrote."""
+    return not any(_NONDET_RE.search(e) for e in exprs)
+
+
 def _rel_paths(table: LakeTable, abs_paths: list[str]) -> list[str]:
     out = []
     for p in abs_paths:
@@ -67,7 +92,9 @@ def delete(table: LakeTable, predicate: Column | str) -> Snapshot:
     # rebase re-filtered the output, where the identity no longer
     # holds).
     summary = (
-        {"predicate": predicate} if isinstance(predicate, str) else None
+        {"predicate": predicate}
+        if isinstance(predicate, str) and _deterministic_text(predicate)
+        else None
     )
     return table.replace_files(
         affected,
@@ -131,7 +158,7 @@ def update(
     summary = None
     if isinstance(predicate, str) and all(
         isinstance(e, str) for e in assignments.values()
-    ):
+    ) and _deterministic_text(predicate, *assignments.values()):
         if _update_replayable(predicate, dict(assignments)):
             summary = {
                 "predicate": predicate,
@@ -297,22 +324,37 @@ def _net_diff_feed(
     changelog diff was the dominant shuffle of every IVM/CDC lifecycle
     query)."""
     cols = plus.columns
-    tagged = plus.select(*cols, F.lit(1).alias("_sgn")).unionByName(
-        minus.select(*cols, F.lit(-1).alias("_sgn"))
+    sgn = _uniq("_sgn", cols)
+    net = _uniq("_net", [*cols, sgn])
+    tagged = plus.select(*cols, F.lit(1).alias(sgn)).unionByName(
+        minus.select(*cols, F.lit(-1).alias(sgn))
     )
-    net = (
+    netted = (
         tagged.groupBy(*cols)
-        .agg(F.sum("_sgn").alias("_net"))
-        .filter(F.col("_net") != 0)
+        .agg(F.sum(sgn).alias(net))
+        .filter(F.col(net) != 0)
     )
-    return net.select(
+    # replication count stays long until the cast; a multiplicity past
+    # int range raises instead of silently wrapping (r14 ADVICE) —
+    # 2^31 duplicates of ONE row value is a degenerate changelog no
+    # consumer could replay anyway
+    n_rep = F.when(
+        F.abs(F.col(net)) > F.lit(2147483647),
+        F.raise_error(
+            F.lit(
+                "changelog: net row multiplicity exceeds int range — "
+                "the change feed cannot replicate one value 2^31 times"
+            )
+        ).cast("int"),
+    ).otherwise(F.abs(F.col(net)).cast("int"))
+    return netted.select(
         *cols,
         F.explode(
             F.array_repeat(
-                F.when(F.col("_net") > 0, F.lit("INSERT")).otherwise(
+                F.when(F.col(net) > 0, F.lit("INSERT")).otherwise(
                     F.lit("DELETE")
                 ),
-                F.abs(F.col("_net")).cast("int"),
+                n_rep,
             )
         ).alias("_change_type"),
         F.lit(v).alias("_change_version"),
@@ -320,13 +362,111 @@ def _net_diff_feed(
     )
 
 
-def changelog(table: LakeTable, from_version: int, to_version: int) -> DataFrame:
+def _uniq(base: str, taken) -> str:
+    """A helper-column name that cannot collide with user columns."""
+    name = base
+    taken = set(taken)
+    while name in taken:
+        name = "_" + name
+    return name
+
+
+def _net_diff_feed_weighted(
+    plus: DataFrame, minus: DataFrame, v: int, ts_ms: int
+) -> DataFrame:
+    """The `columns=`-projected form of `_net_diff_feed`: ONE signed
+    aggregation over the projected inputs, emitting ONE row per
+    distinct value with `_n` = |net| (the replicated-feed multiplicity)
+    and `_gross` = n₊ + n₋ (how many input rows of both sides carried
+    the value — the uncancelled feed size, which IVM reports as
+    delta_rows). Values whose net is zero are KEPT (with _n = 0) so
+    Σ_gross equals the projected inputs' total row count exactly; a
+    weighted consumer must scale every per-row contribution by `_n`."""
+    cols = plus.columns
+    sgn = _uniq("_sgn", cols)
+    net = _uniq("_net", [*cols, sgn])
+    gross = _uniq("_gross0", [*cols, sgn, net])
+    tagged = plus.select(*cols, F.lit(1).alias(sgn)).unionByName(
+        minus.select(*cols, F.lit(-1).alias(sgn))
+    )
+    return (
+        tagged.groupBy(*cols)
+        .agg(
+            F.sum(sgn).alias(net),
+            F.count(F.lit(1)).alias(gross),
+        )
+        .select(
+            *cols,
+            F.when(F.col(net) >= 0, F.lit("INSERT"))
+            .otherwise(F.lit("DELETE"))
+            .alias("_change_type"),
+            F.lit(v).alias("_change_version"),
+            F.lit(ts_ms).alias("_change_timestamp"),
+            F.abs(F.col(net)).cast("long").alias("_n"),
+            F.col(gross).cast("long").alias("_gross"),
+        )
+    )
+
+
+def changelog(
+    table: LakeTable,
+    from_version: int,
+    to_version: int,
+    columns: list[str] | None = None,
+) -> DataFrame:
     """Row-level change feed between snapshots (S6): per intermediate
     commit, reads only the files that entered/left the snapshot (manifest
     set-diff — no full-table scan) and net-diffs them with exceptAll.
     Emits _change_type ('INSERT'/'DELETE'), _change_version,
     _change_timestamp — the Spark shape of BigQuery's _CHANGE_TYPE /
-    _CHANGE_TIMESTAMP pseudo-columns (PRD.md:956-972)."""
+    _CHANGE_TIMESTAMP pseudo-columns (PRD.md:956-972).
+
+    `columns` (r15, guide §2.3 — the IVM column-projection contract):
+    when given, every commit's inputs are projected to exactly these
+    columns BEFORE the net diff, so the parquet scans read (ReadSchema)
+    and the diff shuffles only what the consumer aggregates — the
+    wide-table win at 100 TB. The projected feed is WEIGHTED: one row
+    per distinct projected value per diffing commit, with `_n` = |net|
+    (the multiplicity the default feed would replicate) and `_gross` =
+    how many input rows carried the value (n₊ + n₋ for a diffing
+    commit — the default feed's row count whenever no two FULL rows
+    cancelled, e.g. every recorded-text fast-path commit). Net-zero
+    values ride along with _n = 0 so Σ_gross is exact. Projection can
+    cancel value-pairs the full-width diff kept apart, which is exact
+    for signed-multiset consumers (per projected value, the net count
+    is identical) — the IVM refresh is the intended consumer; CDC
+    replay (`apply_changelog`) needs full rows and key identity, so it
+    keeps the default feed."""
+    def _project(df: DataFrame) -> DataFrame:
+        return df.select(*columns) if columns is not None else df
+
+    def _tag1(df: DataFrame, kind: str, v: int, ts: int) -> DataFrame:
+        """Tag a filter/one-sided branch: every physical row is one
+        feed row (projection never changes a filter's row count), so
+        the weighted form carries _n = _gross = 1."""
+        base = _project(df).select(
+            "*",
+            F.lit(kind).alias("_change_type"),
+            F.lit(v).alias("_change_version"),
+            F.lit(ts).alias("_change_timestamp"),
+        )
+        if columns is not None:
+            base = base.select(
+                "*",
+                F.lit(1).cast("long").alias("_n"),
+                F.lit(1).cast("long").alias("_gross"),
+            )
+        return base
+
+    def _diff(
+        plus: DataFrame, minus: DataFrame, v: int, ts: int
+    ) -> DataFrame:
+        if columns is not None:
+            return _net_diff_feed_weighted(
+                _project(plus), _project(minus), v, ts
+            )
+        return _net_diff_feed(plus, minus, v, ts)
+
     out: DataFrame | None = None
     for v in range(from_version + 1, to_version + 1):
         prev = table.snapshot(v - 1)
@@ -347,12 +487,7 @@ def changelog(table: LakeTable, from_version: int, to_version: int) -> DataFrame
                 rows = table._read_files(
                     prev, [f.path for f in prev.files]
                 ).filter(F.coalesce(F.expr(pred), F.lit(False)))
-                tagged = rows.select(
-                    "*",
-                    F.lit("DELETE").alias("_change_type"),
-                    F.lit(v).alias("_change_version"),
-                    F.lit(cur.timestamp_ms).alias("_change_timestamp"),
-                )
+                tagged = _tag1(rows, "DELETE", v, cur.timestamp_ms)
                 out = tagged if out is None else out.unionByName(tagged)
             if cur.operation == "delete_mor":
                 continue
@@ -374,11 +509,11 @@ def changelog(table: LakeTable, from_version: int, to_version: int) -> DataFrame
             pred = F.coalesce(
                 F.expr(cur.summary["predicate"]), F.lit(False)
             )
-            tagged = table._read_files(prev, removed).filter(pred).select(
-                "*",
-                F.lit("DELETE").alias("_change_type"),
-                F.lit(v).alias("_change_version"),
-                F.lit(cur.timestamp_ms).alias("_change_timestamp"),
+            tagged = _tag1(
+                table._read_files(prev, removed).filter(pred),
+                "DELETE",
+                v,
+                cur.timestamp_ms,
             )
             out = tagged if out is None else out.unionByName(tagged)
             continue
@@ -416,26 +551,18 @@ def changelog(table: LakeTable, from_version: int, to_version: int) -> DataFrame
                     for f in rp.schema.fields
                 ]
             )
-            tagged = _net_diff_feed(mapped, rp, v, cur.timestamp_ms)
+            tagged = _diff(mapped, rp, v, cur.timestamp_ms)
             out = tagged if out is None else out.unionByName(tagged)
             continue
         add_df = table._read_files(cur, added) if added else None
         rem_df = table._read_files(prev, removed) if removed else None
 
-        def _tag(df: DataFrame, kind: str) -> DataFrame:
-            return df.select(
-                "*",
-                F.lit(kind).alias("_change_type"),
-                F.lit(v).alias("_change_version"),
-                F.lit(cur.timestamp_ms).alias("_change_timestamp"),
-            )
-
         if add_df is not None and rem_df is not None:
-            tagged = _net_diff_feed(add_df, rem_df, v, cur.timestamp_ms)
+            tagged = _diff(add_df, rem_df, v, cur.timestamp_ms)
         elif add_df is not None:
-            tagged = _tag(add_df, "INSERT")
+            tagged = _tag1(add_df, "INSERT", v, cur.timestamp_ms)
         else:
-            tagged = _tag(rem_df, "DELETE")
+            tagged = _tag1(rem_df, "DELETE", v, cur.timestamp_ms)
         out = tagged if out is None else out.unionByName(tagged)
     if out is None:
         raise ValueError("no changes between requested versions")

@@ -258,11 +258,28 @@ class IncrementalRollup:
         last = self.table.snapshot().summary["source_version"]
         return base, last, base.current_version()
 
+    def _needed_columns(self) -> list[str]:
+        """Exactly the source columns the rollup aggregates over — the
+        changelog projection contract (r15, guide §2.3): the feed's
+        parquet scans read and its diff shuffles only these."""
+        return list(
+            dict.fromkeys(
+                self.group_cols
+                + self.sum_cols
+                + self.minmax_cols
+                + self.distinct_cols
+            )
+        )
+
     def _change_rows(self, handle, last, cur) -> DataFrame:
-        """The signed row-change feed between the markers: rows with
-        `_change_type` (INSERT/DELETE) plus every column the rollup
-        aggregates over."""
-        return dml.changelog(handle, last, cur)
+        """The signed WEIGHTED row-change feed between the markers:
+        rows with `_change_type` (INSERT/DELETE), `_n` (multiplicity),
+        `_gross` (uncancelled input rows), plus every column the rollup
+        aggregates over — `dml.changelog`'s projected form, which scans
+        and shuffles only the aggregated columns (r15)."""
+        return dml.changelog(
+            handle, last, cur, columns=self._needed_columns()
+        )
 
     def _base_df_at(self, handle, cur) -> DataFrame:
         """The logical source relation PINNED at `cur` — what the
@@ -287,7 +304,20 @@ class IncrementalRollup:
                 "partitions_rewritten": 0,
             }
         ch = self._change_rows(base, last, cur)
+        # weighted feed (r15): `_n` is the multiplicity the replicated
+        # feed would carry (0 for values the projected diff cancelled —
+        # those ride only for `_gross`, the uncancelled input-row count
+        # reported as delta_rows), so every per-row contribution scales
+        # by _n and the value-level min/max/sketch terms ignore _n = 0
+        # rows. Per projected value the signed net is IDENTICAL to the
+        # full-width feed's, which is the whole correctness contract of
+        # abelian delta maintenance; the recompute triggers may only
+        # differ on values whose delete cancelled against an equal
+        # insert — exactly the case where the stored extremum/sketch is
+        # provably unchanged either way.
         is_ins = F.col("_change_type") == "INSERT"
+        w = F.col("_n")
+        live = w > 0
         sign = F.when(is_ins, F.lit(1)).otherwise(F.lit(-1))
         # the change-row count rides the deltas aggregation instead of
         # a separate ch.count(): the changelog feed is a chain of
@@ -297,11 +327,11 @@ class IncrementalRollup:
         # ~10% of refresh wall at sf0.1's small window; the diff chain
         # dominates as the window and file sizes grow)
         deltas = ch.groupBy(*self.group_cols).agg(
-            F.count(F.lit(1)).alias("_d_rows"),
-            F.sum(sign).alias("_d_cnt"),
-            F.sum(F.when(~is_ins, 1).otherwise(0)).alias("_d_ndel"),
+            F.sum("_gross").alias("_d_rows"),
+            F.sum(sign * w).alias("_d_cnt"),
+            F.sum(F.when(~is_ins, w).otherwise(F.lit(0))).alias("_d_ndel"),
             *[
-                F.sum(sign.cast(_DEC) * F.col(c).cast(_DEC))
+                F.sum((sign * w).cast(_DEC) * F.col(c).cast(_DEC))
                 .cast(_DEC)
                 .alias(f"_d_sum_{c}")
                 for c in self.sum_cols
@@ -310,10 +340,18 @@ class IncrementalRollup:
                 a
                 for c in self.minmax_cols
                 for a in (
-                    F.min(F.when(is_ins, F.col(c))).alias(f"_ins_min_{c}"),
-                    F.max(F.when(is_ins, F.col(c))).alias(f"_ins_max_{c}"),
-                    F.min(F.when(~is_ins, F.col(c))).alias(f"_del_min_{c}"),
-                    F.max(F.when(~is_ins, F.col(c))).alias(f"_del_max_{c}"),
+                    F.min(F.when(is_ins & live, F.col(c))).alias(
+                        f"_ins_min_{c}"
+                    ),
+                    F.max(F.when(is_ins & live, F.col(c))).alias(
+                        f"_ins_max_{c}"
+                    ),
+                    F.min(F.when(~is_ins & live, F.col(c))).alias(
+                        f"_del_min_{c}"
+                    ),
+                    F.max(F.when(~is_ins & live, F.col(c))).alias(
+                        f"_del_max_{c}"
+                    ),
                 )
             ],
             *[
@@ -324,16 +362,16 @@ class IncrementalRollup:
                     F.slice(
                         F.array_sort(
                             F.collect_set(
-                                F.when(is_ins, id_hash(F.col(c)))
+                                F.when(is_ins & live, id_hash(F.col(c)))
                             )
                         ),
                         1,
                         self.kmv_k,
                     ).alias(f"_ins_kmv_{c}"),
                     # … and the smallest deleted hash (recompute trigger)
-                    F.min(F.when(~is_ins, id_hash(F.col(c)))).alias(
-                        f"_del_minh_{c}"
-                    ),
+                    F.min(
+                        F.when(~is_ins & live, id_hash(F.col(c)))
+                    ).alias(f"_del_minh_{c}"),
                 )
             ],
         )
@@ -703,6 +741,18 @@ class JoinRollup(IncrementalRollup):
             self._joined(fact.scan(), dim.scan()), self.group_cols
         ).withColumn(_GB, self._bucket())
 
+    def _side_columns(self, tbl: LakeTable, version: int) -> list[str]:
+        """The projection each side's feed/scan carries: join keys plus
+        whichever of the rollup's aggregated columns live on that side
+        (the join-rollup contract keeps non-key column names
+        side-unique). Everything else never leaves the parquet scan."""
+        have = set(tbl.scan(version=version).columns)
+        return [
+            c
+            for c in dict.fromkeys(self.join_keys + self._needed_columns())
+            if c in have
+        ]
+
     def _change_rows(self, handle, last, cur) -> DataFrame:
         fact, dim = handle
         terms = []
@@ -714,8 +764,18 @@ class JoinRollup(IncrementalRollup):
             # dim is dimension-sized" claim is now a tested condition,
             # not an AQE hope) — an oversized dim falls back to a
             # shuffle join that AQE may still convert at runtime.
-            df_ = dml.changelog(fact, last["fact"], cur["fact"])
-            dscan = dim.scan(version=cur["dim"])
+            # Both sides ride the r15 column projection: the weighted
+            # feed's _n/_gross are per-physical-row multiplicities, so
+            # the key join carries them through unchanged.
+            df_ = dml.changelog(
+                fact,
+                last["fact"],
+                cur["fact"],
+                columns=self._side_columns(fact, cur["fact"]),
+            )
+            dscan = dim.scan(version=cur["dim"]).select(
+                *self._side_columns(dim, cur["dim"])
+            )
             if self._snapshot_bytes(dim, cur["dim"]) <= \
                     IVM_BROADCAST_MAX_BYTES:
                 dscan = F.broadcast(dscan)
@@ -726,7 +786,12 @@ class JoinRollup(IncrementalRollup):
             # bounded by the files those commits touch, itself bounded
             # by the dim's size at either end of the range — gate the
             # broadcast on that bound.
-            dd = dml.changelog(dim, last["dim"], cur["dim"])
+            dd = dml.changelog(
+                dim,
+                last["dim"],
+                cur["dim"],
+                columns=self._side_columns(dim, cur["dim"]),
+            )
             dd_bound = max(
                 self._snapshot_bytes(dim, last["dim"]),
                 self._snapshot_bytes(dim, cur["dim"]),
@@ -734,7 +799,12 @@ class JoinRollup(IncrementalRollup):
             if dd_bound <= IVM_BROADCAST_MAX_BYTES:
                 dd = F.broadcast(dd)
             terms.append(
-                self._joined(fact.scan(version=last["fact"]), dd)
+                self._joined(
+                    fact.scan(version=last["fact"]).select(
+                        *self._side_columns(fact, last["fact"])
+                    ),
+                    dd,
+                )
             )
         out = terms[0]
         for t in terms[1:]:

@@ -294,8 +294,8 @@ def test_targeted_recompute_pins_source_version(spark, tmp_path, monkeypatch):
     real_changelog = dml.changelog
     fired = {"done": False}
 
-    def racing_changelog(t, lo, hi):
-        ch = real_changelog(t, lo, hi)
+    def racing_changelog(t, lo, hi, **kw):
+        ch = real_changelog(t, lo, hi, **kw)
         if not fired["done"]:
             fired["done"] = True
             # concurrent writer: lands AFTER the refresh planned its
