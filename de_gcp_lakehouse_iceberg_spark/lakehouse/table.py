@@ -1144,6 +1144,12 @@ class LakeTable:
         written = self._write_files(
             work, extra_partition_by=["_p__cluster"]
         )
+        # the shadow cluster key is LAYOUT-ONLY: strip it from the
+        # manifest so clustered-form entries are field-identical to the
+        # sequential per-band loop's (r14 VERDICT #7 — nothing may ever
+        # prune on a non-spec partition key)
+        for e in written:
+            e.partition.pop("_cluster", None)
 
         def _attempt() -> Snapshot:
             head = self.current_version()

@@ -1016,7 +1016,11 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         # agg job re-read every label for a control-flow scalar
         from pyspark.sql import Observation
 
-        obs = Observation(tag)
+        # anonymous Observation: a fixed name repeats across calls in
+        # one session and adds nothing — each instance is independent
+        # (r14 ADVICE); `tag` stays for the job-description reader
+        del tag
+        obs = Observation()
         lb = lb.observe(obs, F.sum("label").alias("s")).localCheckpoint()
         return lb, obs.get["s"]
 
@@ -1123,7 +1127,9 @@ def dup_clusters_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         # pure control-flow overhead, now free.
         from pyspark.sql import Observation
 
-        obs = Observation(tag)
+        # anonymous Observation — see _ckpt_with_sum (r14 ADVICE)
+        del tag
+        obs = Observation()
         e = e.observe(
             obs,
             F.count(F.lit(1)).alias("c"),
