@@ -94,22 +94,31 @@ class SignatureIndex:
         `extra_summary` rides on the publishing commit itself — the
         streaming ingest anchors its batch watermark there atomically.
         Returns {"rows": n, "version": v, "wap_id": ...}."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
         # materialize the signing ONCE: the WAP path consumes sigs
         # twice (file write + audit count) and would otherwise run the
-        # Arrow signing pass per consumer
-        sigs = signature_index(
-            docs, id_col, text_col, self.n, self.num_hashes
-        ).localCheckpoint()
+        # Arrow signing pass per consumer. The source-side audit count
+        # rides the checkpoint job as an Observation metric and the
+        # staged side is audited from fresh parquet-footer reads (r15 —
+        # the old form paid a count job plus a full staged re-scan per
+        # ingest for the same two integers).
+        obs = Observation()
+        sigs = (
+            signature_index(docs, id_col, text_col, self.n, self.num_hashes)
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
+        )
         if not wap:
             snap = self.table.append(
                 sigs, operation="index_append", summary=extra_summary
             )
             return {"rows": snap.summary.get("added_rows"),
                     "version": snap.version, "wap_id": None}
+        n_batch = int(obs.get["n"] or 0)
         wap_id = self.table.stage_append(sigs)
-        staged = self.table.scan_staged(wap_id, include_base=False)
-        n_staged = staged.count()
-        n_batch = sigs.count()
+        n_staged = self.table.audit_staged_rows(wap_id)
         if n_staged != n_batch:
             self.table.discard_staged(wap_id)
             raise RuntimeError(

@@ -745,6 +745,32 @@ class LakeTable:
         )
         return self._read_files(snap, [f.path for f in files])
 
+    def audit_staged_rows(self, wap_id: str) -> int:
+        """WAP audit helper (r15): re-open every STAGED data file fresh
+        from storage and sum the row counts from their parquet footers —
+        a post-write physical verification (each footer read validates
+        the file's magic bytes and metadata on disk, AFTER the write
+        finished) without paying a cluster job to re-scan the rows.
+        Row-count-wise identical to
+        `scan_staged(wap_id, include_base=False).count()`; audits that
+        gate on data QUALITY (not counts) still use `scan_staged`."""
+        import pyarrow.parquet as pq
+
+        d = self._read_staged(wap_id)
+        paths = [os.path.join(self.root, x["path"]) for x in d["files"]]
+
+        def _one(p: str) -> int:
+            return pq.ParquetFile(p).metadata.num_rows
+
+        if len(paths) > 4:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(16, len(paths))
+            ) as ex:
+                return sum(ex.map(_one, paths))
+        return sum(_one(p) for p in paths)
+
     def publish(
         self, wap_id: str, extra_summary: dict[str, Any] | None = None
     ) -> Snapshot:

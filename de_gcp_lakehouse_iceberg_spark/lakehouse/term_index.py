@@ -104,16 +104,24 @@ class TermStatsIndex:
     ) -> dict:
         """Add one batch's statistics increments in one atomic commit.
         wap=True stages, audits the staged row count, then publishes."""
+        from pyspark.sql import Observation
+
         deltas = self._deltas(docs, text_col, lang_col, id_col)
-        deltas = deltas.localCheckpoint()  # consumed twice on the WAP path
+        # the source-side audit count rides the checkpoint job as an
+        # Observation metric, and the staged side is audited from fresh
+        # parquet-footer reads of the staged files (r15 — the old form
+        # paid one count job plus a full re-scan of the staged rows per
+        # batch for the same two integers)
+        obs = Observation()
+        deltas = deltas.observe(
+            obs, F.count(F.lit(1)).alias("n")
+        ).localCheckpoint()
         if not wap:
             snap = self.table.append(deltas, operation="stats_append")
             return {"version": snap.version, "wap_id": None}
+        n_batch = int(obs.get["n"] or 0)
         wap_id = self.table.stage_append(deltas)
-        n_staged = self.table.scan_staged(
-            wap_id, include_base=False
-        ).count()
-        n_batch = deltas.count()
+        n_staged = self.table.audit_staged_rows(wap_id)
         if n_staged != n_batch:
             self.table.discard_staged(wap_id)
             raise RuntimeError(

@@ -46,17 +46,19 @@ def test_failed_index_audit_files_are_vacuumed(spark, tmp_path):
     before_files = set(_data_parquets(idx.table.root))
     before_rows = idx.df().count()
 
-    # break the audit: the staged scan "loses" rows, so append must
-    # discard the stage (dedup_index.py audit branch) and raise
-    orig = idx.table.scan_staged
+    # break the audit: the staged-side count "loses" rows, so append
+    # must discard the stage (dedup_index.py audit branch) and raise.
+    # r15: the audit reads the staged files' parquet footers
+    # (audit_staged_rows) instead of re-scanning the rows.
+    orig = idx.table.audit_staged_rows
 
-    def lossy(wap_id, include_base=True):
-        return orig(wap_id, include_base).limit(3)
+    def lossy(wap_id):
+        return orig(wap_id) - 3
 
-    idx.table.scan_staged = lossy
+    idx.table.audit_staged_rows = lossy
     with pytest.raises(RuntimeError, match="audit failed"):
         idx.append(_docs(spark, start=1000))
-    idx.table.scan_staged = orig
+    idx.table.audit_staged_rows = orig
 
     # the discarded stage's files linger on disk, unreferenced
     assert idx.table.staged_ids() == []
